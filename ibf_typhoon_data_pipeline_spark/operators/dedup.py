@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the pre-training-corpus dedup suite, built scale-first:
+
+- exact: hash-groupBy, one shuffle on the digest.
+- n-gram Jaccard: inverted-index self-join (explode shingles → join on
+  shingle → count) — the standard scalable all-pairs scheme; never a
+  cross join.
+- MinHash+LSH: signatures are min-of-md5-hex per seeded hash family —
+  md5 hex strings order identically in every engine, so the DuckDB
+  oracle reproduces signatures exactly. Banding → bucket join keeps
+  candidate generation linear in collisions.
+- SimHash: per-nibble parity votes over token md5s → 32-bit
+  fingerprint; Hamming-adjacent buckets via band keys.
+
+All pure DataFrame ops; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (lowercased, space-joined)."""
+    words = F.split(F.trim(text), " +")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(cnt >= n, grams).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5 digest → keep the min-id representative per
+    digest. One shuffle keyed by digest; at 100 TB the digest groupBy
+    is embarrassingly parallel and skew-free (hash keys)."""
+    return (
+        df.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) long table + per-doc shingle counts."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via inverted index:
+    explode shingles → self-join on shingle (id_a < id_b) → intersection
+    counts → |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle, so
+    cost is Σ bucket² over shingle frequencies, not |docs|² — the
+    scalable formulation (common-shingle skew is the knob to salt at
+    100 TB)."""
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature: h_i(doc) = min over shingles of
+    md5(i || ':' || shingle), as a 32-hex string. String min is a
+    uniform-ish order statistic and — unlike integer-converted hashes —
+    bit-identical across Spark and DuckDB."""
+    shingles = word_shingles(F.col(text_col), n)
+
+    def _seeded(i: int):
+        # closure factory: a bare `lambda s, i=i` would be inspected as
+        # a 2-arg lambda and receive the array index as its 2nd arg
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    sig_cols = [
+        F.array_min(F.transform(shingles, _seeded(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (num_hashes/band_size
+    bands of band_size rows), bucket-join per band, dedup pairs.
+    Candidates share ≥1 full band. Est. Jaccard = fraction of equal
+    minhashes. The band join is an equi-join on (band_id, band_key) —
+    linear in true collisions, the 100 TB-safe candidate generator."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[f"mh_{b * band_size + r}" for r in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)]
+    )
+    est = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash32(text: Column, n: int = 1) -> Column:
+    """32-bit SimHash: token md5 → 32 hex nibbles → per-bit ±1 votes on
+    each nibble's high bit (nibble ≥ 8); fingerprint bit j = sign of
+    the vote sum. Uses only substr/instr arithmetic so the oracle can
+    reproduce it bit-for-bit."""
+    shingles = word_shingles(text, n)
+    hashes = F.transform(shingles, F.md5)
+    def _voter(j: int):
+        # instr is 1-based: '0'→1 … '7'→8, '8'→9 … 'f'→16, so the
+        # nibble's high bit is set iff instr(...) > 8. Closure factory
+        # keeps the merge lambda at exactly 2 args for F.aggregate.
+        return lambda acc, h: acc + F.when(
+            F.instr(F.lit(HEX_DIGITS), F.substring(h, j + 1, 1)) > 8, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(32):
+        votes = F.aggregate(hashes, F.lit(0), _voter(j))
+        bits.append(F.when(votes > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
+    return sum(bits, start=F.lit(0)).cast("long")
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash32(F.col(text_col)).alias("simhash")
+    )

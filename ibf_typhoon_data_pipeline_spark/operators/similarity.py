@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (array<float>).
+
+- Brute-force cosine top-k: the exact baseline. Pair generation is a
+  join; the dot product is a codegen'd higher-order function
+  (zip_with + aggregate), never a Python UDF.
+- Sign-LSH bucketed ANN: the scale path — bucket by the sign pattern
+  of the first m dimensions (axis-aligned hyperplanes — deterministic,
+  oracle-reproducible), probe only same-bucket candidates. At 100 TB
+  the bucket key turns the n² pair space into Σ bucket².
+
+All arithmetic is promoted to double and summed in index order so the
+DuckDB oracle (list_cosine_similarity / unnest-sum) matches bitwise
+after round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.operators.windows import top1_per_group  # noqa: F401
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — left-to-right fold, same
+    summation order as DuckDB's list functions."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine top-k per query vector.
+
+    n² pairs — correct baseline at any SF, quadratic at scale (that is
+    what the LSH variant is for). The self-join is a single shuffle;
+    ranking is one window. Ties broken by neighbor id for determinism.
+    """
+    v = df.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    w = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__nv")
+    )
+    pairs = v.join(w, F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__nv")), 6).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def sign_bucket(vec: Column, m: int = 6) -> Column:
+    """Sign-LSH bucket key: '+'/'-' per first m dims. Deterministic
+    axis-aligned hyperplanes; swap in seeded random projections when a
+    real ANN recall target matters."""
+    signs = F.transform(
+        F.slice(vec, 1, m), lambda x: F.when(x >= 0, F.lit("+")).otherwise(F.lit("-"))
+    )
+    return F.array_join(signs, "")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    k: int = 5,
+    m: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing only same-sign-bucket candidates. Recall < 1
+    by construction; the pair space shrinks from n² to Σ bucket².
+    Bucket skew is the salting knob at scale."""
+    with_bucket = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+        sign_bucket(_as_double(F.col(vec_col)), m).alias("__bucket"),
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        "__bucket",
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__nv"),
+        "__bucket",
+    )
+    pairs = a.join(b, "__bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__nv")), 6).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

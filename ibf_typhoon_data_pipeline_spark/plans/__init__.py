@@ -1,0 +1,6 @@
+from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES, oracle_sql_map, query_map
+
+# importing the catalog modules populates the registry
+from ibf_typhoon_data_pipeline_spark.plans import corpus, relational, vectors  # noqa: E402,F401
+
+__all__ = ["QUERIES", "query_map", "oracle_sql_map"]

@@ -1,0 +1,292 @@
+"""Training-data-pipeline operator catalog over the ``documents``
+table: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), text
+analysis (language-ID, quality, token counts, fingerprints).
+
+Oracle-parity design: all hashing is md5 hex strings (identical in
+Spark and DuckDB); tokenization is ``split(trim(text), ' +')`` ≡
+``string_split_regex(trim(text), ' +')``; shingle sets are distinct
+(order-free), so engine-specific list ordering cannot leak into
+results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.operators import dedup as dd
+from ibf_typhoon_data_pipeline_spark.operators import text as tx
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+# SQL fragment: distinct word n-gram shingles of `text`
+def _sql_shingles(n: int) -> str:
+    if n == 1:
+        return "list_distinct(string_split_regex(trim(text), ' +'))"
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len(string_split_regex(trim(text), ' +')) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string((string_split_regex(trim(text), ' +'))[i:i+{n - 1}], ' ')))"
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on md5 digest, min-id representative",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_shingles(2)}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.35
+    """,
+    doc="n-gram Jaccard near-dup pairs via inverted-index self-join — "
+        "never a cross join; cost is Σ shingle-bucket², the scalable "
+        "all-pairs formulation",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, n=2, threshold=0.35)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+        {', '.join(
+            "list_min(list_transform(" + _sql_shingles(1)
+            + f", s -> md5(concat('{i}:', s)))) AS mh_{i}"
+            for i in range(8)
+        )}
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, band_id,
+             CASE band_id
+               WHEN 0 THEN concat(mh_0, '|', mh_1)
+               WHEN 1 THEN concat(mh_2, '|', mh_3)
+               WHEN 2 THEN concat(mh_4, '|', mh_5)
+               ELSE concat(mh_6, '|', mh_7) END AS band_key
+      FROM sig, unnest([0, 1, 2, 3]) AS t(band_id)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(({' + '.join(
+               f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+               for i in range(8)
+           )}) / 8.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    """,
+    doc="MinHash(8)+LSH(4 bands × 2): shingle→min-md5 signature → "
+        "band-bucket equi-join candidates → signature-overlap estimate; "
+        "the 100 TB-safe near-dup candidate generator",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, n=1, num_hashes=8, band_size=2)
+
+
+def _simhash_sql() -> str:
+    tokens = _sql_shingles(1)
+    bit_terms = []
+    for j in range(32):
+        votes = (
+            f"list_sum(list_transform(hashes, h -> CASE WHEN "
+            f"instr('0123456789abcdef', substr(h, {j + 1}, 1)) > 8 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(
+            f"CASE WHEN {votes} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END"
+        )
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, list_transform({tokens}, t -> md5(t)) AS hashes
+      FROM documents
+    )
+    SELECT doc_id, ({' + '.join(bit_terms)}) AS simhash FROM hashed
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_sql(),
+    doc="SimHash-32 fingerprint: per-nibble ±1 votes over token md5s; "
+        "Hamming-close fingerprints ⇒ near-dups",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _marker_hits_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length(concat(' ', text, ' ')) - "
+        f"length(replace(concat(' ', text, ' '), '{needle}', ''))) "
+        f"/ {len(needle)} AS INTEGER)"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_marker_hits_sql(w) for w in tx.LANG_MARKERS[lang])
+
+
+def _langid_sql() -> str:
+    scores = {lang: _lang_score_sql(lang) for lang in tx.LANG_MARKERS}
+    score_cols = ", ".join(f"({s}) AS score_{lang}" for lang, s in scores.items())
+    best = f"greatest({', '.join('score_' + lang for lang in tx.LANG_MARKERS)})"
+    ladder = " ".join(
+        f"WHEN score_{lang} = __best AND __best > 0 THEN '{lang}'"
+        for lang in tx.LANG_MARKERS
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang, {score_cols} FROM documents
+    ), with_best AS (
+      SELECT *, {best} AS __best FROM scored
+    )
+    SELECT doc_id, true_lang,
+           CASE {ladder} ELSE 'und' END AS pred_lang,
+           score_en
+    FROM with_best
+    """
+
+
+@register(
+    "text_langid",
+    _langid_sql(),
+    doc="Language-ID n-gram/marker-word heuristic (argmax with fixed "
+        "tie order); parity-graded, accuracy-irrelevant on word-soup",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = tx.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        tx.predict_lang(F.col("text")).alias("pred_lang"),
+        scores["en"],
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+        length(text) AS n_chars_m,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), ' +')) END AS n_words,
+        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / greatest(length(text), 1), 6) AS alpha_ratio,
+        round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              / greatest(length(text), 1), 6) AS digit_ratio,
+        round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+              / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), ' +')) END, 1),
+              6) AS mean_word_len,
+        round(({_lang_score_sql('en')})
+              / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), ' +')) END, 1),
+              6) AS stopword_ratio
+      FROM documents
+    )
+    SELECT *,
+      round(CAST((CASE WHEN n_words >= 10 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN stopword_ratio > 0 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN digit_ratio < 0.2 THEN 0.25 ELSE 0 END) AS DOUBLE), 6)
+      AS quality_score,
+      ((CASE WHEN n_words >= 10 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN stopword_ratio > 0 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN digit_ratio < 0.2 THEN 0.25 ELSE 0 END)) >= 0.75 AS keep
+    FROM feats
+    """,
+    doc="Gopher/C4-style quality features + composite keep score, all "
+        "as codegen'd expressions",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd_quality_select(docs)
+
+
+def dd_quality_select(docs: DataFrame) -> DataFrame:
+    out = tx.quality_score(docs)
+    return out.select(
+        "doc_id",
+        "n_chars_m",
+        "n_words",
+        "alpha_ratio",
+        "digit_ratio",
+        "mean_word_len",
+        "stopword_ratio",
+        "quality_score",
+        "keep",
+    )
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), ' +')) END AS ws_tokens,
+      len(regexp_extract_all(text, '{tx.BPE_TOKEN_PATTERN}')) AS bpe_tokens
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish regex token counting",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        tx.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(length(text) - 7, 1) + 1),
+             i -> md5(substr(text, CAST(i AS INTEGER), 8))
+           )) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: min-md5 over 8-char shingles (1-hash "
+        "winnowing / rolling-hash scheme)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.fingerprint(F.col("text"), 8).alias("fingerprint")
+    )

@@ -1,0 +1,78 @@
+"""Similarity-search catalog over the ``embeddings`` table
+(array<float> column): exact brute-force cosine top-k baseline and the
+sign-LSH bucketed ANN scale path.
+
+Parity: both engines promote float32 → double before any arithmetic
+and fold the dot product in index order; similarities are rounded to
+6dp BEFORE ranking so ulp noise cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+_COSINE = (
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 6)"
+)
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COSINE} AS cosine_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rn FROM pairs
+    ) WHERE rn <= 5
+    """,
+    doc="Exact all-pairs cosine top-5 — the ANN correctness baseline; "
+        "n² pairs, one shuffle + one window",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, k=5)
+
+
+@register(
+    "sim_lsh_topk",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(
+               (CAST(embedding AS DOUBLE[]))[1:6],
+               x -> CASE WHEN x >= 0 THEN '+' ELSE '-' END), '') AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COSINE} AS cosine_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rn FROM pairs
+    ) WHERE rn <= 5
+    """,
+    doc="Sign-LSH bucketed ANN top-5: axis-aligned hyperplane bucket "
+        "key shrinks the pair space from n² to Σ bucket² — the 100 TB "
+        "path; recall<1 by construction",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, k=5, m=6)

@@ -1,0 +1,3 @@
+from ibf_typhoon_data_pipeline_spark.sources.tables import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]
