@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a full-result count (noop sink) — same
+amount of work the driver's correctness pass does, minus the collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ibf_typhoon_data_pipeline_spark import plans
+from ibf_typhoon_data_pipeline_spark.session import get_spark
+
+# Headline set: one per structural family (scan-agg, window dedup,
+# broadcast join chain, NN theta-join, ensemble trigger, zonal stats,
+# interpolation, text quality, minhash LSH, vector ANN).
+HEADLINE = [
+    "q1_pricing_summary",
+    "a9_dedup_keep_last",
+    "j3_dim_rollup",
+    "j11_nearest_supplier",
+    "a7_exceedance_trigger",
+    "a11_a12_zonal_stats",
+    "f15_interpolate_gaps",
+    "w1_lag_diff",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("ibf-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not first-touch costs
+    plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = plans.QUERIES.get(name)
+        if qd is None:
+            continue
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

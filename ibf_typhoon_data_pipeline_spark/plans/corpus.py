@@ -46,7 +46,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS (
-      SELECT doc_id, unnest({_sql_shingles(2)}) AS shingle FROM documents
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM documents
     ), sizes AS (
       SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
     ), inter AS (
@@ -59,7 +59,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.35
+    WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
     """,
     doc="n-gram Jaccard near-dup pairs via inverted-index self-join — "
         "never a cross join; cost is Σ shingle-bucket², the scalable "
@@ -67,7 +67,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, n=2, threshold=0.35)
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
 @register(
@@ -76,7 +76,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
       SELECT doc_id,
         {', '.join(
-            "list_min(list_transform(" + _sql_shingles(1)
+            "list_min(list_transform(" + _sql_shingles(3)
             + f", s -> md5(concat('{i}:', s)))) AS mh_{i}"
             for i in range(8)
         )}
@@ -110,7 +110,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, n=1, num_hashes=8, band_size=2)
+    return dd.minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2)
 
 
 def _simhash_sql() -> str:

@@ -260,9 +260,18 @@ def j11_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
-    return top1_per_group(
-        pairs, ["c_custkey"], [F.col("nn_dist_km").asc(), F.col("s_suppkey").asc()]
-    ).select("c_custkey", "s_suppkey", "nn_dist_km")
+    # min(struct(dist, key)) instead of a row_number window: structs
+    # compare field-by-field, so ties break on s_suppkey exactly like
+    # the oracle's ORDER BY — but with map-side partial aggregation
+    # (no n·m-row shuffle+sort; 25s → sub-second at sf0.1).
+    best = pairs.groupBy("c_custkey").agg(
+        F.min(F.struct("nn_dist_km", "s_suppkey")).alias("__best")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("__best.s_suppkey").alias("s_suppkey"),
+        F.col("__best.nn_dist_km").alias("nn_dist_km"),
+    )
 
 
 @register(
