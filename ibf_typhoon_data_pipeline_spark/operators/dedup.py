@@ -71,8 +71,9 @@ def ngram_jaccard_pairs(
     counts → |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle, so
     cost is Σ bucket² over shingle frequencies, not |docs|² — the
     scalable formulation (common-shingle skew is the knob to salt at
-    100 TB)."""
-    sh = shingle_table(df, text_col, id_col, n)
+    100 TB). The shingle table feeds three plan branches (both join
+    sides + per-doc sizes); persist it so tokenization runs once."""
+    sh = shingle_table(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -118,19 +119,20 @@ def minhash_signatures(
     """MinHash signature: h_i(doc) = min over shingles of
     md5(i || ':' || shingle), as a 32-hex string. String min is a
     uniform-ish order statistic and — unlike integer-converted hashes —
-    bit-identical across Spark and DuckDB."""
-    shingles = word_shingles(F.col(text_col), n)
+    bit-identical across Spark and DuckDB.
 
-    def _seeded(i: int):
-        # closure factory: a bare `lambda s, i=i` would be inspected as
-        # a 2-arg lambda and receive the array index as its 2nd arg
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    sig_cols = [
-        F.array_min(F.transform(shingles, _seeded(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return df.select(F.col(id_col), *sig_cols)
+    Physical plan: explode shingles once, then num_hashes min()
+    aggregates over the long table. The mins partial-aggregate map-side
+    (shingle tokenization runs exactly once per doc), vs the naive
+    per-column array_min(transform(...)) plan which re-tokenizes the
+    document once per hash family."""
+    sh = shingle_table(df, text_col, id_col, n)
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -145,8 +147,13 @@ def minhash_lsh_pairs(
     bands of band_size rows), bucket-join per band, dedup pairs.
     Candidates share ≥1 full band. Est. Jaccard = fraction of equal
     minhashes. The band join is an equi-join on (band_id, band_key) —
-    linear in true collisions, the 100 TB-safe candidate generator."""
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    linear in true collisions, the 100 TB-safe candidate generator.
+
+    The signature table is referenced three times (band explode + both
+    sides of the verify join); Spark plans have no CTE sharing, so
+    persist it — signatures are tiny (num_hashes × 32-hex per doc) next
+    to the corpus they summarize."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
