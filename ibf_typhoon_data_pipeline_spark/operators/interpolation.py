@@ -16,18 +16,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _lerp_fill(df: DataFrame, keys: Sequence[str], time_col: str, col: str) -> DataFrame:
+def _lerp_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
     """Linearly fill NULL runs of ``col`` between its nearest non-NULL
     bracketing rows (pandas Series.interpolate default: interior gaps
-    linear; leading gaps stay NULL; trailing gaps forward-fill)."""
+    linear; leading gaps stay NULL; trailing gaps forward-fill).
+    ``tiebreakers`` pin the bracket order when time_col has duplicates."""
+    order = [time_col, *tiebreakers]
     w_prev = (
         Window.partitionBy(*keys)
-        .orderBy(time_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_next = (
         Window.partitionBy(*keys)
-        .orderBy(time_col)
+        .orderBy(*order)
         .rowsBetween(0, Window.unboundedFollowing)
     )
     t = F.unix_timestamp(F.col(time_col)).cast("double")
@@ -51,13 +59,17 @@ def _lerp_fill(df: DataFrame, keys: Sequence[str], time_col: str, col: str) -> D
 
 
 def interpolate_series(
-    df: DataFrame, keys: Sequence[str], time_col: str, value_cols: Sequence[str]
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    value_cols: Sequence[str],
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """F15: pd.Series.interpolate() over each track's wind/pressure/lat/
     lon (track_data_clean.py:11-18)."""
     out = df
     for c in value_cols:
-        out = _lerp_fill(out, keys, time_col, c)
+        out = _lerp_fill(out, keys, time_col, c, tiebreakers)
     return out
 
 

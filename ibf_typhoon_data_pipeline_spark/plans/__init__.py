@@ -1,6 +1,11 @@
 from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES, oracle_sql_map, query_map
 
 # importing the catalog modules populates the registry
-from ibf_typhoon_data_pipeline_spark.plans import corpus, relational, vectors  # noqa: E402,F401
+from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
+    corpus,
+    relational,
+    relational_ext,
+    vectors,
+)
 
 __all__ = ["QUERIES", "query_map", "oracle_sql_map"]

@@ -746,7 +746,36 @@ def f14_greatest_across(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f15_interpolate_gaps",
-    None,  # window-heavy; DuckDB oracle added once IGNORE NULLS parity is pinned
+    """
+    WITH masked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ), brk AS (
+      SELECT event_id, user_id, value,
+        last_value(value IGNORE NULLS) OVER w_prev AS v0,
+        last_value(CASE WHEN value IS NOT NULL THEN floor(epoch(ts)) END
+          IGNORE NULLS) OVER w_prev AS t0,
+        first_value(value IGNORE NULLS) OVER w_next AS v1,
+        first_value(CASE WHEN value IS NOT NULL THEN floor(epoch(ts)) END
+          IGNORE NULLS) OVER w_next AS t1,
+        floor(epoch(ts)) AS t
+      FROM masked
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           round(CASE
+             WHEN value IS NOT NULL THEN value
+             WHEN v0 IS NOT NULL AND v1 IS NOT NULL AND t1 <> t0
+               THEN v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+             WHEN v0 IS NOT NULL THEN v0
+             ELSE NULL END, 6) AS value_filled
+    FROM brk
+    """,
     doc="F15 pd.Series.interpolate(): linear gap fill over masked values "
         "(track_data_clean.py:11-18); recipe SURVEY §7.5",
 )
@@ -759,7 +788,9 @@ def f15_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("value"),
     )
-    out = interpolate_series(ev, ["user_id"], "ts", ["value"])
+    out = interpolate_series(
+        ev, ["user_id"], "ts", ["value"], tiebreakers=["event_id"]
+    )
     return out.select(
         "event_id", "user_id", F.round("value", 6).alias("value_filled")
     )

@@ -1,0 +1,740 @@
+"""Relational operator catalog, part 2 — the SURVEY.md §2 rows not
+covered by plans/relational.py: composite/derived-key joins, agg
+re-join vs window, two-level triggers, first/closest-row windows,
+top-1 limits, regexp parsing, time offsets, piecewise lookups,
+resample-interpolation, and JSON document assembly.
+
+Same parity rules as plans/registry.py: identical aliases both sides,
+rounded floats, deterministic tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.functions.convert import (
+    GUST_FACTOR,
+    KN_TO_MS,
+    MS_TO_KPH,
+    set_zeros,
+)
+from ibf_typhoon_data_pipeline_spark.functions.geo import haversine_km
+from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
+    resample_interpolate,
+)
+from ibf_typhoon_data_pipeline_spark.operators.windows import lead_kinematics
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------ §2.2 filters
+@register(
+    "p1_p3_literal_filters",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'click' AND user_id % 16 IN (1, 3, 5)
+    """,
+    doc="P1+P3 literal equality + isin membership filters "
+        "(forecast_process.py:182,296-297)",
+)
+def p1_p3_literal_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") % 16).isin(1, 3, 5)
+    ).select("event_id", "user_id", "value")
+
+
+@register(
+    "p8_cascading_fallback",
+    """
+    WITH tiered AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice < 2000 THEN 1
+                  WHEN o_totalprice < 10000 THEN 2
+                  ELSE 3 END AS tier
+      FROM orders
+    ), best AS (SELECT min(tier) AS best_tier FROM tiered)
+    SELECT o_orderkey, o_totalprice, tier
+    FROM tiered, best WHERE tier = best_tier
+    """,
+    doc="P8 cascading filter fallback (dist<200 else <300 else all, "
+        "forecast_process.py:1800-1810): tier per row + keep the best "
+        "non-empty tier — one pass, no driver-side recount loop",
+)
+def p8_cascading_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    tiered = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") < 2000, 1)
+        .when(F.col("o_totalprice") < 10000, 2)
+        .otherwise(3)
+        .alias("tier"),
+    )
+    best = tiered.agg(F.min("tier").alias("best_tier"))
+    return (
+        tiered.join(F.broadcast(best), tiered.tier == best.best_tier)
+        .select("o_orderkey", "o_totalprice", "tier")
+    )
+
+
+# ------------------------------------------------------------- §2.3 joins
+@register(
+    "j6_composite_key_join",
+    """
+    WITH qty AS (
+      SELECT l_orderkey, l_returnflag, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY 1, 2
+    ), price AS (
+      SELECT l_orderkey, l_returnflag, round(max(l_extendedprice), 2) AS max_price
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT q.l_orderkey, q.l_returnflag, total_qty, max_price
+    FROM qty q JOIN price p
+      ON q.l_orderkey = p.l_orderkey AND q.l_returnflag = p.l_returnflag
+    """,
+    doc="J6 multi-column equi join on (adm3_pcode, ens_id)-style "
+        "composite key (forecast_process.py:1629)",
+)
+def j6_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+    price = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.round(F.max("l_extendedprice"), 2).alias("max_price")
+    )
+    return qty.join(price, ["l_orderkey", "l_returnflag"])
+
+
+@register(
+    "j7_derived_key_join",
+    """
+    WITH factors AS (
+      SELECT DISTINCT year(o_orderdate) AS year,
+             year(o_orderdate) - 1991 AS correction_factor
+      FROM orders
+    )
+    SELECT o.o_orderkey,
+           CAST(round(o.o_totalprice) AS BIGINT) * f.correction_factor
+             AS corrected_price
+    FROM orders o JOIN factors f ON year(o.o_orderdate) = f.year
+    """,
+    doc="J7 broadcast join on a derived key (year substring → "
+        "housing correction factor, forecast_process.py:439-441); "
+        "integer factor keeps the output binary-exact for the hash",
+)
+def j7_derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    factors = (
+        o.select(F.year("o_orderdate").alias("year"))
+        .distinct()
+        .withColumn("correction_factor", F.col("year") - 1991)
+    )
+    return (
+        o.join(F.broadcast(factors), F.year(o.o_orderdate) == factors.year)
+        .select(
+            "o_orderkey",
+            (
+                F.round("o_totalprice", 0).cast("bigint")
+                * F.col("correction_factor")
+            ).alias("corrected_price"),
+        )
+    )
+
+
+@register(
+    "j8_agg_window_rejoin",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey), 2)
+             AS order_total_qty,
+           round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey), 6)
+             AS qty_share
+    FROM lineitem
+    """,
+    doc="J8 aggregate re-joined to its rows (forecast_process.py:538-540) "
+        "— expressed as a window sum so the fact table shuffles once "
+        "instead of agg+join twice",
+)
+def j8_agg_window_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    total = F.sum("l_quantity").over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(total, 2).alias("order_total_qty"),
+        F.round(F.col("l_quantity") / total, 6).alias("qty_share"),
+    )
+
+
+# -------------------------------------------------------- §2.4 aggregations
+@register(
+    "a2_a3_ensemble_summary",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(value), 6) AS mean_val,
+           round(min(value), 6) AS min_val,
+           round(max(value), 6) AS max_val
+    FROM events GROUP BY event_type
+    """,
+    doc="A2 per-key min + A3 nanmean/nanmin/nanmax ensemble summary "
+        "(forecast_process.py:986-995,1610-1615); NULLs skip like numpy "
+        "nan-aggregates after NaN→NULL normalization",
+)
+def a2_a3_ensemble_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_val"),
+        F.round(F.min("value"), 6).alias("min_val"),
+        F.round(F.max("value"), 6).alias("max_val"),
+    )
+
+
+@register(
+    "a5_a6_percust_totals",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_damage,
+           sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_triggered
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_custkey
+    """,
+    doc="A5/A6 per-ensemble national/regional totals with region filter "
+        "(forecast_process.py:1288-1291,1254-1256)",
+)
+def a5_a6_percust_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_damage"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+            ).alias("n_triggered"),
+        )
+    )
+
+
+@register(
+    "a8_two_level_trigger",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, avg(o_totalprice) AS avg_damage
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT count(CASE WHEN avg_damage > 180000 THEN 1 END) AS n_over,
+           count(CASE WHEN avg_damage > 180000 THEN 1 END) > 2 AS triggered
+    FROM per_cust
+    """,
+    doc="A8 average-damage trigger: per-muni mean >10% → count of such "
+        "munis >2 → boolean (forecast_process.py:1293-1303)",
+)
+def a8_two_level_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("avg_damage"))
+    return per.agg(
+        F.count(F.when(F.col("avg_damage") > 180000, 1)).alias("n_over"),
+        (F.count(F.when(F.col("avg_damage") > 180000, 1)) > 2).alias("triggered"),
+    )
+
+
+@register(
+    "a10_a15_distinct_sizes",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A10 distinct + A15 group sizes (forecast_process.py:1099,433-438)",
+)
+def a10_a15_distinct_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "a16_yearly_max",
+    """
+    SELECT year(o_orderdate) AS year, round(max(o_totalprice), 2) AS yearly_max
+    FROM orders GROUP BY 1
+    """,
+    doc="A16 yearly block maxima feeding the GEV return-period fit "
+        "(xgb_model_v1.R:134-145); the fit itself is offline-training "
+        "scope, the distributed part is this agg",
+)
+def a16_yearly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.round(F.max("o_totalprice"), 2).alias("yearly_max")
+    )
+
+
+# ------------------------------------------------------------ §2.5 windows
+@register(
+    "w3_first_qualifying",
+    """
+    SELECT user_id, event_id AS first_event_id, ts AS first_ts FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) AS rn
+      FROM events WHERE value > 450
+    ) WHERE rn = 1
+    """,
+    doc="W3 first-landfall point: earliest row per track meeting an "
+        "on-land predicate (forecast_process.py:750-788)",
+)
+def w3_first_qualifying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 450)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "w4_closest_row",
+    """
+    SELECT user_id, event_id, value AS min_value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY value, ts, event_id
+      ) AS rn FROM events WHERE value IS NOT NULL
+    ) WHERE rn = 1
+    """,
+    doc="W4 closest-to-land row: value == min(value) per key, ties keep "
+        "first by time (forecast_process.py:790-813)",
+)
+def w4_closest_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("value", "ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("value").alias("min_value"))
+    )
+
+
+# -------------------------------------------------------- §2.6 sorts/limits
+@register(
+    "o1_latest_limit1",
+    """
+    SELECT event_id, ts FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+    doc="O1 latest-forecast-dir pick: global orderBy desc limit 1 "
+        "(tc_tracks_forecast.py:147-150); TakeOrderedAndProject, no "
+        "full sort",
+)
+def o1_latest_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .select("event_id", "ts")
+        .limit(1)
+    )
+
+
+@register(
+    "o4_ranked_output",
+    """
+    SELECT n_name, total_bal, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT n_name, round(sum(c_acctbal), 2) AS total_bal,
+             row_number() OVER (ORDER BY sum(c_acctbal) DESC, n_name) AS rank
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    """,
+    doc="O4 sorted agg output (forecast_process.py:1430): the ordering "
+        "is materialized as a rank column so the order-insensitive "
+        "hash still checks it",
+)
+def o4_ranked_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+    w = Window.orderBy(F.col("total_bal").desc(), F.col("n_name"))
+    return agg.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------- §2.8 scalar functions
+@register(
+    "f2_f3_regexp_parse",
+    """
+    WITH named AS (
+      SELECT p_partkey,
+             concat('ECEP_', upper(trim(p_brand)), '_',
+                    CAST(p_size AS VARCHAR), 'deg_',
+                    CAST(p_partkey % 40 AS VARCHAR), 'p.bufr') AS filename
+      FROM part
+    )
+    SELECT p_partkey, filename,
+           regexp_extract(filename, '_([0-9]+)deg_', 1) AS lat_token,
+           CAST(regexp_extract(filename, '_([0-9]+)p\\.bufr$', 1) AS INTEGER)
+             AS lon_token,
+           regexp_matches(filename, '^ECEP_BRAND') AS is_ecep
+    FROM named
+    """,
+    doc="F2 filename lat/lon parsing + F3 strip/upper/startswith "
+        "(forecast_process.py:159-176, tc_tracks_forecast.py:312-313)",
+)
+def f2_f3_regexp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    filename = F.concat(
+        F.lit("ECEP_"),
+        F.upper(F.trim(F.col("p_brand"))),
+        F.lit("_"),
+        F.col("p_size").cast("string"),
+        F.lit("deg_"),
+        (F.col("p_partkey") % 40).cast("string"),
+        F.lit("p.bufr"),
+    )
+    named = p.select("p_partkey", filename.alias("filename"))
+    return named.select(
+        "p_partkey",
+        "filename",
+        F.regexp_extract("filename", r"_([0-9]+)deg_", 1).alias("lat_token"),
+        F.regexp_extract("filename", r"_([0-9]+)p\.bufr$", 1)
+        .cast("int")
+        .alias("lon_token"),
+        F.col("filename").startswith("ECEP_BRAND").alias("is_ecep"),
+    )
+
+
+@register(
+    "f6_time_offsets",
+    """
+    SELECT event_id,
+           strftime(ts + INTERVAL 1 HOUR * (user_id % 24), '%Y-%m-%d %H:%M:%S')
+             AS shifted_ts
+    FROM events
+    """,
+    doc="F6 time-origin + lead-hour offsets "
+        "(tc_tracks_forecast.py:281-282)",
+)
+def f6_time_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    shifted = F.timestamp_seconds(
+        F.unix_timestamp("ts") + (F.col("user_id") % 24) * 3600
+    )
+    return ev.select(
+        "event_id",
+        F.date_format(shifted, "yyyy-MM-dd HH:mm:ss").alias("shifted_ts"),
+    )
+
+
+@register(
+    "f7_w2_track_kinematics",
+    """
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             (user_id % 120) * 0.1 + value * 0.001 AS lat,
+             ((user_id * 7) % 240) * 0.1 + 100 + value * 0.001 AS lon
+      FROM events WHERE value IS NOT NULL
+    ), seq AS (
+      SELECT *, lead(lat) OVER w AS next_lat, lead(lon) OVER w AS next_lon,
+             date_diff('second', ts, lead(ts) OVER w) / 3600.0 AS dt_hours
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           round(2 * 6367.0 * asin(sqrt(
+             pow(sin(radians(next_lat - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(next_lat))
+               * pow(sin(radians(next_lon - lon) / 2), 2)
+           )), 4) AS step_km,
+           round(dt_hours, 6) AS dt_hours
+    FROM seq WHERE next_lat IS NOT NULL
+    """,
+    doc="F7 haversine + W2 lead-based forward kinematics: per-track "
+        "step distance and Δt (forecast_process.py:636-653, "
+        "lib_r/prepare_typhoon_input.R:414-443)",
+)
+def f7_w2_track_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("user_id") % 120) * 0.1 + F.col("value") * 0.001).alias("lat"),
+        (((F.col("user_id") * 7) % 240) * 0.1 + 100 + F.col("value") * 0.001).alias(
+            "lon"
+        ),
+    )
+    # lead_kinematics orders by ts only; add event_id for deterministic
+    # parity with the oracle's window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        pts.withColumn("next_lat", F.lead("lat", 1).over(w))
+        .withColumn("next_lon", F.lead("lon", 1).over(w))
+        .withColumn(
+            "dt_hours",
+            (F.unix_timestamp(F.lead("ts", 1).over(w)) - F.unix_timestamp("ts"))
+            / 3600.0,
+        )
+    )
+    return seq.filter(F.col("next_lat").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.round(
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.col("next_lat"), F.col("next_lon")
+            ),
+            4,
+        ).alias("step_km"),
+        F.round("dt_hours", 6).alias("dt_hours"),
+    )
+
+
+@register(
+    "f9_unit_conversions",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity * {KN_TO_MS}, 6) AS wind_ms,
+           round(l_quantity * {KN_TO_MS} * {MS_TO_KPH}, 6) AS wind_kph,
+           round(l_quantity * {KN_TO_MS} * {GUST_FACTOR}, 6) AS gust_ms,
+           round(l_quantity * {KN_TO_MS} / 0.88, 6) AS wind_1min_ms
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    doc="F9 unit-conversion constants kn→m/s→kph, gust, 10→1-min "
+        "(run_model_V2.R:20-22, forecast_process.py:685,844)",
+)
+def f9_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    kn = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(kn * KN_TO_MS, 6).alias("wind_ms"),
+        F.round(kn * KN_TO_MS * MS_TO_KPH, 6).alias("wind_kph"),
+        F.round(kn * KN_TO_MS * GUST_FACTOR, 6).alias("gust_ms"),
+        F.round(kn * KN_TO_MS / 0.88, 6).alias("wind_1min_ms"),
+    )
+
+
+@register(
+    "f12_set_zeros_mask",
+    """
+    SELECT event_id,
+           CASE WHEN value > 25 THEN round(value * 1.15, 6)
+                WHEN value < 25 THEN 0.0
+                ELSE NULL END AS masked_damage
+    FROM events
+    """,
+    doc="F12 set_zeros NaN-propagating damage mask "
+        "(forecast_process.py:550-568): >25 → damage·growth, <25 → 0, "
+        "boundary/NULL → NULL",
+)
+def f12_set_zeros_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    masked = set_zeros(F.col("value"), F.col("value"), F.lit(1.15))
+    return ev.select("event_id", F.round(masked, 6).alias("masked_damage"))
+
+
+@register(
+    "f18_piecewise_linear",
+    """
+    WITH knots AS (
+      SELECT o_orderkey, 900 + (o_orderkey % 110) AS pcen FROM orders
+    )
+    SELECT o_orderkey, pcen,
+           round(CASE
+             WHEN pcen <= 920 THEN 15.0
+             WHEN pcen <= 960 THEN 15.0 + (pcen - 920) * (35.0 - 15.0) / 40.0
+             WHEN pcen <= 995 THEN 35.0 + (pcen - 960) * (55.0 - 35.0) / 35.0
+             ELSE 55.0 END, 6) AS rmw_km
+    FROM knots
+    """,
+    doc="F18 RMW piecewise-linear pressure→radius lookup "
+        "(tc_tracks.py:1744-1777) as a when-ladder over segment knots",
+)
+def f18_piecewise_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pcen = (F.lit(900) + F.col("o_orderkey") % 110).alias("pcen")
+    knots = o.select("o_orderkey", pcen)
+    p = F.col("pcen")
+    rmw = (
+        F.when(p <= 920, F.lit(15.0))
+        .when(p <= 960, 15.0 + (p - 920) * (35.0 - 15.0) / 40.0)
+        .when(p <= 995, 35.0 + (p - 960) * (55.0 - 35.0) / 35.0)
+        .otherwise(F.lit(55.0))
+    )
+    return knots.select("o_orderkey", "pcen", F.round(rmw, 6).alias("rmw_km"))
+
+
+@register(
+    "f16_resample_interpolate",
+    """
+    WITH pts AS (
+      SELECT user_id % 8 AS track_id,
+             date_trunc('hour', ts) AS t, avg(value) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT track_id, min(t) AS t0, max(t) AS t1 FROM pts GROUP BY 1
+    ), grid AS (
+      SELECT track_id, unnest(generate_series(t0, t1, INTERVAL 30 MINUTE)) AS t
+      FROM bounds
+    ), joined AS (
+      SELECT g.track_id, g.t, p.v
+      FROM grid g LEFT JOIN pts p ON g.track_id = p.track_id AND g.t = p.t
+    ), brk AS (
+      SELECT track_id, t, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS v0,
+        last_value(CASE WHEN v IS NOT NULL THEN epoch(t) END IGNORE NULLS)
+          OVER w_prev AS t0,
+        first_value(v IGNORE NULLS) OVER w_next AS v1,
+        first_value(CASE WHEN v IS NOT NULL THEN epoch(t) END IGNORE NULLS)
+          OVER w_next AS t1
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY track_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY track_id ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT track_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS t_str,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN v0 IS NOT NULL AND v1 IS NOT NULL AND t1 <> t0
+               THEN v0 + (v1 - v0) * (epoch(t) - t0) / (t1 - t0)
+             WHEN v0 IS NOT NULL THEN v0
+             ELSE NULL END, 6) AS v_interp
+    FROM brk
+    """,
+    doc="F16 resample-to-30-min + linear interpolation "
+        "(track_data_clean.py:43, SURVEY §7.5 recipe): sequence → "
+        "explode → bracket windows → lerp; one shuffle per track key",
+)
+def f16_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = (
+        ev.groupBy(
+            (F.col("user_id") % 8).alias("track_id"),
+            F.date_trunc("hour", "ts").alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    out = resample_interpolate(pts, ["track_id"], "t", ["v"], step_minutes=30)
+    return out.select(
+        "track_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("t_str"),
+        F.round("v", 6).alias("v_interp"),
+    )
+
+
+@register(
+    "f19_json_documents",
+    """
+    WITH amounts AS (
+      SELECT n_name, c_custkey AS place_code,
+             CAST(round(c_acctbal) AS BIGINT) AS amount
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name AS layer,
+           concat('[',
+             string_agg(
+               concat('{"placeCode":', CAST(place_code AS VARCHAR),
+                      ',"amount":', CAST(amount AS VARCHAR), '}'),
+               ',' ORDER BY place_code),
+             ']') AS exposure_json
+    FROM amounts GROUP BY n_name
+    """,
+    doc="F19 nested exposurePlaceCodes JSON document build "
+        "(forecast_process.py:1160-1233): collect_list(struct) + "
+        "to_json replaces the reference's iterrows loop (X9)",
+)
+def f19_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    amounts = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_name",
+        F.col("c_custkey").alias("place_code"),
+        F.round("c_acctbal", 0).cast("bigint").alias("amount"),
+    )
+    docs = amounts.groupBy(F.col("n_name").alias("layer")).agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("place_code").alias("placeCode"),
+                        F.col("amount").alias("amount"),
+                    )
+                )
+            )
+        ).alias("exposure_json")
+    )
+    return docs
+
+
+@register(
+    "k4_degree_distance_min",
+    """
+    WITH track AS (
+      SELECT (user_id % 120) * 0.1 AS lat, ((user_id * 7) % 240) * 0.1 AS lon
+      FROM events WHERE user_id % 16 = 0 AND value IS NOT NULL
+    ), grid AS (
+      SELECT c_custkey AS centroid_id,
+             (c_custkey % 120) * 0.1 AS lat,
+             ((c_custkey * 13) % 240) * 0.1 AS lon
+      FROM customer
+    )
+    SELECT centroid_id,
+           round(min(sqrt(pow(g.lat - t.lat, 2) + pow(g.lon - t.lon, 2)) * 111.0),
+                 4) AS dis_track_min
+    FROM grid g CROSS JOIN track t
+    GROUP BY centroid_id
+    """,
+    doc="K4 track–grid min distance in DEGREE space ·111 — deliberately "
+        "not haversine; quirk preserved for parity because it feeds ML "
+        "features and prob_within_50km (forecast_process.py:1603-1608)",
+)
+def k4_degree_distance_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.functions.geo import degree_distance_km
+
+    ev = _t(spark, sf_dir, "events")
+    track = ev.filter(
+        (F.col("user_id") % 16 == 0) & F.col("value").isNotNull()
+    ).select(
+        ((F.col("user_id") % 120) * 0.1).alias("t_lat"),
+        (((F.col("user_id") * 7) % 240) * 0.1).alias("t_lon"),
+    )
+    grid = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("centroid_id"),
+        ((F.col("c_custkey") % 120) * 0.1).alias("lat"),
+        (((F.col("c_custkey") * 13) % 240) * 0.1).alias("lon"),
+    )
+    pairs = grid.join(F.broadcast(track))
+    return pairs.groupBy("centroid_id").agg(
+        F.round(
+            F.min(
+                degree_distance_km(
+                    F.col("lat"), F.col("lon"), F.col("t_lat"), F.col("t_lon")
+                )
+            ),
+            4,
+        ).alias("dis_track_min")
+    )
