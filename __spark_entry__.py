@@ -23,8 +23,10 @@ from ibf_typhoon_data_pipeline_spark import plans  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return plans.QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship: the §7.2 end-to-end slice — 52-member tracks → Holland
+    windfield → municipality hazard → damage → ensemble exceedance
+    triggers (SURVEY.md §7.2). One DataFrame DAG, zero UDFs."""
+    return plans.QUERIES["tc_trigger_ladder"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

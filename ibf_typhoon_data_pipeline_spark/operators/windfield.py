@@ -1,0 +1,310 @@
+"""K1/K2 — tropical-cyclone wind field (SURVEY.md §2.9).
+
+The reference computes, per ensemble-member track, a wind speed at
+every grid centroid within a ±5.5° box of the track, using the
+published Holland (1980) gradient-wind profile with the Holland (2008)
+revised shape parameter b_s, plus a translation-speed component
+attenuated away from the eyewall (trop_cyclone.py:515-836 — semantics
+only; this is an independent implementation from the published
+equations).
+
+Two interchangeable physical strategies:
+
+1. ``windfield_expr`` — the Spark-first path: per-track-point scalars
+   (translation speed from lead(), pressure tendency from lag(), b_s,
+   RMW estimate) as window + scalar expressions, then a broadcast
+   theta-join of track points × centroids bounded by the bbox
+   predicate (the anti-cartesian guard, SURVEY §4 X1), then the radial
+   profile as pure `F.*` math. Everything stays in whole-stage
+   codegen; it is also DuckDB-expressible, so the correctness gate
+   covers the physics.
+
+2. ``windfield_kernel`` — the same formulas vectorized in numpy under
+   ``applyInPandas`` over (ens_id) groups, centroids broadcast —
+   the shape the reference's per-track process pool takes on Spark
+   (X4: repartition replaces pathos). Used to cross-check the expr
+   path and as the template for kernels that genuinely can't be
+   expressions (cubic splines, XGBoost inference).
+
+Scale notes: the pair space is |track points| × |centroids in bbox|.
+The bbox predicate lives INSIDE the join condition so the optimizer
+prunes before materializing pairs; track sides are tiny (52 members ×
+~40-480 points) and always broadcast. Output is the long skinny
+``windfield(ens_id, step, centroid_id, wind_ms)`` — relational
+sparsity replaces the reference's CSR matrix (rows below the 17.5 m/s
+threshold are dropped, mirroring eliminate_zeros at
+trop_cyclone.py:409-413).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.functions.geo import haversine_km
+
+# Physical constants (published values; see Holland 2008 eq. 7-11)
+RHO_AIR = 1.15          # kg/m³ surface air density
+CORIOLIS_OMEGA = 7.292e-5
+H_TO_S = 3600.0
+DEG_BOX = 5.5           # bbox half-width, the X1 pruning radius
+V_THRESHOLD_MS = 17.5   # intensity threshold (trop_cyclone.py:92)
+VT_CAP_MS = 15.4        # translation-speed cap ≈ 30 kn (tc:676-714)
+MS_TO_KN = 1.0 / 0.514444
+
+
+def estimate_rmw_km(pcen: Column) -> Column:
+    """F18-style piecewise-linear pressure→radius-of-max-wind lookup
+    (semantics of tc_tracks.py:1744-1777): deeper storms have tighter
+    eyewalls. Knots (hPa → km): ≤920 → 15, 960 → 35, 995 → 55, else 55."""
+    return (
+        F.when(pcen <= 920, F.lit(15.0))
+        .when(pcen <= 960, 15.0 + (pcen - 920) * (35.0 - 15.0) / 40.0)
+        .when(pcen <= 995, 35.0 + (pcen - 960) * (55.0 - 35.0) / 35.0)
+        .otherwise(F.lit(55.0))
+    )
+
+
+def holland_b_s(
+    penv: Column, pcen: Column, lat: Column, v_trans_ms: Column,
+    dp_dt_hpa_h: Column,
+) -> Column:
+    """Holland (2008) revised b_s (eq. 11): statistical fit in pressure
+    drop, intensification rate, latitude, and translation speed;
+    clipped to [1, 2.5] as in the reference (trop_cyclone.py:769)."""
+    dp = F.greatest(penv - pcen, F.lit(1.0))
+    x = 0.6 * (1.0 - dp / 215.0)
+    bs = (
+        -4.4e-5 * dp * dp
+        + 0.01 * dp
+        + 0.03 * dp_dt_hpa_h
+        - 0.014 * F.abs(lat)
+        + 0.15 * F.pow(v_trans_ms, x)
+        + 1.0
+    )
+    return F.least(F.greatest(bs, F.lit(1.0)), F.lit(2.5))
+
+
+def track_point_params(
+    tracks: DataFrame,
+    keys: list[str] | None = None,
+    time_col: str = "step",
+) -> DataFrame:
+    """Per-track-point derived scalars, all window/scalar expressions:
+
+    - v_trans (translation speed, m/s): haversine of the segment to the
+      *next* point over its duration (W2 lead kinematics), capped at
+      ~30 kn; last point inherits 0 (reference pads the final segment).
+    - dp_dt (hPa/h): central-pressure tendency from lag (W1/W7).
+    - rmw_km, b_s as above.
+    """
+    keys = keys or ["ens_id"]
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    dt_h = (F.col(time_col) - F.lag(time_col, 1).over(w)) * 6.0  # 6-h steps
+    seg_km = haversine_km(
+        F.col("lat"), F.col("lon"),
+        F.lead("lat", 1).over(w), F.lead("lon", 1).over(w),
+    )
+    seg_h = (F.lead(time_col, 1).over(w) - F.col(time_col)) * 6.0
+    v_trans = F.coalesce(seg_km * 1000.0 / (seg_h * H_TO_S), F.lit(0.0))
+    v_trans = F.least(v_trans, F.lit(VT_CAP_MS))
+    dp_dt = F.coalesce(
+        (F.lag("pcen", 1).over(w) - F.col("pcen")) / dt_h, F.lit(0.0)
+    )
+    out = (
+        tracks.withColumn("v_trans_ms", v_trans)
+        .withColumn("dp_dt", dp_dt)
+        .withColumn("rmw_km", estimate_rmw_km(F.col("pcen")))
+    )
+    return out.withColumn(
+        "b_s",
+        holland_b_s(
+            F.col("penv"), F.col("pcen"), F.col("lat"),
+            F.col("v_trans_ms"), F.col("dp_dt"),
+        ),
+    )
+
+
+def holland_wind_ms(
+    r_km: Column, rmw_km: Column, b_s: Column,
+    penv: Column, pcen: Column, lat: Column, v_trans_ms: Column,
+) -> Column:
+    """Holland (1980) gradient wind at radius r, plus the translation
+    component attenuated by min(1, rmw/r) (trop_cyclone.py semantics:
+    the moving-storm asymmetry collapses to its along-track mean).
+
+    v_g(r) = sqrt( b/ρ · (R/r)^b · Δp · exp(1−(R/r)^b) + (rf/2)² ) − rf/2
+    with Δp in Pa, r in m, f the Coriolis parameter.
+    """
+    dp_pa = F.greatest(penv - pcen, F.lit(1.0)) * 100.0
+    r_m = F.greatest(r_km, F.lit(1.0)) * 1000.0
+    ratio_b = F.pow(rmw_km / F.greatest(r_km, F.lit(1.0)), b_s)
+    f_cor = F.abs(2.0 * CORIOLIS_OMEGA * F.sin(F.radians(lat)))
+    rf2 = r_m * f_cor / 2.0
+    v_g = (
+        F.sqrt(
+            b_s / RHO_AIR * ratio_b * dp_pa * F.exp(1.0 - ratio_b) + rf2 * rf2
+        )
+        - rf2
+    )
+    v_total = v_g + v_trans_ms * F.least(F.lit(1.0), rmw_km / F.greatest(r_km, F.lit(1.0)))
+    return F.greatest(v_total, F.lit(0.0))
+
+
+def windfield_expr(
+    tracks: DataFrame,
+    centroids: DataFrame,
+    threshold_ms: float = V_THRESHOLD_MS,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """K1 as a broadcast theta-join + codegen expressions.
+
+    ``tracks`` must carry (ens_id, step, lat, lon, vmax, pcen, penv);
+    ``centroids`` (centroid_id, lat, lon). Output: one row per
+    (ens_id, step, centroid_id) with wind_ms above threshold.
+    """
+    keys = keys or ["ens_id"]
+    tp = track_point_params(tracks, keys=keys)
+    t = tp.select(
+        *keys,
+        F.col("step"),
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+        "pcen", "penv", "v_trans_ms", "rmw_km", "b_s",
+    )
+    # bbox predicate INSIDE the join condition — X1 anti-cartesian
+    # guard. Written as c BETWEEN t±box (not c-t BETWEEN ±box) so the
+    # oracle SQL evaluates the bit-identical float comparison.
+    cond = (
+        F.col("c_lat").between(
+            F.col("t_lat") - DEG_BOX, F.col("t_lat") + DEG_BOX
+        )
+        & F.col("c_lon").between(
+            F.col("t_lon") - DEG_BOX, F.col("t_lon") + DEG_BOX
+        )
+    )
+    c = centroids.select(
+        "centroid_id",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+    )
+    pairs = c.join(F.broadcast(t), cond)
+    r_km = haversine_km(
+        F.col("c_lat"), F.col("c_lon"), F.col("t_lat"), F.col("t_lon")
+    )
+    wind = holland_wind_ms(
+        r_km, F.col("rmw_km"), F.col("b_s"),
+        F.col("penv"), F.col("pcen"), F.col("t_lat"), F.col("v_trans_ms"),
+    )
+    return pairs.select(
+        *keys,
+        "step",
+        "centroid_id",
+        wind.alias("wind_ms"),
+    ).filter(F.col("wind_ms") > threshold_ms)
+
+
+def intensity_reduce(windfield: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """K2: max wind over time per (member, centroid) — the norm().max(
+    axis=0) + threshold of trop_cyclone.py:408-413 as one partial-agg
+    groupBy (map-side combine; no windfield-sized shuffle rows)."""
+    keys = keys or ["ens_id"]
+    return windfield.groupBy(*keys, "centroid_id").agg(
+        F.max("wind_ms").alias("intensity_ms")
+    )
+
+
+# ------------------------------------------------------------------ kernel
+def _holland_np(r_km, rmw_km, b_s, penv, pcen, lat, v_trans_ms):
+    """numpy twin of holland_wind_ms — identical formula, vectorized."""
+    import numpy as np
+
+    dp_pa = np.maximum(penv - pcen, 1.0) * 100.0
+    r_saf = np.maximum(r_km, 1.0)
+    r_m = r_saf * 1000.0
+    ratio_b = np.power(rmw_km / r_saf, b_s)
+    f_cor = np.abs(2.0 * CORIOLIS_OMEGA * np.sin(np.radians(lat)))
+    rf2 = r_m * f_cor / 2.0
+    v_g = np.sqrt(b_s / RHO_AIR * ratio_b * dp_pa * np.exp(1.0 - ratio_b) + rf2 * rf2) - rf2
+    v = v_g + v_trans_ms * np.minimum(1.0, rmw_km / r_saf)
+    return np.maximum(v, 0.0)
+
+
+def windfield_kernel(
+    tracks: DataFrame,
+    centroids: DataFrame,
+    threshold_ms: float = V_THRESHOLD_MS,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """K1 as an Arrow-batched grouped-map kernel: one pandas group per
+    ensemble member (the reference's per-track loop / process pool →
+    Spark task parallelism, X4), centroid table broadcast to every
+    group. Same math as windfield_expr — the parity test asserts the
+    two agree to 1e-6.
+
+    Memory bound per group = |points in bbox| × |candidate centroids|
+    doubles; chunk the centroid axis inside the kernel if a realistic
+    grid ever pushes past executor memory (SURVEY §4 note).
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = keys or ["ens_id"]
+    tp = track_point_params(tracks, keys=keys)
+    cent_pdf = centroids.select("centroid_id", "lat", "lon").toPandas()
+    c_lat = cent_pdf["lat"].to_numpy()
+    c_lon = cent_pdf["lon"].to_numpy()
+    c_id = cent_pdf["centroid_id"].to_numpy()
+    spark = tracks.sparkSession
+    bc = spark.sparkContext.broadcast((c_lat, c_lon, c_id))
+
+    out_schema = (
+        ", ".join(f"{k} long" for k in keys)
+        + ", step long, centroid_id long, wind_ms double"
+    )
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        lat_c, lon_c, id_c = bc.value
+        chunks = []
+        for _, row in pdf.iterrows():
+            m = (np.abs(lat_c - row.lat) <= DEG_BOX) & (
+                np.abs(lon_c - row.lon) <= DEG_BOX
+            )
+            if not m.any():
+                continue
+            la, lo, ci = lat_c[m], lon_c[m], id_c[m]
+            dlat = np.radians(la - row.lat)
+            dlon = np.radians(lo - row.lon)
+            a = (
+                np.sin(dlat / 2) ** 2
+                + np.cos(np.radians(row.lat))
+                * np.cos(np.radians(la))
+                * np.sin(dlon / 2) ** 2
+            )
+            r_km = 2.0 * 6367.0 * np.arcsin(np.sqrt(a))
+            wind = _holland_np(
+                r_km, row.rmw_km, row.b_s, row.penv, row.pcen,
+                row.lat, row.v_trans_ms,
+            )
+            keep = wind > threshold_ms
+            if not keep.any():
+                continue
+            chunk = pd.DataFrame(
+                {
+                    "step": row.step,
+                    "centroid_id": ci[keep],
+                    "wind_ms": wind[keep],
+                }
+            )
+            for k in keys:
+                chunk[k] = getattr(row, k)
+            chunks.append(chunk[[*keys, "step", "centroid_id", "wind_ms"]])
+        if not chunks:
+            return pd.DataFrame(
+                columns=[*keys, "step", "centroid_id", "wind_ms"]
+            )
+        return pd.concat(chunks, ignore_index=True)
+
+    return tp.groupBy(*keys).applyInPandas(compute, schema=out_schema)

@@ -5,6 +5,7 @@ from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
     corpus,
     relational,
     relational_ext,
+    typhoon,
     vectors,
 )
 

@@ -1,0 +1,782 @@
+"""The typhoon domain pipeline (SURVEY.md §3/§7.2) as oracle-checked
+Spark plans: synthetic ensemble tracks → Holland windfield (K1/K2) →
+municipality hazard (J2/A1/A2/K4) → damage stub → exceedance triggers
+(A7) → exposure JSON (F19), plus track interpolation (F16), landfall
+classification (K7) and category binning (F10).
+
+The track set and centroid grid are GENERATED inside each query with
+pure integer/rational arithmetic (modular pseudo-noise, piecewise
+polynomials — no RNG, no libm in the generator), so the identical CTE
+text runs under DuckDB and the correctness gate covers the entire
+domain chain, physics included. sf_dir is accepted for signature
+parity but unused — the domain tables are synthesized, mirroring how
+the reference builds its centroid grid in code (forecast_process.py:
+73-76) rather than reading it.
+
+Scale shape (SURVEY §6): 52 members × 41 six-hourly points × a 0.25°
+grid (1,961 centroids, 27×19 municipality boxes). At production scale
+the same plans take the real tables as input; every join here keys on
+(ens_id | centroid_id | adm3_pcode) exactly as the 100 TB layout
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
+    resample_interpolate,
+)
+from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+    intensity_reduce,
+    windfield_expr,
+    windfield_kernel,
+)
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+
+N_MEMBERS = 52
+N_STEPS = 41
+# centroid grid: 0.25° over lat 6..19 (53 rows) × lon 118..127 (37 cols)
+GRID_ROWS = 53
+GRID_COLS = 37
+MUNI_COLS = 19  # 0.5° municipality boxes → mj ∈ 0..18
+
+# ---------------------------------------------------------------- SQL twins
+# The DuckDB text of each generated table. The Spark builders below
+# mirror these expressions token for token — parity depends on it.
+
+TRACKS_SQL = f"""
+  SELECT CAST(id // {N_STEPS} AS BIGINT) AS ens_id,
+         CAST(id % {N_STEPS} AS BIGINT) AS step,
+         7.0 + (id % {N_STEPS}) * 0.28
+             + (((id // {N_STEPS}) * 7919) % 97 / 97.0 - 0.5) * 0.9
+             + (id % {N_STEPS}) * (((id // {N_STEPS}) * 7919) % 97 / 97.0 - 0.5) * 0.02
+           AS lat,
+         138.0 - (id % {N_STEPS}) * 0.52
+             + (((id // {N_STEPS}) * 104729) % 89 / 89.0 - 0.5) * 0.9
+             + (id % {N_STEPS}) * (((id // {N_STEPS}) * 104729) % 89 / 89.0 - 0.5) * 0.02
+           AS lon,
+         greatest(18.0 + 42.0 * (1.0 - ((id % {N_STEPS}) - 20.0) / 16.0
+                                     * (((id % {N_STEPS}) - 20.0) / 16.0))
+                       + ((id // {N_STEPS}) * 6151) % 83 / 83.0 * 4.0,
+                  15.0) AS vmax,
+         1010.0 - greatest(18.0 + 42.0 * (1.0 - ((id % {N_STEPS}) - 20.0) / 16.0
+                                              * (((id % {N_STEPS}) - 20.0) / 16.0))
+                                + ((id // {N_STEPS}) * 6151) % 83 / 83.0 * 4.0,
+                           15.0) AS pcen,
+         CAST(1006.0 AS DOUBLE) AS penv
+  FROM range({N_MEMBERS * N_STEPS}) AS t(id)
+"""
+
+CENTROIDS_SQL = f"""
+  SELECT CAST(id AS BIGINT) AS centroid_id,
+         6.0 + (id // {GRID_COLS}) * 0.25 AS lat,
+         118.0 + (id % {GRID_COLS}) * 0.25 AS lon,
+         concat('PH', lpad(CAST(((id // {GRID_COLS}) // 2) * {MUNI_COLS}
+                                + ((id % {GRID_COLS}) // 2) AS VARCHAR), 9, '0'))
+           AS adm3_pcode
+  FROM range({GRID_ROWS * GRID_COLS}) AS c(id)
+"""
+
+# municipality spine with deterministic exposure (housing units) and a
+# 0.5°-box center for the K4 degree-space distance
+MUNIS_SQL = f"""
+  SELECT concat('PH', lpad(CAST(id AS VARCHAR), 9, '0')) AS adm3_pcode,
+         6.0 + ((id // {MUNI_COLS}) * 0.5 + 0.25) AS m_lat,
+         118.0 + ((id % {MUNI_COLS}) * 0.5 + 0.25) AS m_lon,
+         CAST(500 + (id * 37) % 1500 AS BIGINT) AS housing_units
+  FROM range({27 * MUNI_COLS}) AS m(id)
+"""
+
+# per-track-point physics scalars (windfield.track_point_params twin)
+PARAMS_SQL = """
+  SELECT *,
+    least(coalesce(
+      2 * 6367.0 * asin(sqrt(
+        pow(sin(radians(lead(lat) OVER w - lat) / 2), 2)
+        + cos(radians(lat)) * cos(radians(lead(lat) OVER w))
+          * pow(sin(radians(lead(lon) OVER w - lon) / 2), 2)
+      )) * 1000.0 / ((lead(step) OVER w - step) * 6.0 * 3600.0),
+      0.0), 15.4) AS v_trans_ms,
+    coalesce((lag(pcen) OVER w - pcen) / ((step - lag(step) OVER w) * 6.0),
+             0.0) AS dp_dt,
+    CASE WHEN pcen <= 920 THEN 15.0
+         WHEN pcen <= 960 THEN 15.0 + (pcen - 920) * (35.0 - 15.0) / 40.0
+         WHEN pcen <= 995 THEN 35.0 + (pcen - 960) * (55.0 - 35.0) / 35.0
+         ELSE 55.0 END AS rmw_km
+  FROM tracks
+  WINDOW w AS (PARTITION BY ens_id ORDER BY step)
+"""
+
+BS_SQL = """
+  SELECT *,
+    least(greatest(
+      -4.4e-5 * greatest(penv - pcen, 1.0) * greatest(penv - pcen, 1.0)
+      + 0.01 * greatest(penv - pcen, 1.0)
+      + 0.03 * dp_dt
+      - 0.014 * abs(lat)
+      + 0.15 * pow(v_trans_ms, 0.6 * (1.0 - greatest(penv - pcen, 1.0) / 215.0))
+      + 1.0, 1.0), 2.5) AS b_s
+  FROM params
+"""
+
+# Holland (1980) gradient wind + attenuated translation component
+# (windfield.holland_wind_ms twin); r_km references must be bound by
+# the caller's SELECT via the `pairs` CTE.
+WIND_EXPR_SQL = """
+  greatest(
+    sqrt(
+      b_s / 1.15 * pow(rmw_km / greatest(r_km, 1.0), b_s)
+        * (greatest(penv - pcen, 1.0) * 100.0)
+        * exp(1.0 - pow(rmw_km / greatest(r_km, 1.0), b_s))
+      + (greatest(r_km, 1.0) * 1000.0
+         * abs(2.0 * 7.292e-5 * sin(radians(t_lat))) / 2.0)
+        * (greatest(r_km, 1.0) * 1000.0
+           * abs(2.0 * 7.292e-5 * sin(radians(t_lat))) / 2.0)
+    )
+    - greatest(r_km, 1.0) * 1000.0
+      * abs(2.0 * 7.292e-5 * sin(radians(t_lat))) / 2.0
+    + v_trans_ms * least(1.0, rmw_km / greatest(r_km, 1.0)),
+  0.0)
+"""
+
+WINDFIELD_SQL = f"""
+  WITH tracks AS ({TRACKS_SQL}),
+  params AS ({PARAMS_SQL}),
+  bs AS ({BS_SQL}),
+  centroids AS ({CENTROIDS_SQL}),
+  pairs AS (
+    SELECT b.ens_id, b.step, c.centroid_id,
+           b.lat AS t_lat, b.pcen, b.penv, b.v_trans_ms, b.rmw_km, b.b_s,
+           2 * 6367.0 * asin(sqrt(
+             pow(sin(radians(b.lat - c.lat) / 2), 2)
+             + cos(radians(c.lat)) * cos(radians(b.lat))
+               * pow(sin(radians(b.lon - c.lon) / 2), 2)
+           )) AS r_km
+    FROM bs b JOIN centroids c
+      ON c.lat BETWEEN b.lat - 5.5 AND b.lat + 5.5
+     AND c.lon BETWEEN b.lon - 5.5 AND b.lon + 5.5
+  ),
+  wf AS (
+    SELECT ens_id, step, centroid_id, {WIND_EXPR_SQL} AS wind_ms
+    FROM pairs
+  )
+"""
+
+MUNI_HAZARD_SQL = f"""
+  {WINDFIELD_SQL},
+  centroid_admin AS ({CENTROIDS_SQL.replace('c(id)', 'ca(id)')}),
+  hazard AS (
+    SELECT ca.adm3_pcode, w.ens_id,
+           count(*) AS value_count,
+           max(w.wind_ms) AS v_max
+    FROM wf w JOIN centroid_admin ca ON w.centroid_id = ca.centroid_id
+    WHERE w.wind_ms > 17.5
+    GROUP BY 1, 2
+  ),
+  munis AS ({MUNIS_SQL}),
+  dists AS (
+    SELECT m.adm3_pcode, t.ens_id,
+           min(sqrt((m.m_lat - t.lat) * (m.m_lat - t.lat)
+                    + (m.m_lon - t.lon) * (m.m_lon - t.lon)) * 111.0)
+             AS dis_track_min
+    FROM munis m CROSS JOIN tracks t
+    GROUP BY 1, 2
+  ),
+  muni_hazard AS (
+    SELECT h.adm3_pcode, h.ens_id, h.value_count, h.v_max, d.dis_track_min
+    FROM hazard h JOIN dists d
+      ON h.adm3_pcode = d.adm3_pcode AND h.ens_id = d.ens_id
+  )
+"""
+
+DAMAGE_SQL = f"""
+  {MUNI_HAZARD_SQL},
+  damage AS (
+    SELECT mh.adm3_pcode, mh.ens_id, mh.v_max, mh.dis_track_min,
+           CASE
+             WHEN mh.dis_track_min > 300.0 THEN 0.0
+             WHEN mh.v_max > 25.0 THEN
+               m.housing_units * least(1.0,
+                 (mh.v_max - 25.0) / 40.0 * ((mh.v_max - 25.0) / 40.0)
+                 * ((mh.v_max - 25.0) / 40.0))
+             ELSE 0.0
+           END AS damage_predicted
+    FROM muni_hazard mh JOIN munis m ON mh.adm3_pcode = m.adm3_pcode
+  )
+"""
+
+
+# ------------------------------------------------------------ Spark builders
+def gen_tracks(spark: SparkSession) -> DataFrame:
+    """Synthetic 52-member ensemble track set — the Spark twin of
+    TRACKS_SQL (FIXTURES.md §1 scenario: NW-curving landfalling storm
+    with per-member modular pseudo-noise)."""
+    ids = spark.range(N_MEMBERS * N_STEPS)
+    s = (F.col("id") % N_STEPS).cast("bigint")
+    e = F.expr(f"id div {N_STEPS}")
+    nlat = (e * 7919) % 97 / 97.0 - 0.5
+    nlon = (e * 104729) % 89 / 89.0 - 0.5
+    q = (s - 20.0) / 16.0
+    vraw = F.greatest(
+        18.0 + 42.0 * (1.0 - q * q) + (e * 6151) % 83 / 83.0 * 4.0,
+        F.lit(15.0),
+    )
+    return ids.select(
+        e.cast("bigint").alias("ens_id"),
+        s.alias("step"),
+        (7.0 + s * 0.28 + nlat * 0.9 + s * nlat * 0.02).alias("lat"),
+        (138.0 - s * 0.52 + nlon * 0.9 + s * nlon * 0.02).alias("lon"),
+        vraw.alias("vmax"),
+        (1010.0 - vraw).alias("pcen"),
+        F.lit(1006.0).alias("penv"),
+    )
+
+
+def gen_centroids(spark: SparkSession) -> DataFrame:
+    """0.25° centroid grid with the precomputed J1 centroid→adm3
+    mapping (the point-in-polygon substitute, SURVEY §7.4)."""
+    ids = spark.range(GRID_ROWS * GRID_COLS)
+    i = F.expr(f"id div {GRID_COLS}")
+    j = F.col("id") % GRID_COLS
+    muni_idx = F.expr(
+        f"(id div {GRID_COLS}) div 2 * {MUNI_COLS} + (id % {GRID_COLS}) div 2"
+    )
+    return ids.select(
+        F.col("id").cast("bigint").alias("centroid_id"),
+        (6.0 + i * 0.25).alias("lat"),
+        (118.0 + j * 0.25).alias("lon"),
+        F.concat(
+            F.lit("PH"), F.lpad(muni_idx.cast("string"), 9, "0")
+        ).alias("adm3_pcode"),
+    )
+
+
+def gen_munis(spark: SparkSession) -> DataFrame:
+    """Municipality spine: pcode, 0.5°-box center, deterministic
+    housing-unit exposure (FIXTURES.md §5/§6 stand-in)."""
+    ids = spark.range(27 * MUNI_COLS)
+    mi = F.expr(f"id div {MUNI_COLS}")
+    mj = F.col("id") % MUNI_COLS
+    return ids.select(
+        F.concat(
+            F.lit("PH"), F.lpad(F.col("id").cast("string"), 9, "0")
+        ).alias("adm3_pcode"),
+        (6.0 + (mi * 0.5 + 0.25)).alias("m_lat"),
+        (118.0 + (mj * 0.5 + 0.25)).alias("m_lon"),
+        (500 + (F.col("id") * 37) % 1500).cast("bigint").alias("housing_units"),
+    )
+
+
+def _muni_hazard(spark: SparkSession) -> DataFrame:
+    """tracks →K1→ windfield →K2/J2/A1→ per-(muni, member) hazard +
+    K4 degree-space min distance (forecast_process.py:1563-1640)."""
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark)
+    wf = windfield_expr(tracks, cents.select("centroid_id", "lat", "lon"))
+    hazard = (
+        wf.join(F.broadcast(cents.select("centroid_id", "adm3_pcode")), "centroid_id")
+        .groupBy("adm3_pcode", "ens_id")
+        .agg(
+            F.count("*").alias("value_count"),
+            F.max("wind_ms").alias("v_max"),
+        )
+    )
+    munis = gen_munis(spark)
+    pairs = munis.select("adm3_pcode", "m_lat", "m_lon").join(
+        F.broadcast(tracks.select("ens_id", "lat", "lon"))
+    )
+    dists = pairs.groupBy("adm3_pcode", "ens_id").agg(
+        F.min(
+            F.sqrt(
+                (F.col("m_lat") - F.col("lat")) * (F.col("m_lat") - F.col("lat"))
+                + (F.col("m_lon") - F.col("lon")) * (F.col("m_lon") - F.col("lon"))
+            )
+            * 111.0
+        ).alias("dis_track_min")
+    )
+    return hazard.join(dists, ["adm3_pcode", "ens_id"])
+
+
+def _damage(spark: SparkSession) -> DataFrame:
+    """Damage stub: cubic ramp of v_max over 25 m/s × housing units,
+    zeroed beyond the 300 km wind-damage radius (P12/F12 post-rules;
+    the ML booster slot K6 drops in here)."""
+    mh = _muni_hazard(spark)
+    munis = gen_munis(spark)
+    ramp = (F.col("v_max") - 25.0) / 40.0
+    dmg = (
+        F.when(F.col("dis_track_min") > 300.0, F.lit(0.0))
+        .when(
+            F.col("v_max") > 25.0,
+            F.col("housing_units") * F.least(F.lit(1.0), ramp * ramp * ramp),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        mh.join(F.broadcast(munis.select("adm3_pcode", "housing_units")), "adm3_pcode")
+        .select(
+            "adm3_pcode",
+            "ens_id",
+            "v_max",
+            "dis_track_min",
+            dmg.alias("damage_predicted"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ queries
+@register(
+    "tc_tracks_gen",
+    f"""
+    WITH tracks AS ({TRACKS_SQL})
+    SELECT ens_id, step, round(lat, 6) AS lat, round(lon, 6) AS lon,
+           round(vmax, 6) AS vmax, round(pcen, 6) AS pcen, penv
+    FROM tracks
+    """,
+    doc="Synthetic ECMWF-style 52-member track set (FIXTURES.md §1, "
+        "tc_tracks_forecast.py:296-329 data model): the generator "
+        "every domain query builds on",
+)
+def tc_tracks_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_tracks(spark).select(
+        "ens_id",
+        "step",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("pcen", 6).alias("pcen"),
+        "penv",
+    )
+
+
+@register(
+    "tc_track_params",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    params AS ({PARAMS_SQL}),
+    bs AS ({BS_SQL})
+    SELECT ens_id, step,
+           round(v_trans_ms, 6) AS v_trans_ms,
+           round(dp_dt, 6) AS dp_dt,
+           round(rmw_km, 6) AS rmw_km,
+           round(b_s, 6) AS b_s
+    FROM bs
+    """,
+    doc="K1 per-point physics scalars: translation speed (W2 lead), "
+        "pressure tendency (W1/W7 lag), RMW estimate (F18), Holland "
+        "2008 b_s — all window + codegen expressions",
+)
+def tc_track_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        track_point_params,
+    )
+
+    tp = track_point_params(gen_tracks(spark))
+    return tp.select(
+        "ens_id",
+        "step",
+        F.round("v_trans_ms", 6).alias("v_trans_ms"),
+        F.round("dp_dt", 6).alias("dp_dt"),
+        F.round("rmw_km", 6).alias("rmw_km"),
+        F.round("b_s", 6).alias("b_s"),
+    )
+
+
+@register(
+    "tc_windfield_holland",
+    f"""
+    {WINDFIELD_SQL}
+    SELECT ens_id, centroid_id, count(*) AS n_steps,
+           round(max(wind_ms), 3) AS intensity_ms
+    FROM wf WHERE wind_ms > 17.5
+    GROUP BY 1, 2
+    """,
+    doc="K1+K2 Holland windfield → per-(member, centroid) max "
+        "intensity above the 17.5 m/s threshold "
+        "(trop_cyclone.py:515-639,408-413 semantics, independent "
+        "implementation from the published equations); bbox predicate "
+        "inside the join = X1 anti-cartesian guard",
+)
+def tc_windfield_holland(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_expr(tracks, cents)
+    # count + max in ONE partial-agg groupBy (K2 reduction; no second
+    # scan of the pair space)
+    return wf.groupBy("ens_id", "centroid_id").agg(
+        F.count("*").alias("n_steps"),
+        F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
+    )
+
+
+@register(
+    "tc_muni_hazard",
+    f"""
+    {MUNI_HAZARD_SQL}
+    SELECT adm3_pcode, ens_id, value_count,
+           round(v_max, 3) AS v_max,
+           round(dis_track_min, 3) AS dis_track_min
+    FROM muni_hazard
+    """,
+    doc="J2+A1+A2+K4: windfield⋈centroid_admin → per-(muni, member) "
+        "cell count, max wind, min degree-space track distance "
+        "(forecast_process.py:1563-1640)",
+)
+def tc_muni_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _muni_hazard(spark).select(
+        "adm3_pcode",
+        "ens_id",
+        "value_count",
+        F.round("v_max", 3).alias("v_max"),
+        F.round("dis_track_min", 3).alias("dis_track_min"),
+    )
+
+
+@register(
+    "tc_prob_within_50km",
+    f"""
+    {MUNI_HAZARD_SQL}
+    SELECT adm3_pcode,
+           round(avg(CASE WHEN dis_track_min < 50.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_within_50km
+    FROM muni_hazard GROUP BY adm3_pcode
+    """,
+    doc="A4 prob_within_50km: fraction of members passing within 50 km "
+        "of each municipality (forecast_process.py:529-535,1644-1653)",
+)
+def tc_prob_within_50km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _muni_hazard(spark)
+    return mh.groupBy("adm3_pcode").agg(
+        F.round(
+            F.avg(F.when(F.col("dis_track_min") < 50.0, 1.0).otherwise(0.0)), 6
+        ).alias("prob_within_50km")
+    )
+
+
+@register(
+    "tc_damage_stub",
+    f"""
+    {DAMAGE_SQL}
+    SELECT adm3_pcode, ens_id,
+           round(damage_predicted, 3) AS damage_predicted
+    FROM damage WHERE damage_predicted > 0.0
+    """,
+    doc="K6 slot with the §7.2 stub damage model: cubic v_max ramp × "
+        "housing units, wind-damage-radius override (P12, "
+        "forecast_process.py:527,550-568); swap in the broadcast "
+        "XGBoost booster for the full model",
+)
+def tc_damage_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _damage(spark)
+    return d.filter(F.col("damage_predicted") > 0.0).select(
+        "adm3_pcode",
+        "ens_id",
+        F.round("damage_predicted", 3).alias("damage_predicted"),
+    )
+
+
+@register(
+    "tc_trigger_ladder",
+    f"""
+    {DAMAGE_SQL},
+    totals AS (
+      SELECT ens_id, sum(damage_predicted) AS total_damage
+      FROM damage GROUP BY ens_id
+    )
+    SELECT round(avg(CASE WHEN total_damage > 20000.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_gt_20k,
+           round(avg(CASE WHEN total_damage > 50000.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_gt_50k,
+           round(avg(CASE WHEN total_damage > 80000.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_gt_80k,
+           avg(CASE WHEN total_damage > 20000.0 THEN 1.0 ELSE 0.0 END) >= 0.5
+             AS dref_triggered,
+           avg(CASE WHEN total_damage > 80000.0 THEN 1.0 ELSE 0.0 END) >= 0.5
+             AS cerf_triggered
+    FROM totals
+    """,
+    doc="A5+A7 ensemble trigger: per-member national damage totals → "
+        "exceedance-probability ladder → DREF/CERF booleans "
+        "(forecast_process.py:1262-1303, settings.py:61-145)",
+)
+def tc_trigger_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _damage(spark)
+    totals = d.groupBy("ens_id").agg(
+        F.sum("damage_predicted").alias("total_damage")
+    )
+    def prob(t: float):
+        return F.avg(F.when(F.col("total_damage") > t, 1.0).otherwise(0.0))
+
+    return totals.agg(
+        F.round(prob(20000.0), 6).alias("prob_gt_20k"),
+        F.round(prob(50000.0), 6).alias("prob_gt_50k"),
+        F.round(prob(80000.0), 6).alias("prob_gt_80k"),
+        (prob(20000.0) >= 0.5).alias("dref_triggered"),
+        (prob(80000.0) >= 0.5).alias("cerf_triggered"),
+    )
+
+
+@register(
+    "tc_exposure_json",
+    f"""
+    {DAMAGE_SQL},
+    keep_last AS (
+      SELECT adm3_pcode, damage_predicted FROM (
+        SELECT adm3_pcode, damage_predicted, row_number() OVER (
+          PARTITION BY adm3_pcode, ens_id
+          ORDER BY damage_predicted DESC
+        ) AS rn FROM damage
+      ) WHERE rn = 1
+    ),
+    per_muni AS (
+      SELECT adm3_pcode,
+             CAST(round(avg(damage_predicted)) AS BIGINT) AS amount
+      FROM keep_last GROUP BY adm3_pcode
+    )
+    SELECT substr(adm3_pcode, 1, 4) AS region,
+           concat('[',
+             string_agg(
+               concat('{{"placeCode":"', adm3_pcode,
+                      '","amount":', CAST(amount AS VARCHAR), '}}'),
+               ',' ORDER BY adm3_pcode),
+             ']') AS exposure_json
+    FROM per_muni WHERE amount > 0 GROUP BY 1
+    """,
+    doc="A9 dedup-keep-last + A3 ensemble mean + F19 exposure JSON "
+        "document per region (forecast_process.py:544,986-995,"
+        "1160-1233) — collect_list(struct)+to_json replaces iterrows",
+)
+def tc_exposure_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _damage(spark)
+    w = Window.partitionBy("adm3_pcode", "ens_id").orderBy(
+        F.col("damage_predicted").desc()
+    )
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    per_muni = kept.groupBy("adm3_pcode").agg(
+        F.round(F.avg("damage_predicted"), 0).cast("bigint").alias("amount")
+    )
+    return (
+        per_muni.filter(F.col("amount") > 0)
+        .groupBy(F.substring("adm3_pcode", 1, 4).alias("region"))
+        .agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("adm3_pcode").alias("placeCode"),
+                            F.col("amount").alias("amount"),
+                        )
+                    )
+                )
+            ).alias("exposure_json")
+        )
+    )
+
+
+@register(
+    "tc_track_interp_30min",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    pts AS (
+      SELECT ens_id,
+             TIMESTAMP '2024-06-01 00:00:00' + INTERVAL 1 HOUR * (step * 6) AS t,
+             CASE WHEN (ens_id * 31 + step) % 11 = 0 THEN NULL
+                  ELSE vmax END AS v
+      FROM tracks
+    ), bounds AS (
+      SELECT ens_id, min(t) AS t0, max(t) AS t1 FROM pts GROUP BY 1
+    ), grid AS (
+      SELECT ens_id, unnest(generate_series(t0, t1, INTERVAL 30 MINUTE)) AS t
+      FROM bounds
+    ), joined AS (
+      SELECT g.ens_id, g.t, p.v
+      FROM grid g LEFT JOIN pts p ON g.ens_id = p.ens_id AND g.t = p.t
+    ), brk AS (
+      SELECT ens_id, t, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS v0,
+        last_value(CASE WHEN v IS NOT NULL THEN epoch(t) END IGNORE NULLS)
+          OVER w_prev AS t0,
+        first_value(v IGNORE NULLS) OVER w_next AS v1,
+        first_value(CASE WHEN v IS NOT NULL THEN epoch(t) END IGNORE NULLS)
+          OVER w_next AS t1
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY ens_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY ens_id ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT ens_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS t_str,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN v0 IS NOT NULL AND v1 IS NOT NULL AND t1 <> t0
+               THEN v0 + (v1 - v0) * (epoch(t) - t0) / (t1 - t0)
+             WHEN v0 IS NOT NULL THEN v0
+             ELSE NULL END, 6) AS vmax_interp
+    FROM brk
+    """,
+    doc="F16 the reference's resample('0.5H').interpolate('linear') on "
+        "tracks with NaN-masked vmax (track_data_clean.py:43, "
+        "tt:1417-1465): 41 points → 481 per member, zero UDFs",
+)
+def tc_track_interp_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    base = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    pts = tracks.select(
+        "ens_id",
+        F.timestamp_seconds(
+            F.unix_timestamp(base) + F.col("step") * 6 * 3600
+        ).alias("t"),
+        F.when((F.col("ens_id") * 31 + F.col("step")) % 11 == 0, None)
+        .otherwise(F.col("vmax"))
+        .alias("v"),
+    )
+    out = resample_interpolate(pts, ["ens_id"], "t", ["v"], step_minutes=30)
+    return out.select(
+        "ens_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("t_str"),
+        F.round("v", 6).alias("vmax_interp"),
+    )
+
+
+@register(
+    "tc_landfall_classify",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    flagged AS (
+      SELECT *,
+             lat BETWEEN 8.0 AND 16.0 AND lon BETWEEN 120.0 AND 126.0
+               AS on_land,
+             sqrt((lat - 12.0) * (lat - 12.0) + (lon - 123.0) * (lon - 123.0))
+               * 111.0 AS dist_center_km
+      FROM tracks
+    ),
+    summary AS (
+      SELECT ens_id,
+             min(CASE WHEN on_land THEN step END) AS first_landfall_step,
+             round(min(dist_center_km), 3) AS closest_km
+      FROM flagged GROUP BY ens_id
+    )
+    SELECT ens_id,
+           first_landfall_step IS NOT NULL AS made_landfall,
+           first_landfall_step,
+           closest_km,
+           CASE
+             WHEN first_landfall_step IS NOT NULL THEN
+               CASE WHEN greatest(first_landfall_step * 6 - 8, 0) > 168
+                    THEN '168-hour-and-more'
+                    ELSE concat(CAST(greatest(first_landfall_step * 6 - 8, 0)
+                                     AS VARCHAR), '-hour') END
+             ELSE 'no-landfall' END AS lead_label,
+           CASE
+             WHEN first_landfall_step IS NOT NULL
+                  AND greatest(first_landfall_step * 6 - 8, 0) <= 72 THEN 1
+             WHEN first_landfall_step IS NOT NULL THEN 2
+             WHEN closest_km < 200.0 THEN 5
+             ELSE 10 END AS landfall_code
+    FROM summary
+    """,
+    doc="K7 landfall classification: on-land flag (J1 contains "
+        "substitute), first-landfall point (W3), closest approach "
+        "(W4), lead-time label with −8h latency + clamp (F5), code "
+        "ladder (forecast_process.py:655-879)",
+)
+def tc_landfall_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    flagged = tracks.withColumn(
+        "on_land",
+        F.col("lat").between(8.0, 16.0) & F.col("lon").between(120.0, 126.0),
+    ).withColumn(
+        "dist_center_km",
+        F.sqrt(
+            (F.col("lat") - 12.0) * (F.col("lat") - 12.0)
+            + (F.col("lon") - 123.0) * (F.col("lon") - 123.0)
+        )
+        * 111.0,
+    )
+    summary = flagged.groupBy("ens_id").agg(
+        F.min(F.when(F.col("on_land"), F.col("step"))).alias(
+            "first_landfall_step"
+        ),
+        F.round(F.min("dist_center_km"), 3).alias("closest_km"),
+    )
+    lead_h = F.greatest(F.col("first_landfall_step") * 6 - 8, F.lit(0))
+    label = F.when(
+        F.col("first_landfall_step").isNotNull(),
+        F.when(lead_h > 168, F.lit("168-hour-and-more")).otherwise(
+            F.concat(lead_h.cast("string"), F.lit("-hour"))
+        ),
+    ).otherwise(F.lit("no-landfall"))
+    code = (
+        F.when(
+            F.col("first_landfall_step").isNotNull() & (lead_h <= 72), 1
+        )
+        .when(F.col("first_landfall_step").isNotNull(), 2)
+        .when(F.col("closest_km") < 200.0, 5)
+        .otherwise(10)
+    )
+    return summary.select(
+        "ens_id",
+        F.col("first_landfall_step").isNotNull().alias("made_landfall"),
+        "first_landfall_step",
+        "closest_km",
+        label.alias("lead_label"),
+        code.alias("landfall_code"),
+    )
+
+
+@register(
+    "tc_category_binning",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    peak AS (SELECT ens_id, max(vmax) AS peak_ms FROM tracks GROUP BY ens_id)
+    SELECT ens_id,
+           round(peak_ms * 3.6, 6) AS peak_kph,
+           round(peak_ms * 1.49, 6) AS gust_ms,
+           CASE WHEN peak_ms * 3.6 <= 62 THEN 'TD'
+                WHEN peak_ms * 3.6 <= 88 THEN 'TS'
+                WHEN peak_ms * 3.6 <= 117 THEN 'STS'
+                WHEN peak_ms * 3.6 <= 185 THEN 'TY'
+                ELSE 'STY' END AS category
+    FROM peak
+    """,
+    doc="F9+F10 per-member peak-wind unit conversions and PAGASA "
+        "category binning (forecast_process.py:844-847)",
+)
+def tc_category_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.functions.convert import (
+        GUST_FACTOR,
+        MS_TO_KPH,
+        wind_category_kph,
+    )
+
+    tracks = gen_tracks(spark)
+    peak = tracks.groupBy("ens_id").agg(F.max("vmax").alias("peak_ms"))
+    kph = F.col("peak_ms") * MS_TO_KPH
+    return peak.select(
+        "ens_id",
+        F.round(kph, 6).alias("peak_kph"),
+        F.round(F.col("peak_ms") * GUST_FACTOR, 6).alias("gust_ms"),
+        wind_category_kph(kph).alias("category"),
+    )
+
+
+@register(
+    "tc_windfield_kernel",
+    None,  # applyInPandas: rows-only driver check; pytest asserts
+    # elementwise agreement with tc_windfield_holland (the oracle-
+    # checked expr twin) to 1e-6
+    doc="K1 as the Arrow-batched applyInPandas kernel (one group per "
+        "member, centroids broadcast) — the UDAF/UDTF surface of "
+        "SURVEY §2.11; numerically cross-checked against the expr path",
+)
+def tc_windfield_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_kernel(tracks, cents)
+    return wf.groupBy("ens_id", "centroid_id").agg(
+        F.count("*").alias("n_steps"),
+        F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
+    )
