@@ -36,6 +36,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sim_lsh_topk",
+    "tc_windfield_holland",
+    "tc_muni_hazard",
+    "tc_trigger_ladder",
+    "tc_track_interp_30min",
 ]
 
 

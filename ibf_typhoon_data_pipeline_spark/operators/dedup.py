@@ -21,17 +21,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (lowercased, space-joined)."""
-    words = F.split(F.trim(text), " +")
+def split_words(text: Column) -> Column:
+    return F.split(F.trim(text), " +")
+
+
+def shingles_of_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of a word array.
+
+    ``words`` MUST be a materialized column reference, not an inline
+    split(...) expression: expressions referenced inside a transform
+    lambda are re-evaluated per array element (no common-subexpression
+    elimination across the lambda boundary), so an inline split runs
+    once per gram — measured ~14× slower. Grams use element_at +
+    concat_ws rather than slice + array_join for the same reason
+    (slice copies the array per index)."""
     cnt = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k + 1) for k in range(n)]
+        ),
     )
     return F.array_distinct(
-        F.when(cnt >= n, grams).otherwise(F.array(F.array_join(words, " ")))
+        F.when(cnt >= n, grams).otherwise(F.array(F.concat_ws(" ", words)))
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Shingles directly from a text column. Convenience for one-shot
+    row-scalar use; pipelines should project split_words() to a column
+    first and call shingles_of_words (see docstring there)."""
+    return shingles_of_words(split_words(text), n)
 
 
 def exact_dedup(
@@ -53,9 +74,16 @@ def exact_dedup(
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) long table + per-doc shingle counts."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) long table. Two-step projection: the word array is
+    materialized first so the gram lambda reads an attribute, not a
+    re-evaluated split (CollapseProject keeps multi-referenced
+    non-trivial aliases materialized)."""
+    words = df.select(
+        F.col(id_col), split_words(F.col(text_col)).alias("__words")
+    )
+    return words.select(
+        F.col(id_col),
+        F.explode(shingles_of_words(F.col("__words"), n)).alias("shingle"),
     )
 
 
@@ -197,13 +225,15 @@ def minhash_lsh_pairs(
 HEX_DIGITS = "0123456789abcdef"
 
 
-def simhash32(text: Column, n: int = 1) -> Column:
-    """32-bit SimHash: token md5 → 32 hex nibbles → per-bit ±1 votes on
-    each nibble's high bit (nibble ≥ 8); fingerprint bit j = sign of
-    the vote sum. Uses only substr/instr arithmetic so the oracle can
-    reproduce it bit-for-bit."""
-    shingles = word_shingles(text, n)
-    hashes = F.transform(shingles, F.md5)
+def simhash_of_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a materialized md5-array column: 32 hex
+    nibbles → per-bit ±1 votes on each nibble's high bit (nibble ≥ 8);
+    fingerprint bit j = sign of the vote sum. Uses only substr/instr
+    arithmetic so the oracle can reproduce it bit-for-bit.
+
+    ``hashes`` must be an attribute reference — 32 aggregate lambdas
+    re-evaluate their input expression per element otherwise (see
+    shingles_of_words)."""
     def _voter(j: int):
         # instr is 1-based: '0'→1 … '7'→8, '8'→9 … 'f'→16, so the
         # nibble's high bit is set iff instr(...) > 8. Closure factory
@@ -220,8 +250,19 @@ def simhash32(text: Column, n: int = 1) -> Column:
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), simhash32(F.col(text_col)).alias("simhash")
+    """Per-doc SimHash-32. Three-step projection chain (words →
+    md5 array → bit votes) keeps every lambda input materialized."""
+    words = df.select(
+        F.col(id_col), split_words(F.col(text_col)).alias("__words")
+    )
+    hashed = words.select(
+        F.col(id_col),
+        F.transform(shingles_of_words(F.col("__words"), n), F.md5).alias(
+            "__hashes"
+        ),
+    )
+    return hashed.select(
+        F.col(id_col), simhash_of_hashes(F.col("__hashes")).alias("simhash")
     )
