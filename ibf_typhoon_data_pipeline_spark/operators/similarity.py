@@ -91,6 +91,74 @@ def sign_bucket(vec: Column, m: int = 6) -> Column:
     return F.array_join(signs, "")
 
 
+def ivf_cell(vec: Column, n_cells: int = 8, seg: int = 8) -> Column:
+    """IVF coarse-quantizer cell: argmax over ``n_cells`` anchor
+    directions. Anchors are axis-segment indicators (anchor k = 1 on
+    dims [k·seg, (k+1)·seg)), so dot(v, anchor_k) = the segment sum —
+    deterministic and oracle-reproducible where a k-means codebook
+    would not be. Swap in a trained codebook via a broadcast join on
+    the same cell-key plan shape when recall matters."""
+    sums = [
+        F.aggregate(
+            F.slice(vec, k * seg + 1, seg),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for k in range(n_cells)
+    ]
+    best = F.greatest(*sums)
+    cell = F.lit(n_cells - 1)
+    for k in reversed(range(n_cells - 1)):
+        cell = F.when(sums[k] == best, F.lit(k)).otherwise(cell)
+    return cell.cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    seg: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF(probe=1) ANN top-k: partition vectors by coarse cell, search
+    only the query's own cell. The cell key is the shuffle key — at
+    scale each cell is a co-located partition and the n² pair space
+    becomes Σ cell². Probe>1 = union over neighboring cells."""
+    with_cell = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).select(
+        F.col(id_col),
+        "__v",
+        ivf_cell(F.col("__v"), n_cells, seg).alias("__cell"),
+    )
+    a = with_cell.select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "__cell"
+    )
+    b = with_cell.select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__nv"), "__cell"
+    )
+    pairs = a.join(b, "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__nv")), 6).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     k: int = 5,

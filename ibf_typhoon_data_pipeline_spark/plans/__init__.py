@@ -3,6 +3,7 @@ from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES, oracle_sql_m
 # importing the catalog modules populates the registry
 from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
     corpus,
+    mlops,
     relational,
     relational_ext,
     typhoon,

@@ -1,0 +1,193 @@
+"""ML-inference, multimodal, and streaming catalog entries — the
+pandas-UDF / mapInPandas / Structured-Streaming surfaces (SURVEY.md
+§2.9 K6, §2.11, §7.6), each still value-checked against DuckDB:
+
+- OLS fit+predict: driver-fit from one aggregate pass, broadcast
+  model, pandas-UDF scoring — the XGBoost harness with a closed-form
+  estimator, so the oracle can recompute the coefficients.
+- Multimodal: binary content synthesized as unhex(md5(id)), features
+  extracted in mapInPandas with hashlib — md5 agrees across engines,
+  so even the Python-side path hash-matches the oracle.
+- Streaming: AvailableNow micro-batch run over a temp landing zone
+  with overlapping drops; exactly-once dedup means the result equals
+  the clean track set, which IS the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.operators.inference import (
+    OLS2,
+    fit_ols2,
+    predict_udf,
+)
+from ibf_typhoon_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    gen_media,
+)
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.plans.typhoon import TRACKS_SQL, gen_tracks
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+from ibf_typhoon_data_pipeline_spark.streaming import (
+    dedup_forecast_drops,
+    forecast_stream,
+    run_available_now,
+)
+
+
+@register(
+    "ml_ols_inference",
+    """
+    WITH stats AS (
+      SELECT sum(l_quantity * l_quantity) AS s11,
+             sum(l_quantity * l_discount) AS s12,
+             sum(l_discount * l_discount) AS s22,
+             sum(l_quantity * l_extendedprice) AS t1,
+             sum(l_discount * l_extendedprice) AS t2
+      FROM lineitem
+    ), coefs AS (
+      SELECT round((s22 * t1 - s12 * t2) / (s11 * s22 - s12 * s12), 4) AS b1,
+             round((s11 * t2 - s12 * t1) / (s11 * s22 - s12 * s12), 4) AS b2
+      FROM stats
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity * b1 + l_discount * b2, 2) AS predicted
+    FROM lineitem, coefs
+    """,
+    doc="K6 train+predict harness: driver-side closed-form fit (one "
+        "agg pass), broadcast model, Arrow pandas-UDF scoring "
+        "(forecast_process.py:409-547 shape; coefficients rounded to "
+        "4dp before scoring so both engines predict from identical "
+        "bits)",
+)
+def ml_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = fit_ols2(li, "l_quantity", "l_discount", "l_extendedprice")
+    m = OLS2(b1=round(m.b1, 4), b2=round(m.b2, 4))
+    score = predict_udf(spark, m)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(score(F.col("l_quantity"), F.col("l_discount")), 2).alias(
+            "predicted"
+        ),
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _sql_hex_byte(h: str, pos: int) -> str:
+    """SQL for the byte value at 0-based byte offset ``pos`` of the
+    16-byte blob whose lowercase hex string is ``h``."""
+    c1 = f"substr({h}, {pos * 2 + 1}, 1)"
+    c2 = f"substr({h}, {pos * 2 + 2}, 1)"
+    return (
+        f"((instr('{_HEX}', {c1}) - 1) * 16 + (instr('{_HEX}', {c2}) - 1))"
+    )
+
+
+_MEDIA_SQL = """
+  SELECT CAST(id AS BIGINT) AS media_id,
+         CASE CAST(id % 3 AS INTEGER)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+         END AS media_type,
+         md5(CAST(id AS VARCHAR)) AS content_hex
+  FROM range(256) AS t(id)
+"""
+
+
+@register(
+    "media_features",
+    f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, media_type,
+           CAST(16 AS BIGINT) AS n_bytes,
+           md5(content_hex) AS digest,
+           CAST({_sql_hex_byte('content_hex', 0)} + 1 AS INTEGER) AS fake_width,
+           CAST({_sql_hex_byte('content_hex', 1)} + 1 AS INTEGER) AS fake_height
+    FROM media
+    """,
+    doc="Multimodal feature extraction over binary content via "
+        "mapInPandas (hashlib digest + stubbed decode — deterministic "
+        "fake dims; real codecs NotImplemented in this container); "
+        "content synthesized as unhex(md5(id)) so the oracle "
+        "reproduces the Python path byte for byte",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(gen_media(spark, 256))
+
+
+@register(
+    "media_frame_sample",
+    f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, CAST(off AS INTEGER) AS frame_offset,
+           CAST(CASE off
+             WHEN 0 THEN {_sql_hex_byte('content_hex', 0)}
+             WHEN 4 THEN {_sql_hex_byte('content_hex', 4)}
+             WHEN 8 THEN {_sql_hex_byte('content_hex', 8)}
+             ELSE {_sql_hex_byte('content_hex', 12)}
+           END AS INTEGER) AS frame_byte
+    FROM media, unnest([0, 4, 8, 12]) AS t(off)
+    """,
+    doc="Frame-sampling stub: the 1-row→k-rows mapInPandas stage a "
+        "video pipeline needs, demonstrated on byte offsets (real "
+        "decoders slot into the same batch shape)",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(gen_media(spark, 256), every_n_bytes=4)
+
+
+@register(
+    "stream_forecast_dedup",
+    f"""
+    WITH tracks AS ({TRACKS_SQL})
+    SELECT ens_id, step, round(lat, 6) AS lat, round(lon, 6) AS lon,
+           round(vmax, 6) AS vmax
+    FROM tracks
+    """,
+    doc="§7.6 streaming skin, end to end: two overlapping forecast "
+        "drops land as files → readStream + dropDuplicates + "
+        "foreachBatch sink under Trigger.AvailableNow → exactly-once "
+        "result equals the clean track set (which is the oracle)",
+)
+def stream_forecast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark).select(
+        "ens_id", "step", "lat", "lon", "vmax", "pcen", "penv"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    # two overlapping drops: the full set, then the tail half again
+    tracks.write.mode("overwrite").parquet(landing)
+    tracks.filter(F.col("step") >= 20).write.mode("append").parquet(landing)
+
+    stream = dedup_forecast_drops(forecast_stream(spark, landing))
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    run_available_now(stream, ckpt, sink)
+    result = (
+        spark.read.parquet(out)
+        .select(
+            "ens_id",
+            "step",
+            F.round("lat", 6).alias("lat"),
+            F.round("lon", 6).alias("lon"),
+            F.round("vmax", 6).alias("vmax"),
+        )
+        .cache()
+    )
+    result.count()  # materialize before the temp dir is removed
+    shutil.rmtree(work, ignore_errors=True)
+    return result

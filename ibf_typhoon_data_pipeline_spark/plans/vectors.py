@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ibf_typhoon_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from ibf_typhoon_data_pipeline_spark.plans.registry import register
@@ -76,3 +77,46 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, k=5, m=6)
+
+
+_SEG_SUMS = ", ".join(
+    f"list_sum(ve[{k * 8 + 1}:{(k + 1) * 8}]) AS s{k}" for k in range(8)
+)
+_CELL_LADDER = " ".join(
+    f"WHEN s{k} = greatest({', '.join('s' + str(i) for i in range(8))}) "
+    f"THEN {k}"
+    for k in range(7)
+)
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), sums AS (
+      SELECT vec_id, ve, {_SEG_SUMS} FROM v
+    ), cells AS (
+      SELECT vec_id, ve,
+             CAST(CASE {_CELL_LADDER} ELSE 7 END AS INTEGER) AS cell
+      FROM sums
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rn FROM pairs
+    ) WHERE rn <= 5
+    """,
+    doc="IVF(probe=1) ANN top-5: coarse cell = argmax segment-sum "
+        "anchor (deterministic codebook stand-in); cell key = shuffle "
+        "key, pair space n² → Σ cell²; probe>1 unions neighbor cells",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5, n_cells=8, seg=8)

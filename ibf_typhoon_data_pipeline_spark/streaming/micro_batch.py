@@ -1,0 +1,76 @@
+"""Structured-Streaming skin over the forecast landing zone
+(SURVEY.md §2.10/§7.6).
+
+The reference is a cron-batch pipeline with file-cache idempotence
+(crontab:23, forecast_process.py:360-363): every 6 h a new ECMWF drop
+lands, re-runs may see the same drop twice. The streaming re-skin
+models each drop as a micro-batch:
+
+    readStream(landing_dir) → dropDuplicates(track keys)
+      → foreachBatch(batch DAG) with Trigger.AvailableNow
+
+which upgrades the cron+cache scheme's at-least-once to exactly-once
+per forecast drop: the checkpoint remembers processed files, the
+dedup collapses overlapping drops, AvailableNow drains everything
+pending then stops (the cron re-run becomes a no-op restart).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# Explicit schema — streaming sources don't infer, and the engine
+# declares contracts instead of inheriting pandas' inference
+# (SURVEY §1.2).
+TRACK_SCHEMA = StructType(
+    [
+        StructField("ens_id", LongType()),
+        StructField("step", LongType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("vmax", DoubleType()),
+        StructField("pcen", DoubleType()),
+        StructField("penv", DoubleType()),
+    ]
+)
+
+TRACK_KEYS = ["ens_id", "step"]
+
+
+def forecast_stream(
+    spark: SparkSession, landing_dir: str, schema: StructType = TRACK_SCHEMA
+) -> DataFrame:
+    """File-source stream over the BUFR→Parquet landing zone (S1/S2
+    ingest lands here; the decode adapter is driver-side by design)."""
+    return spark.readStream.schema(schema).parquet(landing_dir)
+
+
+def dedup_forecast_drops(stream: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Collapse overlapping forecast drops on the track key. With a
+    continuous trigger this would be dropDuplicatesWithinWatermark;
+    under AvailableNow the state is bounded by the drained backlog."""
+    return stream.dropDuplicates(keys or TRACK_KEYS)
+
+
+def run_available_now(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+) -> None:
+    """Drain all pending drops through ``batch_fn`` exactly once, then
+    stop — the idempotent re-skin of the reference's cron re-run."""
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
