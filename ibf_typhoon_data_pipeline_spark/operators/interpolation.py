@@ -73,6 +73,69 @@ def interpolate_series(
     return out
 
 
+def cubic_spline_resample(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    step: float = 0.5,
+) -> DataFrame:
+    """F17 — natural-cubic-spline track interpolation as a grouped-map
+    kernel (the reference fits glm(y ~ splines::ns(date)) per track,
+    lib_r/track_interpolation.R:41-50; CLIMADA picks cubic for long
+    tracks, tc_tracks.py:1434). Splines need the whole series at once
+    — genuinely not expressible with window functions — so this is the
+    applyInPandas slot: one group per track key, numpy tridiagonal
+    solve inside, Arrow both ways. No scipy: the classic natural-
+    spline system (second derivatives M solved from the tridiagonal
+    equations, boundary M₀=Mₙ=0) is a dozen lines of numpy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_schema = ", ".join(f"{k} long" for k in keys)
+    out_schema = f"{key_schema}, {x_col} double, {y_col} double"
+
+    def spline(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col)
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        n = len(x)
+        grid = np.arange(x[0], x[-1] + step / 2, step)
+        if n < 3:  # single point / segment → constant / linear
+            vals = np.interp(grid, x, y)
+        else:
+            h = np.diff(x)
+            # tridiagonal system for interior second derivatives
+            a = np.zeros((n - 2, n - 2))
+            rhs = np.zeros(n - 2)
+            for i in range(n - 2):
+                if i > 0:
+                    a[i, i - 1] = h[i]
+                a[i, i] = 2.0 * (h[i] + h[i + 1])
+                if i < n - 3:
+                    a[i, i + 1] = h[i + 1]
+                rhs[i] = 6.0 * (
+                    (y[i + 2] - y[i + 1]) / h[i + 1] - (y[i + 1] - y[i]) / h[i]
+                )
+            m = np.zeros(n)
+            m[1:-1] = np.linalg.solve(a, rhs)
+            seg = np.clip(np.searchsorted(x, grid, side="right") - 1, 0, n - 2)
+            t = grid - x[seg]
+            hs = h[seg]
+            vals = (
+                m[seg] / 6.0 * ((hs - t) ** 3 / hs - hs * (hs - t))
+                + m[seg + 1] / 6.0 * (t**3 / hs - hs * t)
+                + (y[seg] * (hs - t) + y[seg + 1] * t) / hs
+            )
+        out = pd.DataFrame({x_col: grid, y_col: vals})
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        return out[[*keys, x_col, y_col]]
+
+    return df.groupBy(*keys).applyInPandas(spline, schema=out_schema)
+
+
 def resample_interpolate(
     df: DataFrame,
     keys: Sequence[str],

@@ -216,6 +216,79 @@ def intensity_reduce(windfield: DataFrame, keys: list[str] | None = None) -> Dat
     )
 
 
+def willoughby_wind_ms(
+    r_km: Column, vmax: Column, lat: Column
+) -> Column:
+    """K5 — Willoughby, Darling & Rahn (2006) parametric radial profile
+    (the reference's legacy R wind model, lib_r/prepare_typhoon_input.R
+    :200-516 semantics; independent implementation from the published
+    statistical fits, sectional eqs. 7a/10a-c):
+
+      Rmax = 46.6·exp(−0.0155·Vmax + 0.0169·|lat|)
+      X1   = 317.1 − 2.026·Vmax + 1.915·|lat|   (outer decay length)
+      n    = 0.4067 + 0.0144·Vmax − 0.0038·|lat| (inner exponent)
+      A    = max(0, 0.0696 + 0.0049·Vmax − 0.0064·|lat|)
+      V(r) = Vmax·(r/Rmax)^n                      r ≤ Rmax
+           = Vmax·((1−A)·e^{−(r−Rmax)/X1} + A·e^{−(r−Rmax)/25})  r > Rmax
+
+    Simplified at the eyewall: the paper's polynomial blend zone
+    (Newton-solved ξ) is replaced by the piecewise join at Rmax — the
+    standard reduced form; max error is confined to the blend band.
+    """
+    alat = F.abs(lat)
+    rmax = 46.6 * F.exp(-0.0155 * vmax + 0.0169 * alat)
+    x1 = 317.1 - 2.026 * vmax + 1.915 * alat
+    n = 0.4067 + 0.0144 * vmax - 0.0038 * alat
+    a = F.greatest(0.0696 + 0.0049 * vmax - 0.0064 * alat, F.lit(0.0))
+    r = F.greatest(r_km, F.lit(0.1))
+    inside = vmax * F.pow(r / rmax, n)
+    outside = vmax * (
+        (1.0 - a) * F.exp((rmax - r) / x1) + a * F.exp((rmax - r) / 25.0)
+    )
+    return F.when(r <= rmax, inside).otherwise(outside)
+
+
+def windfield_willoughby(
+    tracks: DataFrame,
+    centroids: DataFrame,
+    threshold_ms: float = V_THRESHOLD_MS,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """K5 windfield: same broadcast theta-join + bbox-guard shape as
+    windfield_expr, Willoughby profile instead of Holland — the two
+    kernels are drop-in alternatives exactly as in the reference
+    (python Holland vs R Willoughby paths)."""
+    keys = keys or ["ens_id"]
+    t = tracks.select(
+        *keys,
+        F.col("step"),
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+        "vmax",
+    )
+    cond = (
+        F.col("c_lat").between(
+            F.col("t_lat") - DEG_BOX, F.col("t_lat") + DEG_BOX
+        )
+        & F.col("c_lon").between(
+            F.col("t_lon") - DEG_BOX, F.col("t_lon") + DEG_BOX
+        )
+    )
+    c = centroids.select(
+        "centroid_id",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+    )
+    pairs = c.join(F.broadcast(t), cond)
+    r_km = haversine_km(
+        F.col("c_lat"), F.col("c_lon"), F.col("t_lat"), F.col("t_lon")
+    )
+    wind = willoughby_wind_ms(r_km, F.col("vmax"), F.col("t_lat"))
+    return pairs.select(
+        *keys, "step", "centroid_id", wind.alias("wind_ms")
+    ).filter(F.col("wind_ms") > threshold_ms)
+
+
 # ------------------------------------------------------------------ kernel
 def _holland_np(r_km, rmw_km, b_s, penv, pcen, lat, v_trans_ms):
     """numpy twin of holland_wind_ms — identical formula, vectorized."""

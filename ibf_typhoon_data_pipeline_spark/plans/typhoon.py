@@ -780,3 +780,85 @@ def tc_windfield_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_steps"),
         F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
     )
+
+
+WILLOUGHBY_SQL = f"""
+  WITH tracks AS ({TRACKS_SQL}),
+  centroids AS ({CENTROIDS_SQL}),
+  wp AS (
+    SELECT ens_id, step, lat, lon, vmax,
+      46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) AS rmax,
+      317.1 - 2.026 * vmax + 1.915 * abs(lat) AS x1,
+      0.4067 + 0.0144 * vmax - 0.0038 * abs(lat) AS nn,
+      greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0) AS aa
+    FROM tracks
+  ),
+  pairs AS (
+    SELECT w.ens_id, c.centroid_id, w.vmax, w.rmax, w.x1, w.nn, w.aa,
+      greatest(2 * 6367.0 * asin(sqrt(
+        pow(sin(radians(w.lat - c.lat) / 2), 2)
+        + cos(radians(c.lat)) * cos(radians(w.lat))
+          * pow(sin(radians(w.lon - c.lon) / 2), 2)
+      )), 0.1) AS r
+    FROM wp w JOIN centroids c
+      ON c.lat BETWEEN w.lat - 5.5 AND w.lat + 5.5
+     AND c.lon BETWEEN w.lon - 5.5 AND w.lon + 5.5
+  ),
+  wf_w AS (
+    SELECT ens_id, centroid_id,
+      CASE WHEN r <= rmax THEN vmax * pow(r / rmax, nn)
+           ELSE vmax * ((1.0 - aa) * exp((rmax - r) / x1)
+                        + aa * exp((rmax - r) / 25.0)) END AS wind_ms
+    FROM pairs
+  )
+"""
+
+
+@register(
+    "tc_windfield_willoughby",
+    f"""
+    {WILLOUGHBY_SQL}
+    SELECT ens_id, centroid_id, count(*) AS n_steps,
+           round(max(wind_ms), 3) AS intensity_ms
+    FROM wf_w WHERE wind_ms > 17.5
+    GROUP BY 1, 2
+    """,
+    doc="K5 Willoughby et al. (2006) parametric profile — the "
+        "reference's legacy R wind model "
+        "(lib_r/prepare_typhoon_input.R:200-516 semantics) as a "
+        "drop-in alternative kernel to Holland, same join shape",
+)
+def tc_windfield_willoughby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        windfield_willoughby,
+    )
+
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_willoughby(tracks, cents)
+    return wf.groupBy("ens_id", "centroid_id").agg(
+        F.count("*").alias("n_steps"),
+        F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
+    )
+
+
+@register(
+    "tc_track_spline",
+    None,  # grouped-map numpy kernel — rows-only driver check; spline
+    # invariants (knot reproduction, collinear→linear) pinned in pytest
+    doc="F17 natural-cubic-spline track resampling as applyInPandas "
+        "(lib_r/track_interpolation.R:41-50, tc_tracks.py:1434): whole-"
+        "series fit per track, numpy tridiagonal solve, no scipy",
+)
+def tc_track_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
+        cubic_spline_resample,
+    )
+
+    tracks = gen_tracks(spark).select(
+        "ens_id", F.col("step").cast("double").alias("x"), F.col("vmax").alias("y")
+    )
+    out = cubic_spline_resample(tracks, ["ens_id"], "x", "y", step=0.5)
+    return out.select(
+        "ens_id", "x", F.round("y", 6).alias("vmax_spline")
+    )
