@@ -37,9 +37,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_lsh_topk",
     "tc_windfield_holland",
+    "tc_windfield_willoughby",
     "tc_muni_hazard",
     "tc_trigger_ladder",
     "tc_track_interp_30min",
+    "ml_ols_inference",
+    "sim_ivf_topk",
 ]
 
 
