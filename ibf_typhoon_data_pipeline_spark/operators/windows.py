@@ -37,6 +37,32 @@ def dedup_keep_max(
     )
 
 
+def dedup_keep_max_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+    payload: Sequence[str] = (),
+) -> DataFrame:
+    """A9 as ONE aggregation instead of a window: max of
+    struct(order_col, tiebreakers..., payload...) — structs compare
+    field by field, so the max row is exactly row_number()==1 over
+    (order_col DESC, tiebreakers DESC), but with map-side partial
+    aggregation: no per-key sort, no full-row shuffle (only the struct
+    travels). Prefer this at scale; keep the window form when the
+    whole row must survive untouched.
+
+    Returns one row per key: keys + order_col + tiebreakers + payload.
+    """
+    fields = [order_col, *tiebreakers, *payload]
+    out = df.groupBy(*keys).agg(
+        F.max(F.struct(*fields)).alias("__best")
+    )
+    return out.select(
+        *keys, *[F.col(f"__best.{f}").alias(f) for f in fields]
+    )
+
+
 def lag_diff(
     df: DataFrame,
     keys: Sequence[str],

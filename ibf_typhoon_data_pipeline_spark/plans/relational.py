@@ -357,12 +357,16 @@ def a7_exceedance_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(forecast_process.py:544,1241)",
 )
 def a9_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windows import (
+        dedup_keep_max_agg,
+    )
+
     o = _t(spark, sf_dir, "orders")
-    out = dedup_keep_max(
+    out = dedup_keep_max_agg(
         o,
         ["o_custkey", "o_orderstatus"],
         "o_totalprice",
-        tiebreakers=[F.col("o_orderkey")],
+        tiebreakers=["o_orderkey"],
     )
     return out.select(
         "o_custkey",
