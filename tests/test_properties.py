@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the operators whose
+correctness is a mathematical invariant rather than a fixture value —
+the §5.2 complement to golden pins and oracle hashes."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from ibf_typhoon_data_pipeline_spark.operators.windfield import _holland_np
+
+finite = st.floats(
+    min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    r_km=st.floats(min_value=0.0, max_value=2000.0),
+    rmw=st.floats(min_value=5.0, max_value=100.0),
+    b_s=st.floats(min_value=1.0, max_value=2.5),
+    pcen=st.floats(min_value=880.0, max_value=1005.0),
+    lat=st.floats(min_value=-60.0, max_value=60.0),
+    vt=st.floats(min_value=0.0, max_value=15.4),
+)
+def test_holland_wind_physical_bounds(r_km, rmw, b_s, pcen, lat, vt):
+    import numpy as np
+
+    v = _holland_np(
+        np.array([r_km]), rmw, b_s, 1006.0, pcen, lat, vt
+    )[0]
+    # non-negative, finite, and bounded by the theoretical max
+    # (sqrt(b/ρ·Δp·e⁰) at the eyewall) plus the translation component
+    assert v >= 0.0
+    assert math.isfinite(v)
+    vmax_theory = math.sqrt(b_s / 1.15 * max(1006.0 - pcen, 1.0) * 100.0) + vt
+    assert v <= vmax_theory + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.one_of(st.none(), st.floats(min_value=-50, max_value=50, allow_nan=False)),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_lerp_fill_invariants(points):
+    """Pure-python twin of operators/interpolation._lerp_fill semantics:
+    interior gaps bounded by bracket values; leading gaps stay None;
+    trailing gaps forward-fill. (The Spark impl is oracle-checked
+    value-for-value in f15; this pins the SEMANTICS independently.)"""
+    pts = sorted(points)
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+
+    def lerp_fill(xs, ys):
+        out = []
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            if y is not None:
+                out.append(y)
+                continue
+            prev = next(
+                ((xs[j], ys[j]) for j in range(i - 1, -1, -1) if ys[j] is not None),
+                None,
+            )
+            nxt = next(
+                ((xs[j], ys[j]) for j in range(i + 1, len(xs)) if ys[j] is not None),
+                None,
+            )
+            if prev and nxt and nxt[0] != prev[0]:
+                v0, t0 = prev[1], prev[0]
+                v1, t1 = nxt[1], nxt[0]
+                out.append(v0 + (v1 - v0) * (x - t0) / (t1 - t0))
+            elif prev:
+                out.append(prev[1])
+            else:
+                out.append(None)
+        return out
+
+    filled = lerp_fill(xs, ys)
+    for i, v in enumerate(filled):
+        if ys[i] is not None:
+            assert v == ys[i]  # knots untouched
+        elif v is not None:
+            known = [y for y in ys if y is not None]
+            assert min(known) - 1e-9 <= v <= max(known) + 1e-9  # bounded
+    # leading gap stays None iff no earlier knot
+    first_known = next((i for i, y in enumerate(ys) if y is not None), None)
+    if first_known is not None:
+        for i in range(first_known):
+            assert filled[i] is None
