@@ -87,6 +87,25 @@ def shingle_table(
     )
 
 
+def prune_common_shingles(
+    sh: DataFrame, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — the
+    skew guard for the inverted-index self-join. A shingle shared by f
+    docs contributes f² candidate pairs; at corpus scale a handful of
+    boilerplate shingles ("all rights reserved"-grade) dominate the
+    join. Pruning them bounds the per-key bucket (Σ bucket² → linear)
+    at a documented recall cost: pairs similar ONLY through ultra-
+    common shingles are missed — which is exactly the near-dup
+    semantics you want (common boilerplate shouldn't make documents
+    duplicates). Standard practice in MinHash/LSH corpus dedup."""
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    return (
+        sh.join(freq.filter(F.col("__df") <= max_df), "shingle")
+        .select(id_col, "shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
