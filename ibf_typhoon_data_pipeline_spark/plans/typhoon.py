@@ -862,3 +862,195 @@ def tc_track_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "ens_id", "x", F.round("y", 6).alias("vmax_spline")
     )
+
+
+# rain raster, long form (FIXTURES.md §7): 30 GEFS members × 12
+# six-hour steps × the 0.25° cell grid; storm-correlated cone + modular
+# noise, exact arithmetic in both engines
+N_RAIN_MEMBERS = 30
+N_RAIN_STEPS = 12
+
+RAIN_SQL = f"""
+  SELECT CAST(id % {N_RAIN_MEMBERS} AS BIGINT) + 1 AS number,
+         CAST((id // {N_RAIN_MEMBERS}) % {N_RAIN_STEPS} AS BIGINT) AS t,
+         CAST((id // {N_RAIN_MEMBERS}) // {N_RAIN_STEPS} AS BIGINT) AS cell_id,
+         greatest(0.0,
+           35.0 - 7.0 * sqrt(
+             (6.0 + (((id // {N_RAIN_MEMBERS}) // {N_RAIN_STEPS}) // {GRID_COLS}) * 0.25
+              - (8.0 + ((id // {N_RAIN_MEMBERS}) % {N_RAIN_STEPS}) * 0.5))
+             * (6.0 + (((id // {N_RAIN_MEMBERS}) // {N_RAIN_STEPS}) // {GRID_COLS}) * 0.25
+                - (8.0 + ((id // {N_RAIN_MEMBERS}) % {N_RAIN_STEPS}) * 0.5))
+             + (118.0 + (((id // {N_RAIN_MEMBERS}) // {N_RAIN_STEPS}) % {GRID_COLS}) * 0.25
+                - (135.0 - ((id // {N_RAIN_MEMBERS}) % {N_RAIN_STEPS}) * 1.0))
+             * (118.0 + (((id // {N_RAIN_MEMBERS}) // {N_RAIN_STEPS}) % {GRID_COLS}) * 0.25
+                - (135.0 - ((id // {N_RAIN_MEMBERS}) % {N_RAIN_STEPS}) * 1.0))
+           ))
+         + ((id % {N_RAIN_MEMBERS}) * 53
+            + ((id // {N_RAIN_MEMBERS}) % {N_RAIN_STEPS}) * 17
+            + ((id // {N_RAIN_MEMBERS}) // {N_RAIN_STEPS}) * 29) % 101 / 101.0 * 5.0
+           AS mm
+  FROM range({N_RAIN_MEMBERS * N_RAIN_STEPS * GRID_ROWS * GRID_COLS}) AS r(id)
+"""
+
+
+def gen_rain(spark: SparkSession) -> DataFrame:
+    """Spark twin of RAIN_SQL — a rain cone following the storm center
+    (8+0.5t, 135−t) plus per-(member, time, cell) modular noise."""
+    ids = spark.range(N_RAIN_MEMBERS * N_RAIN_STEPS * GRID_ROWS * GRID_COLS)
+    m = (F.col("id") % N_RAIN_MEMBERS).cast("bigint")
+    rest = F.expr(f"id div {N_RAIN_MEMBERS}")
+    t = (rest % N_RAIN_STEPS).cast("bigint")
+    cell = F.expr(f"(id div {N_RAIN_MEMBERS}) div {N_RAIN_STEPS}")
+    lat = 6.0 + F.expr(
+        f"((id div {N_RAIN_MEMBERS}) div {N_RAIN_STEPS}) div {GRID_COLS}"
+    ) * 0.25
+    lon = 118.0 + (cell % GRID_COLS) * 0.25
+    clat = 8.0 + t * 0.5
+    clon = 135.0 - t * 1.0
+    cone = F.greatest(
+        F.lit(0.0),
+        35.0 - 7.0 * F.sqrt((lat - clat) * (lat - clat) + (lon - clon) * (lon - clon)),
+    )
+    noise = (m * 53 + t * 17 + cell * 29) % 101 / 101.0 * 5.0
+    return ids.select(
+        (m + 1).alias("number"),
+        t.alias("t"),
+        cell.cast("bigint").alias("cell_id"),
+        (cone + noise).alias("mm"),
+    )
+
+
+@register(
+    "tc_rain_zonal",
+    f"""
+    WITH rain AS ({RAIN_SQL}),
+    cells AS ({CENTROIDS_SQL}),
+    reduced AS (
+      SELECT cell_id, t, median(mm) AS mm
+      FROM rain GROUP BY cell_id, t
+    ),
+    zonal AS (
+      SELECT c.adm3_pcode, r.t, avg(r.mm) AS zone_mean
+      FROM reduced r JOIN cells c ON r.cell_id = c.centroid_id
+      GROUP BY 1, 2
+    )
+    SELECT adm3_pcode, round(max(zone_mean), 6) AS HAZ_rainfall_max_24h
+    FROM zonal GROUP BY adm3_pcode
+    """,
+    doc="A11+A12+S5 on the domain tables: 30-member GEFS stack → "
+        "ensemble median per cell/time FIRST (the manual agg-pushdown "
+        "of Rainfall_data.py:80 — 30× row cut before the zone join) → "
+        "zonal mean per (muni, time) → max over time "
+        "(Rainfall_data.py:105-122, rename fp:267-274)",
+)
+def tc_rain_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.aggregates import zonal_stats
+
+    rain = gen_rain(spark)
+    cells = gen_centroids(spark).select(
+        F.col("centroid_id").alias("cell_id"), "adm3_pcode"
+    )
+    # zonal_stats expects (lat, lon) cell keys; here the cell key is the
+    # id itself — inline the same median→mean→max plan on that key
+    reduced = rain.groupBy("cell_id", "t").agg(F.median("mm").alias("mm"))
+    zonal = (
+        reduced.join(F.broadcast(cells), "cell_id")
+        .groupBy("adm3_pcode", "t")
+        .agg(F.avg("mm").alias("zone_mean"))
+    )
+    return zonal.groupBy("adm3_pcode").agg(
+        F.round(F.max("zone_mean"), 6).alias("HAZ_rainfall_max_24h")
+    )
+
+
+INDICATORS_SQL = f"""
+  SELECT concat('PH', lpad(CAST(id AS VARCHAR), 9, '0')) AS Mun_Code,
+         (id * 13) % 50 / 2.0 AS TOP_mean_slope,
+         CAST((id * 23) % 2000 AS DOUBLE) AS TOP_mean_elevation_m,
+         CAST((id * 7) % 80 AS DOUBLE) AS VUL_poverty_perc,
+         CAST(id % 2 AS BIGINT) AS GEN_with_coast,
+         CAST(500 + (id * 37) % 1500 AS BIGINT) AS VUL_Housing_Units
+  FROM range({27 * MUNI_COLS}) AS i(id)
+"""
+
+
+def gen_indicators(spark: SparkSession) -> DataFrame:
+    """Pre-disaster indicator table (FIXTURES.md §6) with the P9 rename
+    prefixes already applied (TOP_/VUL_/GEN_, forecast_process.py:
+    582-616)."""
+    ids = spark.range(27 * MUNI_COLS)
+    return ids.select(
+        F.concat(
+            F.lit("PH"), F.lpad(F.col("id").cast("string"), 9, "0")
+        ).alias("Mun_Code"),
+        ((F.col("id") * 13) % 50 / 2.0).alias("TOP_mean_slope"),
+        ((F.col("id") * 23) % 2000).cast("double").alias("TOP_mean_elevation_m"),
+        ((F.col("id") * 7) % 80).cast("double").alias("VUL_poverty_perc"),
+        (F.col("id") % 2).cast("bigint").alias("GEN_with_coast"),
+        (500 + (F.col("id") * 37) % 1500).cast("bigint").alias(
+            "VUL_Housing_Units"
+        ),
+    )
+
+
+@register(
+    "tc_feature_assembly",
+    f"""
+    {MUNI_HAZARD_SQL},
+    rain AS ({RAIN_SQL}),
+    reduced AS (
+      SELECT cell_id, t, median(mm) AS mm FROM rain GROUP BY cell_id, t
+    ),
+    centroid_zone AS ({CENTROIDS_SQL.replace('c(id)', 'cz(id)')}),
+    zonal AS (
+      SELECT c.adm3_pcode, r.t, avg(r.mm) AS zone_mean
+      FROM reduced r JOIN centroid_zone c ON r.cell_id = c.centroid_id
+      GROUP BY 1, 2
+    ),
+    rain_max AS (
+      SELECT adm3_pcode, max(zone_mean) AS haz_rainfall
+      FROM zonal GROUP BY adm3_pcode
+    ),
+    indicators AS ({INDICATORS_SQL})
+    SELECT mh.adm3_pcode AS Mun_Code, mh.ens_id,
+           round(mh.v_max, 3) AS HAZ_v_max,
+           round(mh.dis_track_min, 3) AS HAZ_dis_track_min,
+           round(rm.haz_rainfall, 6) AS HAZ_rainfall_max_24h,
+           i.TOP_mean_slope, i.TOP_mean_elevation_m,
+           i.VUL_poverty_perc, i.GEN_with_coast, i.VUL_Housing_Units
+    FROM muni_hazard mh
+    LEFT JOIN rain_max rm ON mh.adm3_pcode = rm.adm3_pcode
+    LEFT JOIN indicators i ON mh.adm3_pcode = i.Mun_Code
+    """,
+    doc="J3-J9 feature assembly: hazard ⋈ rainfall ⋈ pre-disaster "
+        "indicators with the P9 HAZ_/TOP_/VUL_/GEN_ rename contract — "
+        "the ML input frame (forecast_process.py:909-929, "
+        "run_model_V2.R:131-139, data_cleaning_forecast.R:159-317)",
+)
+def tc_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _muni_hazard(spark)
+    rain_max = tc_rain_zonal(spark, sf_dir).withColumnRenamed(
+        "HAZ_rainfall_max_24h", "haz_rainfall"
+    )
+    ind = gen_indicators(spark)
+    return (
+        mh.join(
+            F.broadcast(rain_max),
+            mh.adm3_pcode == rain_max.adm3_pcode,
+            "left",
+        )
+        .drop(rain_max.adm3_pcode)
+        .join(F.broadcast(ind), mh.adm3_pcode == ind.Mun_Code, "left")
+        .select(
+            mh.adm3_pcode.alias("Mun_Code"),
+            "ens_id",
+            F.round("v_max", 3).alias("HAZ_v_max"),
+            F.round("dis_track_min", 3).alias("HAZ_dis_track_min"),
+            F.round("haz_rainfall", 6).alias("HAZ_rainfall_max_24h"),
+            "TOP_mean_slope",
+            "TOP_mean_elevation_m",
+            "VUL_poverty_perc",
+            "GEN_with_coast",
+            "VUL_Housing_Units",
+        )
+    )
