@@ -52,9 +52,13 @@ def main() -> None:
     spark = get_spark("ibf-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the plans, not first-touch costs
+    # warm the JVM + parquet footers of every table family once so
+    # per-query numbers measure the plans, not first-touch costs
+    from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
     plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).count()
+    for t in ("documents", "embeddings", "events", "orders", "customer"):
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
