@@ -1054,3 +1054,164 @@ def tc_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "VUL_Housing_Units",
         )
     )
+
+
+# ---------------------------------------------------------------- hindcast
+# Multi-event replay (SURVEY §3.3: run_model_V2.R / hindcast notebook):
+# E historical events × 52 members × 41 steps; the event index shifts
+# the storm seed so each event is a different track family.
+N_EVENTS = 4
+
+TRACKS_MULTI_SQL = f"""
+  SELECT CAST(id // {N_MEMBERS * N_STEPS} AS BIGINT) AS event_id,
+         CAST((id % {N_MEMBERS * N_STEPS}) // {N_STEPS} AS BIGINT) AS ens_id,
+         CAST(id % {N_STEPS} AS BIGINT) AS step,
+         7.0 + (id % {N_STEPS}) * 0.28
+             + ((id // {N_STEPS}) * 7919) % 97 / 97.0 - 0.5
+             + (id // {N_MEMBERS * N_STEPS}) * 0.7 AS lat,
+         138.0 - (id % {N_STEPS}) * 0.52
+             + ((id // {N_STEPS}) * 104729) % 89 / 89.0 - 0.5
+             - (id // {N_MEMBERS * N_STEPS}) * 1.3 AS lon,
+         greatest(18.0 + (38.0 - (id // {N_MEMBERS * N_STEPS}) * 4.0)
+                       * (1.0 - ((id % {N_STEPS}) - 20.0) / 16.0
+                              * (((id % {N_STEPS}) - 20.0) / 16.0))
+                       + ((id // {N_STEPS}) * 6151) % 83 / 83.0 * 4.0,
+                  15.0) AS vmax
+  FROM range({N_EVENTS * N_MEMBERS * N_STEPS}) AS h(id)
+"""
+
+
+def gen_tracks_multi(spark: SparkSession) -> DataFrame:
+    """Spark twin of TRACKS_MULTI_SQL: per-event shifted track families
+    with event-dependent peak intensity (later events weaker)."""
+    ids = spark.range(N_EVENTS * N_MEMBERS * N_STEPS)
+    ev = F.expr(f"id div {N_MEMBERS * N_STEPS}")
+    member_row = F.expr(f"id div {N_STEPS}")
+    s = (F.col("id") % N_STEPS).cast("bigint")
+    q = (s - 20.0) / 16.0
+    vmax = F.greatest(
+        18.0 + (38.0 - ev * 4.0) * (1.0 - q * q)
+        + (member_row * 6151) % 83 / 83.0 * 4.0,
+        F.lit(15.0),
+    )
+    return ids.select(
+        ev.cast("bigint").alias("event_id"),
+        (F.expr(f"(id % {N_MEMBERS * N_STEPS}) div {N_STEPS}"))
+        .cast("bigint")
+        .alias("ens_id"),
+        s.alias("step"),
+        (
+            7.0 + s * 0.28 + (member_row * 7919) % 97 / 97.0 - 0.5 + ev * 0.7
+        ).alias("lat"),
+        (
+            138.0 - s * 0.52 + (member_row * 104729) % 89 / 89.0 - 0.5
+            - ev * 1.3
+        ).alias("lon"),
+        vmax.alias("vmax"),
+    )
+
+
+@register(
+    "tc_hindcast_triggers",
+    f"""
+    WITH tracks AS ({TRACKS_MULTI_SQL}),
+    centroids AS ({CENTROIDS_SQL}),
+    pairs AS (
+      SELECT t.event_id, t.ens_id, c.centroid_id, c.adm3_pcode, t.vmax, t.lat,
+        greatest(2 * 6367.0 * asin(sqrt(
+          pow(sin(radians(t.lat - c.lat) / 2), 2)
+          + cos(radians(c.lat)) * cos(radians(t.lat))
+            * pow(sin(radians(t.lon - c.lon) / 2), 2)
+        )), 0.1) AS r
+      FROM tracks t JOIN centroids c
+        ON c.lat BETWEEN t.lat - 5.5 AND t.lat + 5.5
+       AND c.lon BETWEEN t.lon - 5.5 AND t.lon + 5.5
+    ),
+    wf AS (
+      SELECT event_id, ens_id, adm3_pcode,
+        CASE WHEN r <= 46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat))
+             THEN vmax * pow(r / (46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat))),
+                             0.4067 + 0.0144 * vmax - 0.0038 * abs(lat))
+             ELSE vmax * exp((46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) - r)
+                             / (317.1 - 2.026 * vmax + 1.915 * abs(lat))) END
+          AS wind_ms
+      FROM pairs
+    ),
+    hazard AS (
+      SELECT event_id, ens_id, adm3_pcode, max(wind_ms) AS v_max
+      FROM wf WHERE wind_ms > 17.5
+      GROUP BY 1, 2, 3
+    ),
+    totals AS (
+      SELECT event_id, ens_id,
+             sum(CASE WHEN v_max > 33.0 THEN 1 ELSE 0 END) AS n_damaged
+      FROM hazard GROUP BY 1, 2
+    )
+    SELECT event_id,
+           round(avg(CASE WHEN n_damaged > 85 THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_dref,
+           avg(CASE WHEN n_damaged > 85 THEN 1.0 ELSE 0.0 END) >= 0.5
+             AS dref_triggered,
+           count(*) AS n_members
+    FROM totals GROUP BY event_id
+    """,
+    doc="§3.3 hindcast replay: E historical events through the same "
+        "windfield→hazard→trigger chain in ONE plan, grouped by "
+        "event_id — the per-event loop of the hindcast notebook "
+        "becomes a partition axis (simplified Willoughby outer "
+        "profile, A=0); at 100 TB event_id is the natural partition "
+        "key for archived forecast replays",
+)
+def tc_hindcast_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks_multi(spark)
+    cents = gen_centroids(spark)
+    t = tracks.select(
+        "event_id",
+        "ens_id",
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+        "vmax",
+    )
+    c = cents.select(
+        "centroid_id",
+        "adm3_pcode",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+    )
+    cond = (
+        F.col("c_lat").between(F.col("t_lat") - 5.5, F.col("t_lat") + 5.5)
+        & F.col("c_lon").between(F.col("t_lon") - 5.5, F.col("t_lon") + 5.5)
+    )
+    from ibf_typhoon_data_pipeline_spark.functions.geo import haversine_km
+
+    pairs = c.join(F.broadcast(t), cond)
+    r = F.greatest(
+        haversine_km(
+            F.col("t_lat"), F.col("t_lon"), F.col("c_lat"), F.col("c_lon")
+        ),
+        F.lit(0.1),
+    )
+    alat = F.abs(F.col("t_lat"))
+    rmax = 46.6 * F.exp(-0.0155 * F.col("vmax") + 0.0169 * alat)
+    n = 0.4067 + 0.0144 * F.col("vmax") - 0.0038 * alat
+    x1 = 317.1 - 2.026 * F.col("vmax") + 1.915 * alat
+    wind = F.when(r <= rmax, F.col("vmax") * F.pow(r / rmax, n)).otherwise(
+        F.col("vmax") * F.exp((rmax - r) / x1)
+    )
+    wf = pairs.select(
+        "event_id", "ens_id", "adm3_pcode", wind.alias("wind_ms")
+    ).filter(F.col("wind_ms") > 17.5)
+    hazard = wf.groupBy("event_id", "ens_id", "adm3_pcode").agg(
+        F.max("wind_ms").alias("v_max")
+    )
+    totals = hazard.groupBy("event_id", "ens_id").agg(
+        F.sum(F.when(F.col("v_max") > 33.0, 1).otherwise(0)).alias(
+            "n_damaged"
+        )
+    )
+    prob = F.avg(F.when(F.col("n_damaged") > 85, 1.0).otherwise(0.0))
+    return totals.groupBy("event_id").agg(
+        F.round(prob, 6).alias("prob_dref"),
+        (prob >= 0.5).alias("dref_triggered"),
+        F.count("*").alias("n_members"),
+    )
