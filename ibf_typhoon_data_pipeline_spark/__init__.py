@@ -10,14 +10,16 @@ pipeline needs.
 
 Layout:
     session     — tuned SparkSession builder
-    sources     — schema'd readers + deterministic fixture generators
+    sources     — schema'd readers, ingest adapters, bucketed layout
     functions   — scalar expression library (geo, conversions, ladders)
-    operators   — relational operator library (joins, aggs, windows,
-                  dedup, interpolation, triggers, text, similarity)
-    kernels     — numeric kernels (Holland windfield, landfall) as
-                  Arrow-batched pandas UDFs / applyInPandas
+    operators   — operator library (joins, aggs, windows, dedup,
+                  interpolation, text, similarity, multimodal,
+                  inference, and the Holland/Willoughby wind kernels
+                  as both codegen expressions and applyInPandas)
     plans       — named end-to-end query plans + the oracle registry
-    streaming   — Structured Streaming ingest skins
+    streaming   — Structured Streaming ingest skin
+    sinks       — file/REST/blob publishers
+    pipeline    — orchestrated forecast DAG with persist boundaries
 """
 
 from ibf_typhoon_data_pipeline_spark.session import get_spark
