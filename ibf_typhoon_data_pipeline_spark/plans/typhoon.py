@@ -1215,3 +1215,55 @@ def tc_hindcast_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (prob >= 0.5).alias("dref_triggered"),
         F.count("*").alias("n_members"),
     )
+
+
+@register(
+    "tc_damage_model",
+    f"""
+    {DAMAGE_SQL},
+    stats AS (
+      SELECT sum(v_max * v_max) AS s11,
+             sum(v_max * dis_track_min) AS s12,
+             sum(dis_track_min * dis_track_min) AS s22,
+             sum(v_max * damage_predicted) AS t1,
+             sum(dis_track_min * damage_predicted) AS t2
+      FROM damage
+    ),
+    coefs AS (
+      SELECT round((s22 * t1 - s12 * t2) / (s11 * s22 - s12 * s12), 4) AS b1,
+             round((s11 * t2 - s12 * t1) / (s11 * s22 - s12 * s12), 4) AS b2
+      FROM stats
+    )
+    SELECT d.adm3_pcode AS Mun_Code, d.ens_id,
+           round(greatest(d.v_max * c.b1 + d.dis_track_min * c.b2, 0.0), 2)
+             AS damage_ml
+    FROM damage d, coefs c
+    """,
+    doc="K6 on the domain: fit the damage regressor on the hazard "
+        "feature frame (driver-side closed-form fit from one agg "
+        "pass), broadcast the model, score every (muni, member) row "
+        "with the pandas UDF, clip negatives (F13 post-rule "
+        "y_pred[y_pred<0]=0, forecast_process.py:521) — the XGBoost "
+        "slot exercised end to end on the typhoon tables",
+)
+def tc_damage_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.inference import (
+        OLS2,
+        fit_ols2,
+        predict_udf,
+    )
+
+    d = _damage(spark)
+    m = fit_ols2(d, "v_max", "dis_track_min", "damage_predicted")
+    m = OLS2(b1=round(m.b1, 4), b2=round(m.b2, 4))
+    score = predict_udf(spark, m)
+    return d.select(
+        F.col("adm3_pcode").alias("Mun_Code"),
+        "ens_id",
+        F.round(
+            F.greatest(
+                score(F.col("v_max"), F.col("dis_track_min")), F.lit(0.0)
+            ),
+            2,
+        ).alias("damage_ml"),
+    )
