@@ -191,3 +191,96 @@ def stream_forecast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before the temp dir is removed
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "profile_events",
+    """
+    WITH base AS (SELECT count(*) AS n_rows FROM events)
+    SELECT 'event_type' AS column, n_rows,
+           (SELECT count(*) FROM events WHERE event_type IS NULL) AS n_null,
+           (SELECT count(DISTINCT event_type) FROM events) AS n_distinct,
+           (SELECT CAST(min(event_type) AS VARCHAR) FROM events) AS min_val,
+           (SELECT CAST(max(event_type) AS VARCHAR) FROM events) AS max_val
+    FROM base
+    UNION ALL
+    SELECT 'user_id', n_rows,
+           (SELECT count(*) FROM events WHERE user_id IS NULL),
+           (SELECT count(DISTINCT user_id) FROM events),
+           (SELECT CAST(min(user_id) AS VARCHAR) FROM events),
+           (SELECT CAST(max(user_id) AS VARCHAR) FROM events)
+    FROM base
+    UNION ALL
+    SELECT 'value', n_rows,
+           (SELECT count(*) FROM events WHERE value IS NULL),
+           (SELECT count(DISTINCT value) FROM events),
+           (SELECT CAST(min(value) AS VARCHAR) FROM events),
+           (SELECT CAST(max(value) AS VARCHAR) FROM events)
+    FROM base
+    """,
+    doc="Data-quality table profile: per-column null count, distinct "
+        "count, extrema in ONE pass (long output, diffable between "
+        "snapshots for drift); exact_distinct=False switches to HLL "
+        "at scale",
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.profile import (
+        profile_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(ev, ["event_type", "user_id", "value"])
+
+
+@register(
+    "pipeline_triggers",
+    None,  # resolved at import time below — reuses the trigger-chain
+    # oracle with the orchestrated pipeline's column names
+    doc="The orchestrated pipeline (pipeline.run_forecast_pipeline: "
+        "persist boundaries at windfield and muni_hazard, every "
+        "downstream branch reuses them) driven through the "
+        "correctness gate — same oracle as the standalone trigger "
+        "chain, proving orchestration changes nothing",
+)
+def pipeline_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.pipeline import (
+        run_forecast_pipeline,
+    )
+
+    res = run_forecast_pipeline(spark)
+    return res.triggers.select(
+        F.round("prob_gt_20k", 6).alias("prob_gt_20k"),
+        F.round("prob_gt_50k", 6).alias("prob_gt_50k"),
+        F.round("prob_gt_80k", 6).alias("prob_gt_80k"),
+        "triggered_20k",
+        "triggered_80k",
+    )
+
+
+# splice the oracle in from the typhoon trigger chain, renaming the
+# trigger columns to the pipeline's labels
+from ibf_typhoon_data_pipeline_spark.plans import typhoon as _ty  # noqa: E402
+from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES  # noqa: E402
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+_PIPELINE_ORACLE = f"""
+    {_ty.DAMAGE_SQL},
+    totals AS (
+      SELECT ens_id, sum(damage_predicted) AS total_damage
+      FROM damage GROUP BY ens_id
+    )
+    SELECT round(avg(CASE WHEN total_damage > 20000.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_gt_20k,
+           round(avg(CASE WHEN total_damage > 50000.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_gt_50k,
+           round(avg(CASE WHEN total_damage > 80000.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS prob_gt_80k,
+           avg(CASE WHEN total_damage > 20000.0 THEN 1.0 ELSE 0.0 END) >= 0.5
+             AS triggered_20k,
+           avg(CASE WHEN total_damage > 80000.0 THEN 1.0 ELSE 0.0 END) >= 0.5
+             AS triggered_80k
+    FROM totals
+"""
+QUERIES["pipeline_triggers"] = _dc_replace(
+    QUERIES["pipeline_triggers"], oracle=_PIPELINE_ORACLE
+)
