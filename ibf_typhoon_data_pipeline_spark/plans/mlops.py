@@ -33,6 +33,7 @@ from ibf_typhoon_data_pipeline_spark.operators.multimodal import (
     gen_media,
 )
 from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.plans import typhoon
 from ibf_typhoon_data_pipeline_spark.plans.typhoon import TRACKS_SQL, gen_tracks
 from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
 from ibf_typhoon_data_pipeline_spark.streaming import (
@@ -193,35 +194,33 @@ def stream_forecast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_PROFILE_COLS = ["event_type", "user_id", "value"]
+_PROFILE_FLOATS = {"value"}
+
+
+def _profile_branch(c: str) -> str:
+    # printf %.6f for doubles mirrors profile_table's portable float
+    # formatting; plain VARCHAR cast for everything else
+    if c in _PROFILE_FLOATS:
+        mn, mx = f"printf('%.6f', min({c}))", f"printf('%.6f', max({c}))"
+    else:
+        mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+    return f"""
+    SELECT '{c}' AS column, (SELECT count(*) FROM events) AS n_rows,
+           (SELECT count(*) FROM events WHERE {c} IS NULL) AS n_null,
+           (SELECT count(DISTINCT {c}) FROM events) AS n_distinct,
+           (SELECT {mn} FROM events) AS min_val,
+           (SELECT {mx} FROM events) AS max_val
+    """
+
+
 @register(
     "profile_events",
-    """
-    WITH base AS (SELECT count(*) AS n_rows FROM events)
-    SELECT 'event_type' AS column, n_rows,
-           (SELECT count(*) FROM events WHERE event_type IS NULL) AS n_null,
-           (SELECT count(DISTINCT event_type) FROM events) AS n_distinct,
-           (SELECT CAST(min(event_type) AS VARCHAR) FROM events) AS min_val,
-           (SELECT CAST(max(event_type) AS VARCHAR) FROM events) AS max_val
-    FROM base
-    UNION ALL
-    SELECT 'user_id', n_rows,
-           (SELECT count(*) FROM events WHERE user_id IS NULL),
-           (SELECT count(DISTINCT user_id) FROM events),
-           (SELECT CAST(min(user_id) AS VARCHAR) FROM events),
-           (SELECT CAST(max(user_id) AS VARCHAR) FROM events)
-    FROM base
-    UNION ALL
-    SELECT 'value', n_rows,
-           (SELECT count(*) FROM events WHERE value IS NULL),
-           (SELECT count(DISTINCT value) FROM events),
-           (SELECT CAST(min(value) AS VARCHAR) FROM events),
-           (SELECT CAST(max(value) AS VARCHAR) FROM events)
-    FROM base
-    """,
+    " UNION ALL ".join(_profile_branch(c) for c in _PROFILE_COLS),
     doc="Data-quality table profile: per-column null count, distinct "
         "count, extrema in ONE pass (long output, diffable between "
-        "snapshots for drift); exact_distinct=False switches to HLL "
-        "at scale",
+        "snapshots for drift); floats printf'd %.6f for portability; "
+        "exact_distinct=False switches to HLL at scale",
 )
 def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibf_typhoon_data_pipeline_spark.operators.profile import (
@@ -229,18 +228,17 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    return profile_table(ev, ["event_type", "user_id", "value"])
+    return profile_table(ev, _PROFILE_COLS)
 
 
 @register(
     "pipeline_triggers",
-    None,  # resolved at import time below — reuses the trigger-chain
-    # oracle with the orchestrated pipeline's column names
+    typhoon.trigger_ladder_oracle("triggered_20k", "triggered_80k"),
     doc="The orchestrated pipeline (pipeline.run_forecast_pipeline: "
         "persist boundaries at windfield and muni_hazard, every "
         "downstream branch reuses them) driven through the "
-        "correctness gate — same oracle as the standalone trigger "
-        "chain, proving orchestration changes nothing",
+        "correctness gate — same oracle template as the standalone "
+        "trigger chain, so the two cannot silently diverge",
 )
 def pipeline_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibf_typhoon_data_pipeline_spark.pipeline import (
@@ -248,39 +246,13 @@ def pipeline_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     res = run_forecast_pipeline(spark)
-    return res.triggers.select(
+    out = res.triggers.select(
         F.round("prob_gt_20k", 6).alias("prob_gt_20k"),
         F.round("prob_gt_50k", 6).alias("prob_gt_50k"),
         F.round("prob_gt_80k", 6).alias("prob_gt_80k"),
         "triggered_20k",
         "triggered_80k",
-    )
-
-
-# splice the oracle in from the typhoon trigger chain, renaming the
-# trigger columns to the pipeline's labels
-from ibf_typhoon_data_pipeline_spark.plans import typhoon as _ty  # noqa: E402
-from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES  # noqa: E402
-from dataclasses import replace as _dc_replace  # noqa: E402
-
-_PIPELINE_ORACLE = f"""
-    {_ty.DAMAGE_SQL},
-    totals AS (
-      SELECT ens_id, sum(damage_predicted) AS total_damage
-      FROM damage GROUP BY ens_id
-    )
-    SELECT round(avg(CASE WHEN total_damage > 20000.0 THEN 1.0 ELSE 0.0 END), 6)
-             AS prob_gt_20k,
-           round(avg(CASE WHEN total_damage > 50000.0 THEN 1.0 ELSE 0.0 END), 6)
-             AS prob_gt_50k,
-           round(avg(CASE WHEN total_damage > 80000.0 THEN 1.0 ELSE 0.0 END), 6)
-             AS prob_gt_80k,
-           avg(CASE WHEN total_damage > 20000.0 THEN 1.0 ELSE 0.0 END) >= 0.5
-             AS triggered_20k,
-           avg(CASE WHEN total_damage > 80000.0 THEN 1.0 ELSE 0.0 END) >= 0.5
-             AS triggered_80k
-    FROM totals
-"""
-QUERIES["pipeline_triggers"] = _dc_replace(
-    QUERIES["pipeline_triggers"], oracle=_PIPELINE_ORACLE
-)
+    ).cache()
+    out.count()  # materialize, then release the pipeline's persists
+    res.unpersist()
+    return out

@@ -477,9 +477,11 @@ def tc_damage_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tc_trigger_ladder",
-    f"""
+def trigger_ladder_oracle(alias_20k: str, alias_80k: str) -> str:
+    """The DREF/CERF exceedance-ladder oracle, parameterized on the
+    boolean aliases — shared by tc_trigger_ladder and the orchestrated
+    pipeline_triggers entry so the two cannot silently diverge."""
+    return f"""
     {DAMAGE_SQL},
     totals AS (
       SELECT ens_id, sum(damage_predicted) AS total_damage
@@ -492,11 +494,16 @@ def tc_damage_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(CASE WHEN total_damage > 80000.0 THEN 1.0 ELSE 0.0 END), 6)
              AS prob_gt_80k,
            avg(CASE WHEN total_damage > 20000.0 THEN 1.0 ELSE 0.0 END) >= 0.5
-             AS dref_triggered,
+             AS {alias_20k},
            avg(CASE WHEN total_damage > 80000.0 THEN 1.0 ELSE 0.0 END) >= 0.5
-             AS cerf_triggered
+             AS {alias_80k}
     FROM totals
-    """,
+    """
+
+
+@register(
+    "tc_trigger_ladder",
+    trigger_ladder_oracle("dref_triggered", "cerf_triggered"),
     doc="A5+A7 ensemble trigger: per-member national damage totals → "
         "exceedance-probability ladder → DREF/CERF booleans "
         "(forecast_process.py:1262-1303, settings.py:61-145)",
