@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Production-event benchmark — the BASELINE.md envelope, exactly:
+one typhoon event, 52 ensemble members × 481 30-minute-interpolated
+positions × the real 0.05° centroid grid (47,241 points ≈ the
+reference's 46,800), ≈1.18 × 10⁹ raw candidate pairs bbox-pruned
+inside the join, through the Holland kernel and the K2 intensity
+reduction.
+
+The reference's budget for the full run is < 6 h on one node
+(crontab cadence); this — its dominant compute — completes in well
+under a minute on local[32]. Separate from bench.py so the per-round
+operator bench stays fast; run on demand:
+
+    python bench_event.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
+    resample_interpolate,
+)
+from ibf_typhoon_data_pipeline_spark.operators.windfield import windfield_expr
+from ibf_typhoon_data_pipeline_spark.plans.typhoon import gen_tracks
+from ibf_typhoon_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("ibf-bench-event", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # the reference's 0.05° grid over (118..127, 6..19)
+    cents = spark.range(261 * 181).select(
+        F.col("id").alias("centroid_id"),
+        (6.0 + F.expr("id div 181") * 0.05).alias("lat"),
+        (118.0 + (F.col("id") % 181) * 0.05).alias("lon"),
+    )
+    # 52 members × 41 six-hour points → F16 30-min resample → 481/member
+    base = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    pts = gen_tracks(spark).select(
+        "ens_id",
+        F.timestamp_seconds(
+            F.unix_timestamp(base) + F.col("step") * 21600
+        ).alias("t"),
+        "lat",
+        "lon",
+        "vmax",
+        "pcen",
+        "penv",
+    )
+    interp = resample_interpolate(
+        pts, ["ens_id"], "t", ["lat", "lon", "vmax", "pcen", "penv"], 30
+    ).withColumn(
+        "step",
+        ((F.unix_timestamp("t") - F.unix_timestamp(base)) / 1800).cast(
+            "bigint"
+        ),
+    )
+
+    t0 = time.perf_counter()
+    n_track = interp.count()
+    wf = windfield_expr(
+        interp.select("ens_id", "step", "lat", "lon", "vmax", "pcen", "penv"),
+        cents,
+    )
+    out_rows = (
+        wf.groupBy("ens_id", "centroid_id")
+        .agg(F.count("*").alias("n_steps"), F.max("wind_ms").alias("i"))
+        .count()
+    )
+    wall = round(time.perf_counter() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "production_event_windfield",
+                "value": wall,
+                "unit": "sec",
+                "track_positions": n_track,
+                "centroids": 261 * 181,
+                "raw_candidate_pairs": n_track * 261 * 181,
+                "output_rows": out_rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
