@@ -256,3 +256,54 @@ def pipeline_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize, then release the pipeline's persists
     res.unpersist()
     return out
+
+
+@register(
+    "bufr_text_decode",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    msgs AS (
+      SELECT concat(
+        'SUBSET ens=', CAST(ens_id AS VARCHAR),
+        ' step=', CAST(step AS VARCHAR),
+        ' 005002 ', printf('%.2f', round(lat, 2)),
+        ' 006002 ', printf('%.2f', round(lon, 2)),
+        ' 011012 ', printf('%.2f', round(vmax, 2)),
+        ' 010051 ', printf('%.2f', round(pcen, 2))
+      ) AS line
+      FROM tracks
+    )
+    SELECT CAST(regexp_extract(line, 'ens=([0-9]+)', 1) AS BIGINT) AS ens_id,
+           CAST(regexp_extract(line, 'step=([0-9]+)', 1) AS BIGINT) AS step,
+           CAST(regexp_extract(line, '005002 (-?[0-9.]+)', 1) AS DOUBLE) AS lat,
+           CAST(regexp_extract(line, '006002 (-?[0-9.]+)', 1) AS DOUBLE) AS lon,
+           CAST(regexp_extract(line, '011012 ([0-9.]+)', 1) AS DOUBLE) AS wind_ms,
+           CAST(regexp_extract(line, '010051 ([0-9.]+)', 1) AS DOUBLE) AS pcen_hpa
+    FROM msgs
+    """,
+    doc="S2 decode surface: flat-text BUFR-style messages (section-4 "
+        "descriptor codes, one line per member/step) parsed in an "
+        "Arrow-batched mapInPandas regex pass into long track rows "
+        "(tc_tracks_forecast.py:187-337 shape); the synthetic "
+        "rendering is deterministic, so the oracle re-parses the "
+        "identical text",
+)
+def bufr_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.sources.ingest import (
+        decode_bufr_text,
+    )
+
+    tracks = gen_tracks(spark)
+    msgs = tracks.select(
+        F.format_string(
+            "SUBSET ens=%d step=%d 005002 %.2f 006002 %.2f "
+            "011012 %.2f 010051 %.2f",
+            F.col("ens_id"),
+            F.col("step"),
+            F.round("lat", 2),
+            F.round("lon", 2),
+            F.round("vmax", 2),
+            F.round("pcen", 2),
+        ).alias("line")
+    )
+    return decode_bufr_text(msgs)

@@ -130,3 +130,68 @@ def filename_geo_filter(
     return df.filter(
         lat.between(lat_min, lat_max) & lon.between(lon_min, lon_max)
     )
+
+
+# --------------------------------------------------------- S2 decode surface
+# The real BUFR codec is gated above (decode_bufr_to_parquet); the
+# decode SHAPE — a fleet of flat-text messages parsed in parallel into
+# long track rows — is implemented and tested here against a
+# deterministic synthetic rendering (section-4 descriptor codes as in
+# the pybufrkit flat render: 005002 lat, 006002 lon, 011012 wind,
+# 010051 pressure; tc_tracks_forecast.py:187-337 semantics).
+
+BUFR_LINE_RE = (
+    r"^SUBSET ens=([0-9]+) step=([0-9]+) "
+    r"005002 (-?[0-9]+\.[0-9]{2}) 006002 (-?[0-9]+\.[0-9]{2}) "
+    r"011012 ([0-9]+\.[0-9]{2}) 010051 ([0-9]+\.[0-9]{2})$"
+)
+
+
+def decode_bufr_text(messages: "DataFrame") -> "DataFrame":
+    """Parse flat-text track messages (one line per (member, step))
+    into long track rows with an Arrow-batched mapInPandas regex pass
+    — the parallel decode stage of S2. Input: DataFrame with a
+    ``line`` string column. Malformed lines are dropped (the reference
+    skips undecodable subsets)."""
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(BUFR_LINE_RE)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf["line"]:
+                m = pat.match(line)
+                if not m:
+                    continue
+                rows.append(
+                    {
+                        "ens_id": int(m.group(1)),
+                        "step": int(m.group(2)),
+                        "lat": float(m.group(3)),
+                        "lon": float(m.group(4)),
+                        "wind_ms": float(m.group(5)),
+                        "pcen_hpa": float(m.group(6)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "ens_id",
+                    "step",
+                    "lat",
+                    "lon",
+                    "wind_ms",
+                    "pcen_hpa",
+                ],
+            )
+
+    return messages.mapInPandas(
+        parse,
+        schema=(
+            "ens_id long, step long, lat double, lon double, "
+            "wind_ms double, pcen_hpa double"
+        ),
+    )
