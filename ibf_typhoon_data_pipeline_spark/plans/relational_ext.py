@@ -738,3 +738,29 @@ def k4_degree_distance_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dis_track_min")
     )
+
+
+@register(
+    "f19r_json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="JSON read side of F19: parse the nested props document, "
+        "extract a typed field, aggregate on it — get_json_object "
+        "stays in codegen (no UDF JSON parsing)",
+)
+def f19r_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -71,3 +71,24 @@ def test_prune_common_shingles_bounds_buckets(spark):
     assert worst is not None and worst <= max_df
     # pruning only removes rows, never invents them
     assert 0 < pruned.count() < sh.count()
+
+
+def test_salted_join_matches_unsalted(spark):
+    from pyspark.sql import functions as F
+
+    from ibf_typhoon_data_pipeline_spark.operators.skew import salted_join
+    from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").agg(
+        F.count("*"), F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2)
+    ).collect()
+    salted = salted_join(li, o, "l_orderkey", n_salts=4).agg(
+        F.count("*"), F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2)
+    ).collect()
+    assert plain == salted
