@@ -97,11 +97,19 @@ def cubic_spline_resample(
     out_schema = f"{key_schema}, {x_col} double, {y_col} double"
 
     def spline(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(x_col)
+        # sort by (x, y) then drop duplicate x: deterministic knot set
+        # even if a raw feed carries repeated timestamps (h=0 would
+        # blow up the tridiagonal system)
+        pdf = pdf.sort_values([x_col, y_col]).drop_duplicates(
+            subset=[x_col], keep="first"
+        )
         x = pdf[x_col].to_numpy(dtype="float64")
         y = pdf[y_col].to_numpy(dtype="float64")
         n = len(x)
         grid = np.arange(x[0], x[-1] + step / 2, step)
+        # never extrapolate past the last knot (CLIMADA restricts to
+        # the original track extent, tt:1455-1457)
+        grid = grid[grid <= x[-1]]
         if n < 3:  # single point / segment → constant / linear
             vals = np.interp(grid, x, y)
         else:
@@ -162,7 +170,12 @@ def resample_interpolate(
             F.explode(F.expr(f"sequence(__t0, __t1, {step})")).alias(time_col),
         )
     )
-    raw = df.select(*keys, time_col, *value_cols)
+    # normalize duplicate timestamps to one row (min per value col —
+    # deterministic) so the grid join cannot fan out, and the bracket
+    # windows ordered by time_col alone stay deterministic
+    raw = df.groupBy(*keys, time_col).agg(
+        *[F.min(c).alias(c) for c in value_cols]
+    )
     joined = grid.join(raw, [*keys, time_col], "left")
     out = joined
     for c in value_cols:

@@ -38,8 +38,6 @@ trop_cyclone.py:409-413).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,7 +50,6 @@ H_TO_S = 3600.0
 DEG_BOX = 5.5           # bbox half-width, the X1 pruning radius
 V_THRESHOLD_MS = 17.5   # intensity threshold (trop_cyclone.py:92)
 VT_CAP_MS = 15.4        # translation-speed cap ≈ 30 kn (tc:676-714)
-MS_TO_KN = 1.0 / 0.514444
 
 
 def estimate_rmw_km(pcen: Column) -> Column:
@@ -320,6 +317,11 @@ def windfield_kernel(
     Memory bound per group = |points in bbox| × |candidate centroids|
     doubles; chunk the centroid axis inside the kernel if a realistic
     grid ever pushes past executor memory (SURVEY §4 note).
+
+    NOTE: centroids are collected to the driver and broadcast at
+    plan-BUILD time (the broadcast must exist before tasks run) and
+    the broadcast lives until the session ends — fine for the grid-
+    sized tables this targets; prefer windfield_expr in loops.
     """
     import numpy as np
     import pandas as pd

@@ -52,6 +52,7 @@ class ForecastResult:
     exposure_docs: DataFrame
 
     def unpersist(self) -> None:
+        self.tracks.unpersist()
         self.windfield.unpersist()
         self.muni_hazard.unpersist()
 
@@ -70,6 +71,10 @@ def run_forecast_pipeline(
     tracks = tracks if tracks is not None else gen_tracks(spark)
     cents = centroids if centroids is not None else gen_centroids(spark)
     munis = munis if munis is not None else gen_munis(spark)
+
+    # tracks feeds two branches (windfield + distance); persist so a
+    # real (non-generated) track table scans once
+    tracks = tracks.persist(StorageLevel.MEMORY_AND_DISK)
 
     wf = windfield_expr(
         tracks, cents.select("centroid_id", "lat", "lon")

@@ -29,7 +29,6 @@ from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
     resample_interpolate,
 )
 from ibf_typhoon_data_pipeline_spark.operators.windfield import (
-    intensity_reduce,
     windfield_expr,
     windfield_kernel,
 )
@@ -533,7 +532,7 @@ def tc_trigger_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT adm3_pcode, damage_predicted FROM (
         SELECT adm3_pcode, damage_predicted, row_number() OVER (
           PARTITION BY adm3_pcode, ens_id
-          ORDER BY damage_predicted DESC
+          ORDER BY damage_predicted DESC, v_max DESC
         ) AS rn FROM damage
       ) WHERE rn = 1
     ),
@@ -558,7 +557,7 @@ def tc_trigger_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tc_exposure_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _damage(spark)
     w = Window.partitionBy("adm3_pcode", "ens_id").orderBy(
-        F.col("damage_predicted").desc()
+        F.col("damage_predicted").desc(), F.col("v_max").desc()
     )
     kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     per_muni = kept.groupBy("adm3_pcode").agg(

@@ -30,3 +30,21 @@ def test_kernel_matches_expr(spark):
         abs(expr_rows[k] - kern_rows[k]) for k in expr_rows
     )
     assert worst < 1e-6, f"kernel diverges from expr path by {worst}"
+
+
+def test_intensity_reduce_is_max_per_member_centroid(spark):
+    from pyspark.sql import functions as F
+
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        intensity_reduce,
+    )
+
+    tracks = gen_tracks(spark).filter("ens_id < 3")
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_expr(tracks, cents)
+    reduced = intensity_reduce(wf)
+    direct = wf.groupBy("ens_id", "centroid_id").agg(
+        F.max("wind_ms").alias("intensity_ms")
+    )
+    assert reduced.exceptAll(direct).count() == 0
+    assert direct.exceptAll(reduced).count() == 0
