@@ -307,3 +307,67 @@ def bufr_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line")
     )
     return decode_bufr_text(msgs)
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="§2.10 watermark + tumbling-window aggregation: events stream "
+        "through readStream → withWatermark(2h) → 1h window counts → "
+        "AvailableNow sink; with one ordered drop the watermark drops "
+        "nothing, so the result equals the batch aggregation — which "
+        "is the oracle",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ibf_typhoon_data_pipeline_spark.streaming.micro_batch import (
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_win_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    ev.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    counts = windowed_event_counts(stream)
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(out)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result

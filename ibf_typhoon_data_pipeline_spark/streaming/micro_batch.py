@@ -74,3 +74,31 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    time_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a watermark — the
+    late-data-tolerant aggregation shape (§2.10). Under AvailableNow
+    the watermark only bounds state; with a continuous trigger it also
+    finalizes windows ``watermark_delay`` after their close, dropping
+    later arrivals. Emits (window_start, event_type, n)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(time_col, watermark_delay)
+        .groupBy(
+            F.window(time_col, window_duration).alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )

@@ -1,0 +1,41 @@
+"""Cross-operator dedup quality: the MinHash estimate must track the
+true n-gram Jaccard on the pairs both paths surface — the statistical
+contract that makes LSH a valid sub-quadratic stand-in for the exact
+inverted-index join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    true = ngram_jaccard_pairs(docs, n=3, threshold=0.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+    est = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+    joined = est.join(true, ["id_a", "id_b"], "left").na.fill(
+        {"jaccard": 0.0}
+    )
+    stats = joined.agg(
+        F.count("*").alias("n"),
+        F.avg(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("mae"),
+        F.avg("jaccard").alias("mean_true"),
+    ).first()
+    # LSH candidates must exist and overwhelmingly be genuinely similar
+    assert stats.n > 0
+    assert stats.mean_true > 0.4, (
+        f"LSH candidates are mostly dissimilar (mean true jaccard "
+        f"{stats.mean_true:.3f}) — banding is broken"
+    )
+    # 8 hashes → σ ≈ sqrt(j(1-j)/8) ≈ 0.17 worst case; MAE well under
+    # that means the estimator is unbiased in aggregate
+    assert stats.mae < 0.2, f"minhash MAE {stats.mae:.3f} too high"
