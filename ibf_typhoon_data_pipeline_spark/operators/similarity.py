@@ -184,6 +184,70 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.98,
+    m: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the vector analog of
+    dedup_minhash_lsh): candidate pairs come from the sign-LSH bucket
+    join (n² → Σ bucket²), a pair is a duplicate when round(cosine, 6)
+    ≥ threshold, and each duplicate canonicalizes to the LOWEST id it
+    matches (keep-first; deterministic, no tie possible on min).
+
+    Output: (vec_id, canonical_id, is_dup) for every vector — keepers
+    map to themselves. One bucket-join shuffle + one groupBy(min);
+    both sides of the pair predicate are id-ordered (b < a) so each
+    unordered pair is scored once.
+    """
+    base = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).select(
+        F.col(id_col),
+        "__v",
+        sign_bucket(F.col("__v"), m).alias("__bucket"),
+        l2_norm(F.col("__v")).alias("__n"),
+    )
+    a = base.select(
+        F.col(id_col).alias("__aid"),
+        F.col("__v").alias("__av"),
+        F.col("__n").alias("__an"),
+        "__bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("__bid"),
+        F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"),
+        "__bucket",
+    )
+    pairs = a.join(b, "__bucket").filter(F.col("__bid") < F.col("__aid"))
+    matched = (
+        pairs.select(
+            "__aid",
+            "__bid",
+            F.round(
+                dot(F.col("__av"), F.col("__bv"))
+                / (F.col("__an") * F.col("__bn")),
+                6,
+            ).alias("__sim"),
+        )
+        .filter(F.col("__sim") >= threshold)
+        .groupBy("__aid")
+        .agg(F.min("__bid").alias("__canon"))
+    )
+    return (
+        base.select(id_col)
+        .join(matched, F.col(id_col) == F.col("__aid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__canon"), F.col(id_col)).alias("canonical_id"),
+            F.col("__canon").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     k: int = 5,

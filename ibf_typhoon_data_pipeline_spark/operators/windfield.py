@@ -340,46 +340,71 @@ def windfield_kernel(
         + ", step long, centroid_id long, wind_ms double"
     )
 
+    # points-per-chunk for the 2-D (points × centroids) broadcast below;
+    # bounds peak kernel memory to ~CHUNK × |bbox centroids| doubles per
+    # intermediate (≈64×47k×8B ≈ 24 MB) independent of track length.
+    p_chunk = 64
+
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         lat_c, lon_c, id_c = bc.value
+        empty = pd.DataFrame(columns=[*keys, "step", "centroid_id", "wind_ms"])
+        if not len(pdf):
+            return empty
+        # whole-track bbox prefilter once (X1), then the exact per-pair
+        # bbox mask vectorized inside each chunk — no per-row Python loop.
+        m0 = (
+            (lat_c >= pdf["lat"].min() - DEG_BOX)
+            & (lat_c <= pdf["lat"].max() + DEG_BOX)
+            & (lon_c >= pdf["lon"].min() - DEG_BOX)
+            & (lon_c <= pdf["lon"].max() + DEG_BOX)
+        )
+        la, lo, ci = lat_c[m0], lon_c[m0], id_c[m0]
+        if not la.size:
+            return empty
+        p_lat = pdf["lat"].to_numpy()
+        p_lon = pdf["lon"].to_numpy()
+        p_step = pdf["step"].to_numpy()
+        p_rmw = pdf["rmw_km"].to_numpy()
+        p_bs = pdf["b_s"].to_numpy()
+        p_penv = pdf["penv"].to_numpy()
+        p_pcen = pdf["pcen"].to_numpy()
+        p_vt = pdf["v_trans_ms"].to_numpy()
+        cos_la = np.cos(np.radians(la))
         chunks = []
-        for _, row in pdf.iterrows():
-            m = (np.abs(lat_c - row.lat) <= DEG_BOX) & (
-                np.abs(lon_c - row.lon) <= DEG_BOX
-            )
-            if not m.any():
+        for i in range(0, len(pdf), p_chunk):
+            s = slice(i, i + p_chunk)
+            dlat_deg = la[None, :] - p_lat[s, None]
+            dlon_deg = lo[None, :] - p_lon[s, None]
+            mask = (np.abs(dlat_deg) <= DEG_BOX) & (np.abs(dlon_deg) <= DEG_BOX)
+            if not mask.any():
                 continue
-            la, lo, ci = lat_c[m], lon_c[m], id_c[m]
-            dlat = np.radians(la - row.lat)
-            dlon = np.radians(lo - row.lon)
             a = (
-                np.sin(dlat / 2) ** 2
-                + np.cos(np.radians(row.lat))
-                * np.cos(np.radians(la))
-                * np.sin(dlon / 2) ** 2
+                np.sin(np.radians(dlat_deg) / 2) ** 2
+                + np.cos(np.radians(p_lat[s, None]))
+                * cos_la[None, :]
+                * np.sin(np.radians(dlon_deg) / 2) ** 2
             )
             r_km = 2.0 * 6367.0 * np.arcsin(np.sqrt(a))
             wind = _holland_np(
-                r_km, row.rmw_km, row.b_s, row.penv, row.pcen,
-                row.lat, row.v_trans_ms,
+                r_km, p_rmw[s, None], p_bs[s, None], p_penv[s, None],
+                p_pcen[s, None], p_lat[s, None], p_vt[s, None],
             )
-            keep = wind > threshold_ms
-            if not keep.any():
+            keep = mask & (wind > threshold_ms)
+            pi, cj = np.nonzero(keep)
+            if not pi.size:
                 continue
             chunk = pd.DataFrame(
                 {
-                    "step": row.step,
-                    "centroid_id": ci[keep],
+                    "step": p_step[s][pi],
+                    "centroid_id": ci[cj],
                     "wind_ms": wind[keep],
                 }
             )
             for k in keys:
-                chunk[k] = getattr(row, k)
+                chunk[k] = pdf[k].iloc[0]
             chunks.append(chunk[[*keys, "step", "centroid_id", "wind_ms"]])
         if not chunks:
-            return pd.DataFrame(
-                columns=[*keys, "step", "centroid_id", "wind_ms"]
-            )
+            return empty
         return pd.concat(chunks, ignore_index=True)
 
     return tp.groupBy(*keys).applyInPandas(compute, schema=out_schema)

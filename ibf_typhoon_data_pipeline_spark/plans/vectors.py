@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ibf_typhoon_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    embedding_near_dup,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -77,6 +78,38 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, k=5, m=6)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+             array_to_string(list_transform(
+               (CAST(embedding AS DOUBLE[]))[1:6],
+               x -> CASE WHEN x >= 0 THEN '+' ELSE '-' END), '') AS bucket
+      FROM embeddings
+    ), matched AS (
+      SELECT a.vec_id AS aid, min(b.vec_id) AS canon
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+      WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= CAST(0.3 AS DOUBLE)
+      GROUP BY a.vec_id
+    )
+    SELECT e.vec_id,
+           coalesce(m.canon, e.vec_id) AS canonical_id,
+           m.canon IS NOT NULL AS is_dup
+    FROM embeddings e LEFT JOIN matched m ON e.vec_id = m.aid
+    """,
+    doc="Embedding-cosine near-dup: sign-LSH bucket candidate join "
+        "(n² → Σ bucket²), pair is dup at round(cos,6) ≥ t, canonical "
+        "= lowest matched id (keep-first). Threshold 0.3 here so the "
+        "synthetic embeddings (max within-bucket cos ≈ 0.55) exercise "
+        "real pairs; production default 0.98",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.3, m=6)
 
 
 _SEG_SUMS = ", ".join(
