@@ -231,6 +231,7 @@ def willoughby_wind_ms(
     Simplified at the eyewall: the paper's polynomial blend zone
     (Newton-solved ξ) is replaced by the piecewise join at Rmax — the
     standard reduced form; max error is confined to the blend band.
+    ``windfield_willoughby_blend`` below implements the full ramp.
     """
     alat = F.abs(lat)
     rmax = 46.6 * F.exp(-0.0155 * vmax + 0.0169 * alat)
@@ -283,6 +284,124 @@ def windfield_willoughby(
     wind = willoughby_wind_ms(r_km, F.col("vmax"), F.col("t_lat"))
     return pairs.select(
         *keys, "step", "centroid_id", wind.alias("wind_ms")
+    ).filter(F.col("wind_ms") > threshold_ms)
+
+
+# ---------------------------------------------------- Willoughby blend zone
+# Full Willoughby, Darling & Rahn (2006) fidelity: the inner power law
+# and outer dual-exponential are merged over a ramp zone [R1, R1+bw]
+# by the 9th-order smoothstep w(ξ), with the ramp offset ξ* solved from
+# the smoothness condition w(ξ*) = n((1−A)X1 + A·X2) / (n(...) + Rmax)
+# (X2 = 25 km; bw = 25 km, or 15 km when Rmax < 20 km).
+#
+# The solve is 8 clamped Newton steps from ξ=0.5 — residual < 3e-14
+# over the whole (vmax, lat) envelope — unrolled as column updates, one
+# materialized column per step (never nested: the expression would grow
+# exponentially). Every formula below is a SQL TEXT CONSTANT consumed
+# by BOTH the Spark plan (F.expr) and the DuckDB oracle, so the float
+# expression trees are token-identical by construction.
+
+def _w_smooth(x: str) -> str:
+    """w(ξ) = 126ξ⁵ − 420ξ⁶ + 540ξ⁷ − 315ξ⁸ + 70ξ⁹ (W2006 eq. 2)."""
+    return (
+        f"(126.0 * pow({x}, 5) - 420.0 * pow({x}, 6) + 540.0 * pow({x}, 7)"
+        f" - 315.0 * pow({x}, 8) + 70.0 * pow({x}, 9))"
+    )
+
+
+def _wp_smooth(x: str) -> str:
+    """w'(ξ) = 630·ξ⁴·(1−ξ)⁴."""
+    return f"(630.0 * pow({x}, 4) * pow(1.0 - {x}, 4))"
+
+
+WILL_RMAX_SQL = "46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat))"
+WILL_X1_SQL = "317.1 - 2.026 * vmax + 1.915 * abs(lat)"
+WILL_N_SQL = "0.4067 + 0.0144 * vmax - 0.0038 * abs(lat)"
+WILL_A_SQL = "greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0)"
+WILL_WSTAR_SQL = (
+    "(nn * ((1.0 - aa) * x1 + 25.0 * aa))"
+    " / (nn * ((1.0 - aa) * x1 + 25.0 * aa) + rmax)"
+)
+WILL_XI_STEP_SQL = (
+    f"least(greatest(xi - ({_w_smooth('xi')} - wstar) / {_wp_smooth('xi')},"
+    " 0.001), 0.999)"
+)
+WILL_XI_STEPS = 8
+# CAST literals that stand alone (not folded into double arithmetic):
+# DuckDB types them DECIMAL otherwise (parity pitfall).
+WILL_XI0_SQL = "CAST(0.5 AS DOUBLE)"
+WILL_BW_SQL = (
+    "CASE WHEN rmax < 20.0 THEN CAST(15.0 AS DOUBLE)"
+    " ELSE CAST(25.0 AS DOUBLE) END"
+)
+WILL_R1_SQL = "rmax - xi * bw"
+WILL_VI_SQL = "vmax * pow(r / rmax, nn)"
+WILL_VO_SQL = (
+    "vmax * ((1.0 - aa) * exp((rmax - r) / x1) + aa * exp((rmax - r) / 25.0))"
+)
+WILL_XIR_SQL = "(r - r1) / bw"
+WILL_BLEND_SQL = (
+    "CASE WHEN r <= r1 THEN vi WHEN r >= r1 + bw THEN vo"
+    f" ELSE vi * (1.0 - {_w_smooth('xir')}) + vo * {_w_smooth('xir')} END"
+)
+
+
+def windfield_willoughby_blend(
+    tracks: DataFrame,
+    centroids: DataFrame,
+    threshold_ms: float = V_THRESHOLD_MS,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """K5 at full W2006 fidelity. Same broadcast theta-join + bbox
+    guard as the other kernels; the per-POINT Newton solve runs on the
+    tiny track side before the join, so the pair space sees only the
+    precomputed (rmax, x1, nn, aa, r1, bw) scalars."""
+    keys = keys or ["ens_id"]
+    wp = (
+        tracks.select(*keys, "step", "lat", "lon", "vmax")
+        .withColumn("rmax", F.expr(WILL_RMAX_SQL))
+        .withColumn("x1", F.expr(WILL_X1_SQL))
+        .withColumn("nn", F.expr(WILL_N_SQL))
+        .withColumn("aa", F.expr(WILL_A_SQL))
+        .withColumn("wstar", F.expr(WILL_WSTAR_SQL))
+        .withColumn("xi", F.expr(WILL_XI0_SQL))
+    )
+    for _ in range(WILL_XI_STEPS):
+        wp = wp.withColumn("xi", F.expr(WILL_XI_STEP_SQL))
+    wp = wp.withColumn("bw", F.expr(WILL_BW_SQL)).withColumn(
+        "r1", F.expr(WILL_R1_SQL)
+    )
+    t = wp.select(
+        *keys, "step",
+        F.col("lat").alias("t_lat"), F.col("lon").alias("t_lon"),
+        "vmax", "rmax", "x1", "nn", "aa", "bw", "r1",
+    )
+    cond = (
+        F.col("c_lat").between(F.col("t_lat") - DEG_BOX, F.col("t_lat") + DEG_BOX)
+        & F.col("c_lon").between(F.col("t_lon") - DEG_BOX, F.col("t_lon") + DEG_BOX)
+    )
+    c = centroids.select(
+        "centroid_id",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+    )
+    pairs = c.join(F.broadcast(t), cond).withColumn(
+        "r",
+        F.greatest(
+            haversine_km(
+                F.col("c_lat"), F.col("c_lon"), F.col("t_lat"), F.col("t_lon")
+            ),
+            F.lit(0.1),
+        ),
+    )
+    scored = (
+        pairs.withColumn("vi", F.expr(WILL_VI_SQL))
+        .withColumn("vo", F.expr(WILL_VO_SQL))
+        .withColumn("xir", F.expr(WILL_XIR_SQL))
+        .withColumn("wind_ms", F.expr(WILL_BLEND_SQL))
+    )
+    return scored.select(
+        *keys, "step", "centroid_id", "wind_ms"
     ).filter(F.col("wind_ms") > threshold_ms)
 
 

@@ -29,6 +29,19 @@ from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
     resample_interpolate,
 )
 from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+    WILL_A_SQL,
+    WILL_BLEND_SQL,
+    WILL_BW_SQL,
+    WILL_N_SQL,
+    WILL_R1_SQL,
+    WILL_RMAX_SQL,
+    WILL_VI_SQL,
+    WILL_VO_SQL,
+    WILL_WSTAR_SQL,
+    WILL_X1_SQL,
+    WILL_XI_STEP_SQL,
+    WILL_XI_STEPS,
+    WILL_XIR_SQL,
     windfield_expr,
     windfield_kernel,
 )
@@ -842,6 +855,87 @@ def tc_windfield_willoughby(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks = gen_tracks(spark)
     cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
     wf = windfield_willoughby(tracks, cents)
+    return wf.groupBy("ens_id", "centroid_id").agg(
+        F.count("*").alias("n_steps"),
+        F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
+    )
+
+
+def _willoughby_blend_oracle() -> str:
+    """DuckDB twin of windfield_willoughby_blend, assembled from the
+    SAME SQL text constants the Spark plan feeds to F.expr — the
+    unrolled Newton steps become chained CTEs, each re-aliasing xi
+    (one materialized column per step, mirroring withColumn)."""
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        WILL_XI0_SQL,
+    )
+
+    carry = "ens_id, step, lat, lon, vmax, rmax, x1, nn, aa, wstar"
+    ctes = [
+        f"wq AS (SELECT ens_id, step, lat, lon, vmax,\n"
+        f"  {WILL_RMAX_SQL} AS rmax,\n  {WILL_X1_SQL} AS x1,\n"
+        f"  {WILL_N_SQL} AS nn,\n  {WILL_A_SQL} AS aa FROM tracks)",
+        f"wq2 AS (SELECT *, {WILL_WSTAR_SQL} AS wstar FROM wq)",
+        f"wb0 AS (SELECT {carry}, {WILL_XI0_SQL} AS xi FROM wq2)",
+    ]
+    for i in range(1, WILL_XI_STEPS + 1):
+        ctes.append(
+            f"wb{i} AS (SELECT {carry},\n  {WILL_XI_STEP_SQL} AS xi"
+            f" FROM wb{i - 1})"
+        )
+    ctes.append(
+        f"wsolved AS (SELECT *, {WILL_BW_SQL} AS bw FROM wb{WILL_XI_STEPS})"
+    )
+    ctes.append(f"wfinal AS (SELECT *, {WILL_R1_SQL} AS r1 FROM wsolved)")
+    ctes.append(
+        """pairs AS (
+    SELECT w.ens_id, c.centroid_id, w.vmax, w.rmax, w.x1, w.nn, w.aa,
+      w.bw, w.r1,
+      greatest(2 * 6367.0 * asin(sqrt(
+        pow(sin(radians(w.lat - c.lat) / 2), 2)
+        + cos(radians(c.lat)) * cos(radians(w.lat))
+          * pow(sin(radians(w.lon - c.lon) / 2), 2)
+      )), 0.1) AS r
+    FROM wfinal w JOIN centroids c
+      ON c.lat BETWEEN w.lat - 5.5 AND w.lat + 5.5
+     AND c.lon BETWEEN w.lon - 5.5 AND w.lon + 5.5
+  )"""
+    )
+    ctes.append(
+        f"scored AS (SELECT *,\n  {WILL_VI_SQL} AS vi,\n  {WILL_VO_SQL} AS vo,"
+        f"\n  {WILL_XIR_SQL} AS xir FROM pairs)"
+    )
+    ctes.append(f"wf_b AS (SELECT *, {WILL_BLEND_SQL} AS wind_ms FROM scored)")
+    body = ",\n  ".join(ctes)
+    return f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    centroids AS ({CENTROIDS_SQL}),
+    {body}
+    SELECT ens_id, centroid_id, count(*) AS n_steps,
+           round(max(wind_ms), 3) AS intensity_ms
+    FROM wf_b WHERE wind_ms > 17.5
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "tc_windfield_willoughby_blend",
+    _willoughby_blend_oracle(),
+    doc="K5 at full Willoughby et al. (2006) fidelity: 9th-order "
+        "smoothstep ramp between inner power law and outer "
+        "dual-exponential, ramp offset from the smoothness condition "
+        "solved by 8 unrolled clamped Newton steps "
+        "(lib_r/prepare_typhoon_input.R:200-516 Newton ξ semantics); "
+        "per-point solve runs on the track side BEFORE the pair join",
+)
+def tc_windfield_willoughby_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        windfield_willoughby_blend,
+    )
+
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_willoughby_blend(tracks, cents)
     return wf.groupBy("ens_id", "centroid_id").agg(
         F.count("*").alias("n_steps"),
         F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
