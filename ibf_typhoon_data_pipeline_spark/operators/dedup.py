@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ibf_typhoon_data_pipeline_spark.operators.skew import spread
+
 
 def split_words(text: Column) -> Column:
     return F.split(F.trim(text), " +")
@@ -78,7 +80,7 @@ def shingle_table(
     materialized first so the gram lambda reads an attribute, not a
     re-evaluated split (CollapseProject keeps multi-referenced
     non-trivial aliases materialized)."""
-    words = df.select(
+    words = spread(df).select(
         F.col(id_col), split_words(F.col(text_col)).alias("__words")
     )
     return words.select(
@@ -273,7 +275,7 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-doc SimHash-32. Three-step projection chain (words →
     md5 array → bit votes) keeps every lambda input materialized."""
-    words = df.select(
+    words = spread(df).select(
         F.col(id_col), split_words(F.col(text_col)).alias("__words")
     )
     hashed = words.select(

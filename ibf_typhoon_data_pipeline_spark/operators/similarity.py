@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ibf_typhoon_data_pipeline_spark.operators.skew import spread
 from ibf_typhoon_data_pipeline_spark.operators.windows import top1_per_group  # noqa: F401
 
 
@@ -62,7 +63,7 @@ def brute_force_topk(
     what the LSH variant is for). The self-join is a single shuffle;
     ranking is one window. Ties broken by neighbor id for determinism.
     """
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     ).select(F.col(id_col), "__v", l2_norm(F.col("__v")).alias("__n"))
     v = base.select(
@@ -140,7 +141,7 @@ def ivf_topk(
     only the query's own cell. The cell key is the shuffle key — at
     scale each cell is a co-located partition and the n² pair space
     becomes Σ cell². Probe>1 = union over neighboring cells."""
-    with_cell = df.select(
+    with_cell = spread(df).select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("__v"),
     ).select(
@@ -202,7 +203,7 @@ def embedding_near_dup(
     both sides of the pair predicate are id-ordered (b < a) so each
     unordered pair is scored once.
     """
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     ).select(
         F.col(id_col),
@@ -258,7 +259,7 @@ def lsh_bucketed_topk(
     """ANN top-k probing only same-sign-bucket candidates. Recall < 1
     by construction; the pair space shrinks from n² to Σ bucket².
     Bucket skew is the salting knob at scale."""
-    with_bucket = df.select(
+    with_bucket = spread(df).select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("__v"),
     ).select(

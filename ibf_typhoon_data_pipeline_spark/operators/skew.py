@@ -17,6 +17,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW scan up to the session's
+    parallelism — the small-file analog of skew handling. A tiny
+    parquet file arrives as one partition, and any per-row-expensive
+    stage downstream (pair scoring after a broadcast join, shingling
+    before the first shuffle) then runs on ONE core (measured: the
+    whole IVF pair space single-threaded at sf0.1). No-op when the
+    scan is already at least as wide as the target, so at production
+    scale — where inputs span many files — this costs nothing."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
