@@ -194,6 +194,82 @@ def stream_forecast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@register(
+    "stream_stateful_peak",
+    f"""
+    WITH tracks AS ({TRACKS_SQL})
+    SELECT ens_id, count(*) AS n_points, round(max(vmax), 6) AS peak_vmax,
+           coalesce(min(CASE WHEN vmax >= 33.0 THEN step END), -1)
+             AS first_trigger_step
+    FROM tracks GROUP BY ens_id
+    """,
+    doc="§2.10 custom stateful operator via applyInPandasWithState: "
+        "per-member running (count, peak vmax, first trigger-crossing "
+        "step) state updated across TWO micro-batches (non-overlapping "
+        "drops, maxFilesPerTrigger=1); updates are order-independent, "
+        "so the final state row per key equals the batch aggregate — "
+        "the oracle",
+)
+def stream_stateful_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.streaming.stateful import (
+        track_state_tracker,
+    )
+
+    tracks = gen_tracks(spark).select("ens_id", "step", "vmax")
+    work = tempfile.mkdtemp(prefix="ibf_stream_state_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    # two disjoint drops, one file each → two micro-batches, so the
+    # second batch genuinely reads back cross-batch state
+    tracks.filter(F.col("step") < 20).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    tracks.filter(F.col("step") >= 20).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = (
+        spark.readStream.schema(tracks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    states = track_state_tracker(stream)
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        states.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per key = the row with the largest n_points (strictly
+    # monotone per emission) — max(struct) keeps the whole row (A9 form)
+    trajectory = spark.read.parquet(out)
+    result = (
+        trajectory.groupBy("ens_id")
+        .agg(
+            F.max(
+                F.struct("n_points", "peak_vmax", "first_trigger_step")
+            ).alias("__final")
+        )
+        .select(
+            "ens_id",
+            F.col("__final.n_points").alias("n_points"),
+            F.round(F.col("__final.peak_vmax"), 6).alias("peak_vmax"),
+            F.col("__final.first_trigger_step").alias("first_trigger_step"),
+        )
+        .cache()
+    )
+    result.count()  # materialize before the temp dir is removed
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 _PROFILE_COLS = ["event_type", "user_id", "value"]
 _PROFILE_FLOATS = {"value"}
 
