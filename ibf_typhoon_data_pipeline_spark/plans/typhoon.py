@@ -1367,3 +1367,73 @@ def tc_damage_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("damage_ml"),
     )
+
+
+def _gbt_oracle() -> str:
+    """Generate the GBT oracle at import: materialize the (synthetic,
+    sf-independent) damage frame in DuckDB, run the SAME deterministic
+    numpy fit the Spark entry runs on the same-sorted same-rounded
+    arrays, and emit the fitted stumps as a CASE-chain scoring
+    expression. Both engines derive the identical model, so the SQL is
+    a true twin of the broadcast-model pandas-UDF path."""
+    import duckdb
+
+    from ibf_typhoon_data_pipeline_spark.operators.gbt import (
+        fit_gbt_stumps,
+        gbt_case_sql,
+    )
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"{DAMAGE_SQL} SELECT adm3_pcode, ens_id, v_max, dis_track_min,"
+        " damage_predicted FROM damage ORDER BY adm3_pcode, ens_id"
+    ).df()
+    trees = fit_gbt_stumps(
+        [pdf["v_max"].to_numpy(), pdf["dis_track_min"].to_numpy()],
+        pdf["damage_predicted"].to_numpy(),
+    )
+    expr = gbt_case_sql(trees, ["d.v_max", "d.dis_track_min"])
+    return f"""
+    {DAMAGE_SQL}
+    SELECT d.adm3_pcode AS Mun_Code, d.ens_id,
+           round(greatest({expr}, CAST(0.0 AS DOUBLE)), 2) AS damage_gbt
+    FROM damage d
+    """
+
+
+@register(
+    "tc_damage_gbt",
+    _gbt_oracle(),
+    doc="K6 at the reference's model class: gradient-boosted "
+        "regression stumps (xgboost's family at depth 1) fit "
+        "driver-side on the hazard feature frame with fixed "
+        "deterministic quantile splits (forecast_process.py:409-547 "
+        "seeded-retrain semantics), broadcast, scored by pandas UDF; "
+        "oracle scores the identically-refit model as generated "
+        "CASE-chain SQL",
+)
+def tc_damage_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.gbt import (
+        fit_gbt_stumps,
+        gbt_predict_udf,
+    )
+
+    d = _damage(spark)
+    pdf = d.orderBy("adm3_pcode", "ens_id").toPandas()
+    trees = fit_gbt_stumps(
+        [pdf["v_max"].to_numpy(), pdf["dis_track_min"].to_numpy()],
+        pdf["damage_predicted"].to_numpy(),
+    )
+    score = gbt_predict_udf(spark, trees)
+    return d.select(
+        F.col("adm3_pcode").alias("Mun_Code"),
+        "ens_id",
+        F.round(
+            F.greatest(
+                score(F.col("v_max"), F.col("dis_track_min")), F.lit(0.0)
+            ),
+            2,
+        ).alias("damage_gbt"),
+    )
+
+
