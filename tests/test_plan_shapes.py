@@ -92,3 +92,21 @@ def test_salted_join_matches_unsalted(spark):
         F.count("*"), F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2)
     ).collect()
     assert plain == salted
+
+
+def test_similarity_pair_scoring_spreads_narrow_scan(spark):
+    plan = _plan(spark, "sim_ivf_topk")
+    # a single-file scan must be widened before the pair stage —
+    # otherwise the whole pair space scores on ONE core (measured)
+    assert "RoundRobinPartitioning" in plan
+    # the cell join builds a broadcast side, keeping probe parallelism
+    # decoupled from the (tiny) number of cells
+    assert "BroadcastHashJoin" in plan
+
+
+def test_willoughby_blend_solve_stays_on_track_side(spark):
+    plan = _plan(spark, "tc_windfield_willoughby_blend")
+    # pair space via broadcast theta-join under the bbox guard, never
+    # a cartesian; the Newton solve ran on the broadcast (track) side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
