@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ibf_typhoon_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup,
+    ivf_multiprobe_topk,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -153,3 +154,48 @@ _CELL_LADDER = " ".join(
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, k=5, n_cells=8, seg=8)
+
+
+_SUM_LIST = ", ".join(f"list_sum(ve[{k * 8 + 1}:{(k + 1) * 8}])" for k in range(8))
+_IDX_LIST = ", ".join(str(k) for k in range(8))
+
+
+@register(
+    "sim_ivf_probe2_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), affin AS (
+      SELECT vec_id, ve,
+             unnest([{_SUM_LIST}]) AS s,
+             unnest([{_IDX_LIST}]) AS i
+      FROM v
+    ), ranked AS (
+      SELECT vec_id, ve, i, row_number() OVER (
+        PARTITION BY vec_id ORDER BY s DESC, i DESC
+      ) AS rn FROM affin
+    ), qcells AS (
+      SELECT vec_id, ve, i AS cell FROM ranked WHERE rn <= 2
+    ), ncell AS (
+      SELECT vec_id, ve, i AS cell FROM ranked WHERE rn = 1
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+      FROM qcells a JOIN ncell b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rn FROM pairs
+    ) WHERE rn <= 5
+    """,
+    doc="IVF multi-probe (p=2) ANN top-5 — the recall knob: neighbors "
+        "indexed by primary cell, queries probe their 2 best-affinity "
+        "cells (explode), pair space grows linearly in p while recall "
+        "climbs toward brute force",
+)
+def sim_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_multiprobe_topk(emb, k=5, probe=2, n_cells=8, seg=8)
