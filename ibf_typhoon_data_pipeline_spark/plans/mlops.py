@@ -386,6 +386,56 @@ def bufr_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_track_decode",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    msgs AS (
+      SELECT concat(
+        '<trackpoint member="', CAST(ens_id AS VARCHAR),
+        '" tau="', CAST(step AS VARCHAR),
+        '" lat="', printf('%.2f', round(lat, 2)),
+        '" lon="', printf('%.2f', round(lon, 2)),
+        '" vmax="', printf('%.2f', round(vmax, 2)),
+        '"/>'
+      ) AS line
+      FROM tracks
+    )
+    SELECT
+      CAST(regexp_extract(line, 'member="([0-9]+)"', 1) AS BIGINT) AS ens_id,
+      CAST(regexp_extract(line, 'tau="([0-9]+)"', 1) AS BIGINT) AS step,
+      CAST(regexp_extract(line, 'lat="(-?[0-9.]+)"', 1) AS DOUBLE) AS lat,
+      CAST(regexp_extract(line, 'lon="(-?[0-9.]+)"', 1) AS DOUBLE) AS lon,
+      CAST(regexp_extract(line, 'vmax="([0-9.]+)"', 1) AS DOUBLE) AS vmax_ms
+    FROM msgs
+    """,
+    doc="S10 decode surface: alternate-agency XML trackpoint elements "
+        "(HK/JTWC/UCL scraper semantics, ucl_data.py:39-193) parsed "
+        "with a real XML parser in mapInPandas; same parallel-decode "
+        "shape as S2, different wire format — the parsed floats equal "
+        "the oracle's regexp-extracted ones because both engines read "
+        "the identical rendered text",
+)
+def xml_track_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.sources.ingest import (
+        decode_xml_track,
+    )
+
+    tracks = gen_tracks(spark)
+    msgs = tracks.select(
+        F.format_string(
+            '<trackpoint member="%d" tau="%d" lat="%.2f" lon="%.2f"'
+            ' vmax="%.2f"/>',
+            F.col("ens_id"),
+            F.col("step"),
+            F.round("lat", 2),
+            F.round("lon", 2),
+            F.round("vmax", 2),
+        ).alias("line")
+    )
+    return decode_xml_track(msgs)
+
+
+@register(
     "stream_windowed_counts",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -147,6 +147,49 @@ BUFR_LINE_RE = (
 )
 
 
+def decode_xml_track(messages: "DataFrame") -> "DataFrame":
+    """S10 — alternate-agency XML track readers (the HK/JTWC/UCL
+    scrapers, Hk_data.py:20-93 / ucl_data.py:39-193 semantics): one
+    ``<trackpoint .../>`` element per line, parsed with a REAL XML
+    parser (xml.etree) inside an Arrow-batched mapInPandas stage —
+    the same parallel-decode shape as S2, different wire format.
+    Malformed elements are dropped."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    cols = ["ens_id", "step", "lat", "lon", "vmax_ms"]
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf["line"]:
+                try:
+                    el = ET.fromstring(line)
+                except ET.ParseError:
+                    continue
+                if el.tag != "trackpoint":
+                    continue
+                try:
+                    rows.append(
+                        {
+                            "ens_id": int(el.attrib["member"]),
+                            "step": int(el.attrib["tau"]),
+                            "lat": float(el.attrib["lat"]),
+                            "lon": float(el.attrib["lon"]),
+                            "vmax_ms": float(el.attrib["vmax"]),
+                        }
+                    )
+                except (KeyError, ValueError):
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return messages.mapInPandas(
+        parse,
+        schema="ens_id long, step long, lat double, lon double, vmax_ms double",
+    )
+
+
 def decode_bufr_text(messages: "DataFrame") -> "DataFrame":
     """Parse flat-text track messages (one line per (member, step))
     into long track rows with an Arrow-batched mapInPandas regex pass
