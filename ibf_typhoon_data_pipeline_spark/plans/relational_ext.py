@@ -285,6 +285,74 @@ def a16_yearly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gev_sql(events_table: str) -> str:
+    """A16 at full fidelity — the ONE SQL text both engines run (the
+    Spark entry registers a temp view and spark.sql's this verbatim):
+    daily block maxima → probability-weighted moments (rank-weighted
+    sums; rank ties are harmless because equal values make the swap a
+    no-op) → Hosking L-moment GEV (κ, σ, μ; Γ via shared-text Lanczos)
+    → 10/50/100-block return levels."""
+    from ibf_typhoon_data_pipeline_spark.functions.stats import (
+        GEV_C_SQL,
+        GEV_G1K_SQL,
+        GEV_KAPPA_SQL,
+        GEV_L1_SQL,
+        GEV_L2_SQL,
+        GEV_MU_SQL,
+        GEV_SIGMA_SQL,
+        GEV_T3_SQL,
+        return_level_sql,
+    )
+
+    return f"""
+    WITH blocks AS (
+      SELECT event_type, date_trunc('day', ts) AS d, max(value) AS xmax
+      FROM {events_table} GROUP BY event_type, date_trunc('day', ts)
+    ), ranked AS (
+      SELECT event_type, xmax,
+        CAST(row_number() OVER (
+          PARTITION BY event_type ORDER BY xmax) AS DOUBLE) AS r,
+        CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+      FROM blocks
+    ), pwm AS (
+      SELECT event_type,
+        sum(xmax) / max(n) AS b0,
+        sum(xmax * (r - 1.0)) / (max(n) * (max(n) - 1.0)) AS b1,
+        sum(xmax * (r - 1.0) * (r - 2.0))
+          / (max(n) * (max(n) - 1.0) * (max(n) - 2.0)) AS b2
+      FROM ranked GROUP BY event_type
+    ), lm1 AS (SELECT *, {GEV_L1_SQL} AS l1, {GEV_L2_SQL} AS l2 FROM pwm),
+    lm2 AS (SELECT *, {GEV_T3_SQL} AS t3 FROM lm1),
+    p1 AS (SELECT *, {GEV_C_SQL} AS c FROM lm2),
+    p2 AS (SELECT *, {GEV_KAPPA_SQL} AS kappa FROM p1),
+    p3 AS (SELECT *, {GEV_G1K_SQL} AS g1k FROM p2),
+    p4 AS (SELECT *, {GEV_SIGMA_SQL} AS sigma FROM p3),
+    p5 AS (SELECT *, {GEV_MU_SQL} AS mu FROM p4)
+    SELECT event_type, round(mu, 4) AS gev_mu, round(sigma, 4) AS gev_sigma,
+           round(kappa, 6) AS gev_kappa,
+           round({return_level_sql(10)}, 4) AS rl_10,
+           round({return_level_sql(50)}, 4) AS rl_50,
+           round({return_level_sql(100)}, 4) AS rl_100
+    FROM p5
+    """
+
+
+@register(
+    "a16_gev_return_levels",
+    _gev_sql("events"),
+    doc="A16 at full fidelity (SURVEY parked the GEV fit as out-of-"
+        "scope pandas UDF; this is better): daily block maxima → "
+        "L-moment GEV fit (Hosking 1990 closed form, Γ via 9-term "
+        "Lanczos shared-text expression) → 10/50/100-block return "
+        "levels, entirely window+agg+scalar expressions in whole-stage "
+        "codegen — xgb_model_v1.R:134-145 semantics with zero Python",
+)
+def a16_gev_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ev.createOrReplaceTempView("gev_events_v")
+    return spark.sql(_gev_sql("gev_events_v"))
+
+
 # ------------------------------------------------------------ §2.5 windows
 @register(
     "w3_first_qualifying",
