@@ -1369,6 +1369,69 @@ def tc_damage_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j1_point_in_polygon",
+    f"""
+    WITH centroids AS ({CENTROIDS_SQL}),
+    munis AS ({MUNIS_SQL}),
+    ks AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k),
+    edges AS (
+      SELECT m.adm3_pcode, m.m_lat, m.m_lon,
+        m.m_lon + 0.3 * cos(pi() * k / 3.0) AS x1,
+        m.m_lat + 0.3 * sin(pi() * k / 3.0) AS y1,
+        m.m_lon + 0.3 * cos(pi() * (k + 1) / 3.0) AS x2,
+        m.m_lat + 0.3 * sin(pi() * (k + 1) / 3.0) AS y2
+      FROM munis m CROSS JOIN ks
+    ),
+    cand AS (
+      SELECT c.centroid_id, e.adm3_pcode,
+             e.x1, e.y1, e.x2, e.y2, c.lon AS px, c.lat AS py
+      FROM centroids c JOIN edges e
+        ON c.lon BETWEEN e.m_lon - 0.3 AND e.m_lon + 0.3
+       AND c.lat BETWEEN e.m_lat - 0.3 AND e.m_lat + 0.3
+    )
+    SELECT centroid_id, adm3_pcode
+    FROM cand
+    GROUP BY centroid_id, adm3_pcode
+    HAVING min((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) >= 0.0
+    """,
+    doc="J1 point-in-polygon IN-ENGINE (upgrade of the precomputed-"
+        "mapping substitute, forecast_process.py:117 sjoin): convex "
+        "hexagon per municipality, membership = min over CCW edges of "
+        "the cross product ≥ 0 (half-plane test) — a bbox candidate "
+        "join + groupBy(min), pure relational algebra; the bbox guard "
+        "keeps the pair space linear exactly as in the windfield",
+)
+def j1_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    munis = gen_munis(spark).select("adm3_pcode", "m_lat", "m_lon")
+    ks = spark.range(6).select(F.col("id").cast("int").alias("k"))
+    edges = munis.crossJoin(F.broadcast(ks)).selectExpr(
+        "adm3_pcode",
+        "m_lat",
+        "m_lon",
+        "m_lon + 0.3 * cos(pi() * k / 3.0) AS x1",
+        "m_lat + 0.3 * sin(pi() * k / 3.0) AS y1",
+        "m_lon + 0.3 * cos(pi() * (k + 1) / 3.0) AS x2",
+        "m_lat + 0.3 * sin(pi() * (k + 1) / 3.0) AS y2",
+    )
+    cand = cents.join(
+        F.broadcast(edges),
+        F.col("lon").between(F.col("m_lon") - 0.3, F.col("m_lon") + 0.3)
+        & F.col("lat").between(F.col("m_lat") - 0.3, F.col("m_lat") + 0.3),
+    ).selectExpr(
+        "centroid_id",
+        "adm3_pcode",
+        "(x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) AS cross_e",
+    )
+    return (
+        cand.groupBy("centroid_id", "adm3_pcode")
+        .agg(F.min("cross_e").alias("__min_cross"))
+        .filter(F.col("__min_cross") >= 0.0)
+        .select("centroid_id", "adm3_pcode")
+    )
+
+
 def _gbt_oracle() -> str:
     """Generate the GBT oracle at import: materialize the (synthetic,
     sf-independent) damage frame in DuckDB, run the SAME deterministic
