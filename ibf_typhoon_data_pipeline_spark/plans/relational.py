@@ -546,6 +546,33 @@ def o2_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------- §2.7 set ops
 @register(
+    "u4_intersect_except",
+    """
+    WITH jan AS (
+      SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
+    ), feb AS (
+      SELECT o_custkey FROM orders WHERE month(o_orderdate) = 2
+    )
+    SELECT o_custkey, 'intersect' AS set_op
+    FROM (SELECT o_custkey FROM jan INTERSECT SELECT o_custkey FROM feb)
+    UNION ALL
+    SELECT o_custkey, 'except' AS set_op
+    FROM (SELECT o_custkey FROM jan EXCEPT SELECT o_custkey FROM feb)
+    """,
+    doc="U-family completion: INTERSECT / EXCEPT (distinct semantics) "
+        "- unused by the reference (SURVEY \u00a72.7 notes them free in "
+        "Spark), covered here so the set-op family is complete",
+)
+def u4_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    jan = o.filter(F.month("o_orderdate") == 1).select("o_custkey")
+    feb = o.filter(F.month("o_orderdate") == 2).select("o_custkey")
+    inter = jan.intersect(feb).withColumn("set_op", F.lit("intersect"))
+    diff = jan.subtract(feb).withColumn("set_op", F.lit("except"))
+    return inter.unionByName(diff)
+
+
+@register(
     "u2_union_parties",
     """
     WITH parties AS (
