@@ -150,17 +150,36 @@ def holland_wind_ms(
     return F.greatest(v_total, F.lit(0.0))
 
 
+def equirect_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """F8 — the equirectangular small-angle metric, CLIMADA's DEFAULT
+    distance (util/coordinates.py dist_approx, method="equirect"):
+    √((Δlat·111.12)² + (Δlon·111.12·cos(lat̄))²). Cheaper than
+    haversine (no asin) and accurate to <0.3% at windfield radii;
+    the geosphere/haversine switch mirrors the reference's
+    accuracy-vs-speed toggle (SURVEY §4 X3)."""
+    km_deg = 111.12
+    mid = F.radians((lat1 + lat2) / 2.0)
+    dx = (lon2 - lon1) * km_deg * F.cos(mid)
+    dy = (lat2 - lat1) * km_deg
+    return F.sqrt(dx * dx + dy * dy)
+
+
 def windfield_expr(
     tracks: DataFrame,
     centroids: DataFrame,
     threshold_ms: float = V_THRESHOLD_MS,
     keys: list[str] | None = None,
+    metric: str = "geosphere",
 ) -> DataFrame:
     """K1 as a broadcast theta-join + codegen expressions.
 
     ``tracks`` must carry (ens_id, step, lat, lon, vmax, pcen, penv);
     ``centroids`` (centroid_id, lat, lon). Output: one row per
     (ens_id, step, centroid_id) with wind_ms above threshold.
+    ``metric``: "geosphere" (haversine) or "equirect" — the
+    reference's dist_approx switch (equirect is CLIMADA's default).
     """
     keys = keys or ["ens_id"]
     tp = track_point_params(tracks, keys=keys)
@@ -188,7 +207,8 @@ def windfield_expr(
         F.col("lon").alias("c_lon"),
     )
     pairs = c.join(F.broadcast(t), cond)
-    r_km = haversine_km(
+    dist_fn = haversine_km if metric == "geosphere" else equirect_km
+    r_km = dist_fn(
         F.col("c_lat"), F.col("c_lon"), F.col("t_lat"), F.col("t_lon")
     )
     wind = holland_wind_ms(

@@ -386,6 +386,66 @@ def bufr_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_watermarked",
+    f"""
+    WITH tracks AS ({TRACKS_SQL})
+    SELECT ens_id, step, round(vmax, 6) AS vmax
+    FROM tracks
+    """,
+    doc="§2.10 state-BOUNDED streaming dedup: withWatermark(2h) + "
+        "dropDuplicatesWithinWatermark — unlike plain dropDuplicates "
+        "(state grows with all keys ever seen), dedup state here "
+        "expires with the watermark, the 100 TB-safe form for a "
+        "continuously-running forecast listener; overlapping drops "
+        "drain in one AvailableNow pass, so the result equals the "
+        "clean track set (the oracle)",
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    tracks = gen_tracks(spark).select(
+        "ens_id",
+        "step",
+        "vmax",
+        F.timestamp_seconds(
+            F.unix_timestamp(base) + F.col("step") * 21600
+        ).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_wm_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    tracks.write.mode("overwrite").parquet(landing)
+    tracks.filter(F.col("step") >= 20).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(tracks.schema)
+        .parquet(landing)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["ens_id", "step"])
+    )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(out)
+        .select("ens_id", "step", F.round("vmax", 6).alias("vmax"))
+        .cache()
+    )
+    result.count()  # materialize before the temp dir is removed
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+@register(
     "xml_track_decode",
     f"""
     WITH tracks AS ({TRACKS_SQL}),

@@ -423,6 +423,51 @@ def tc_windfield_holland(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# equirect r_km twin of the pairs CTE — (c.lat + b.lat) add order and
+# the left-assoc (Δ · 111.12 · cos) products mirror equirect_km exactly
+_EQUIRECT_R_SQL = """
+           sqrt(
+             ((b.lon - c.lon) * 111.12 * cos(radians((c.lat + b.lat) / 2.0)))
+             * ((b.lon - c.lon) * 111.12 * cos(radians((c.lat + b.lat) / 2.0)))
+             + ((b.lat - c.lat) * 111.12) * ((b.lat - c.lat) * 111.12)
+           ) AS r_km"""
+
+_WINDFIELD_EQUIRECT_SQL = WINDFIELD_SQL.replace(
+    """           2 * 6367.0 * asin(sqrt(
+             pow(sin(radians(b.lat - c.lat) / 2), 2)
+             + cos(radians(c.lat)) * cos(radians(b.lat))
+               * pow(sin(radians(b.lon - c.lon) / 2), 2)
+           )) AS r_km""",
+    _EQUIRECT_R_SQL.lstrip("\n"),
+)
+assert "111.12" in _WINDFIELD_EQUIRECT_SQL, "equirect substitution failed"
+
+
+@register(
+    "tc_windfield_equirect",
+    f"""
+    {_WINDFIELD_EQUIRECT_SQL}
+    SELECT ens_id, centroid_id, count(*) AS n_steps,
+           round(max(wind_ms), 3) AS intensity_ms
+    FROM wf WHERE wind_ms > 17.5
+    GROUP BY 1, 2
+    """,
+    doc="K1 under the EQUIRECT metric — CLIMADA's default dist_approx "
+        "(util/coordinates.py:241-319, SURVEY §4 X3 accuracy-vs-speed "
+        "switch): √((Δlat·111.12)² + (Δlon·111.12·cos(lat̄))²), no "
+        "asin/trig per pair beyond one cos — same join shape, cheaper "
+        "codegen hot loop",
+)
+def tc_windfield_equirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_expr(tracks, cents, metric="equirect")
+    return wf.groupBy("ens_id", "centroid_id").agg(
+        F.count("*").alias("n_steps"),
+        F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
+    )
+
+
 @register(
     "tc_muni_hazard",
     f"""
