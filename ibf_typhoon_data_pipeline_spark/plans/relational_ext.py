@@ -353,6 +353,63 @@ def a16_gev_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_gev_sql("gev_events_v"))
 
 
+@register(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+             AS duration_s
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization — the classic large-pipeline windowing op the "
+        "reference never needed but a training-data pipeline does: "
+        "30-min-gap session boundaries via lag + running sum (two "
+        "windows over ONE (user_id, ts) sort — Catalyst reuses the "
+        "exchange), then per-session rollups. Second-floored epochs "
+        "both engines (unix_timestamp ≡ floor(epoch)); (ts, event_id) "
+        "tiebreak keeps the running sum deterministic",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_s > 1800), 1
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+    )
+
+
 # ------------------------------------------------------------ §2.5 windows
 @register(
     "w3_first_qualifying",
