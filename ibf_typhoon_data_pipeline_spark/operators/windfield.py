@@ -307,6 +307,105 @@ def windfield_willoughby(
     ).filter(F.col("wind_ms") > threshold_ms)
 
 
+def windfield_vectors(
+    tracks: DataFrame,
+    centroids: DataFrame,
+    threshold_ms: float = V_THRESHOLD_MS,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """K1 at FULL output fidelity: (u, v) velocity components per
+    (member, step, centroid), not just the speed — the reference's
+    ``windfields`` vectors (trop_cyclone.py:515-639: rotational wind
+    along the hemisphere-signed tangential direction plus the
+    translational component attenuated by min(1, rmax/r)).
+
+    Geometry stays pure arithmetic (no atan2): with equirect offsets
+    (dx, dy) km from storm center to centroid and r = √(dx²+dy²), the
+    counterclockwise tangential unit vector is (−dy/r, dx/r), flipped
+    in the southern hemisphere. The translational unit vector comes
+    from the lead-segment kinematics (W2) in the same equirect frame.
+    Same broadcast theta-join + bbox guard as every kernel.
+    """
+    keys = keys or ["ens_id"]
+    km_deg = 111.12
+    tp = track_point_params(tracks, keys=keys)
+    w = Window.partitionBy(*keys).orderBy("step")
+    # unit vector toward the NEXT track point (equirect km frame);
+    # last point inherits (0, 0) — its v_trans is 0 anyway.
+    seg_mid = F.radians((F.col("lat") + F.lead("lat", 1).over(w)) / 2.0)
+    seg_dx = (F.lead("lon", 1).over(w) - F.col("lon")) * km_deg * F.cos(seg_mid)
+    seg_dy = (F.lead("lat", 1).over(w) - F.col("lat")) * km_deg
+    seg_len = F.sqrt(seg_dx * seg_dx + seg_dy * seg_dy)
+    t = tp.select(
+        *keys,
+        F.col("step"),
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+        "pcen", "penv", "v_trans_ms", "rmw_km", "b_s",
+        F.coalesce(seg_dx / seg_len, F.lit(0.0)).alias("hx"),
+        F.coalesce(seg_dy / seg_len, F.lit(0.0)).alias("hy"),
+    )
+    cond = (
+        F.col("c_lat").between(F.col("t_lat") - DEG_BOX, F.col("t_lat") + DEG_BOX)
+        & F.col("c_lon").between(F.col("t_lon") - DEG_BOX, F.col("t_lon") + DEG_BOX)
+    )
+    c = centroids.select(
+        "centroid_id",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+    )
+    pairs = (
+        c.join(F.broadcast(t), cond)
+        .withColumn(
+            "dx",
+            (F.col("c_lon") - F.col("t_lon"))
+            * km_deg
+            * F.cos(F.radians((F.col("t_lat") + F.col("c_lat")) / 2.0)),
+        )
+        .withColumn("dy", (F.col("c_lat") - F.col("t_lat")) * km_deg)
+        .withColumn(
+            "r_km",
+            F.greatest(
+                F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")),
+                F.lit(0.1),
+            ),
+        )
+    )
+    v_g = (
+        holland_wind_ms(
+            F.col("r_km"), F.col("rmw_km"), F.col("b_s"),
+            F.col("penv"), F.col("pcen"), F.col("t_lat"),
+            F.lit(0.0),  # rotational part only; translation added as a vector
+        )
+    )
+    hemi = F.when(F.col("t_lat") >= 0.0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    atten = F.least(
+        F.lit(1.0), F.col("rmw_km") / F.col("r_km")
+    ) * F.col("v_trans_ms")
+    scored = (
+        pairs.withColumn("v_g", v_g)
+        .withColumn(
+            "u_ms",
+            F.col("v_g") * hemi * (-F.col("dy") / F.col("r_km"))
+            + atten * F.col("hx"),
+        )
+        .withColumn(
+            "v_ms",
+            F.col("v_g") * hemi * (F.col("dx") / F.col("r_km"))
+            + atten * F.col("hy"),
+        )
+        .withColumn(
+            "speed_ms",
+            F.sqrt(
+                F.col("u_ms") * F.col("u_ms") + F.col("v_ms") * F.col("v_ms")
+            ),
+        )
+    )
+    return scored.select(
+        *keys, "step", "centroid_id", "u_ms", "v_ms", "speed_ms"
+    ).filter(F.col("speed_ms") > threshold_ms)
+
+
 # ---------------------------------------------------- Willoughby blend zone
 # Full Willoughby, Darling & Rahn (2006) fidelity: the inner power law
 # and outer dual-exponential are merged over a ramp zone [R1, R1+bw]

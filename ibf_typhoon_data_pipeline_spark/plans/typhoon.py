@@ -423,6 +423,92 @@ def tc_windfield_holland(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# v_g only: the translation term multiplied to zero (token-preserving
+# replace so every other float op keeps its exact text)
+_WIND_EXPR_NO_TRANS = WIND_EXPR_SQL.replace(
+    "+ v_trans_ms * least(1.0, rmw_km / greatest(r_km, 1.0)),",
+    "+ 0.0 * least(1.0, rmw_km / greatest(r_km, 1.0)),",
+)
+assert _WIND_EXPR_NO_TRANS != WIND_EXPR_SQL
+
+
+@register(
+    "tc_windfield_vectors",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    params AS ({PARAMS_SQL}),
+    bs AS ({BS_SQL}),
+    centroids AS ({CENTROIDS_SQL}),
+    kin0 AS (
+      SELECT *,
+        (lead(lon) OVER w - lon) * 111.12
+          * cos(radians((lat + lead(lat) OVER w) / 2.0)) AS seg_dx,
+        (lead(lat) OVER w - lat) * 111.12 AS seg_dy
+      FROM bs WINDOW w AS (PARTITION BY ens_id ORDER BY step)
+    ),
+    kin AS (
+      SELECT *,
+        coalesce(seg_dx / sqrt(seg_dx * seg_dx + seg_dy * seg_dy), 0.0) AS hx,
+        coalesce(seg_dy / sqrt(seg_dx * seg_dx + seg_dy * seg_dy), 0.0) AS hy
+      FROM kin0
+    ),
+    pairs AS (
+      SELECT b.ens_id, b.step, c.centroid_id, b.lat AS t_lat,
+             b.pcen, b.penv, b.v_trans_ms, b.rmw_km, b.b_s, b.hx, b.hy,
+             (c.lon - b.lon) * 111.12
+               * cos(radians((b.lat + c.lat) / 2.0)) AS dx,
+             (c.lat - b.lat) * 111.12 AS dy
+      FROM kin b JOIN centroids c
+        ON c.lat BETWEEN b.lat - 5.5 AND b.lat + 5.5
+       AND c.lon BETWEEN b.lon - 5.5 AND b.lon + 5.5
+    ),
+    geo AS (
+      SELECT *, greatest(sqrt(dx * dx + dy * dy), 0.1) AS r_km FROM pairs
+    ),
+    vg AS (SELECT *, {_WIND_EXPR_NO_TRANS} AS v_g FROM geo),
+    vec AS (
+      SELECT *,
+        v_g * (CASE WHEN t_lat >= 0.0 THEN 1.0 ELSE -1.0 END)
+          * (-dy / r_km)
+          + least(1.0, rmw_km / r_km) * v_trans_ms * hx AS u_ms,
+        v_g * (CASE WHEN t_lat >= 0.0 THEN 1.0 ELSE -1.0 END)
+          * (dx / r_km)
+          + least(1.0, rmw_km / r_km) * v_trans_ms * hy AS v_ms
+      FROM vg
+    ),
+    spd AS (
+      SELECT *, sqrt(u_ms * u_ms + v_ms * v_ms) AS speed_ms FROM vec
+    )
+    SELECT ens_id, step, centroid_id,
+           round(u_ms, 3) AS u_ms, round(v_ms, 3) AS v_ms,
+           round(speed_ms, 3) AS speed_ms
+    FROM spd WHERE speed_ms > 17.5
+    """,
+    doc="K1 at FULL output fidelity: (u, v) velocity VECTORS — the "
+        "reference's windfields arrays (trop_cyclone.py:515-639: "
+        "hemisphere-signed tangential rotation + translational "
+        "component attenuated by min(1, rmax/r)) — tangential unit "
+        "vector (−dy, dx)/r in the equirect frame, no atan2, pure "
+        "codegen arithmetic",
+)
+def tc_windfield_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        windfield_vectors,
+    )
+
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_vectors(tracks, cents)
+    return wf.select(
+        "ens_id",
+        "step",
+        "centroid_id",
+        F.round("u_ms", 3).alias("u_ms"),
+        F.round("v_ms", 3).alias("v_ms"),
+        F.round("speed_ms", 3).alias("speed_ms"),
+    )
+
+
 # equirect r_km twin of the pairs CTE — (c.lat + b.lat) add order and
 # the left-assoc (Δ · 111.12 · cos) products mirror equirect_km exactly
 _EQUIRECT_R_SQL = """
