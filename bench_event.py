@@ -68,16 +68,27 @@ def main() -> None:
 
     t0 = time.perf_counter()
     n_track = interp.count()
-    wf = windfield_expr(
-        interp.select("ens_id", "step", "lat", "lon", "vmax", "pcen", "penv"),
-        cents,
+    track_cols = interp.select(
+        "ens_id", "step", "lat", "lon", "vmax", "pcen", "penv"
     )
+    wf = windfield_expr(track_cols, cents)
     out_rows = (
         wf.groupBy("ens_id", "centroid_id")
         .agg(F.count("*").alias("n_steps"), F.max("wind_ms").alias("i"))
         .count()
     )
     wall = round(time.perf_counter() - t0, 3)
+
+    # the reference's DEFAULT metric (CLIMADA dist_approx equirect) —
+    # cheaper per pair (no asin); measured as a second leg
+    t1 = time.perf_counter()
+    wf_eq = windfield_expr(track_cols, cents, metric="equirect")
+    out_rows_eq = (
+        wf_eq.groupBy("ens_id", "centroid_id")
+        .agg(F.count("*").alias("n_steps"), F.max("wind_ms").alias("i"))
+        .count()
+    )
+    wall_eq = round(time.perf_counter() - t1, 3)
     print(
         json.dumps(
             {
@@ -88,6 +99,8 @@ def main() -> None:
                 "centroids": 261 * 181,
                 "raw_candidate_pairs": n_track * 261 * 181,
                 "output_rows": out_rows,
+                "value_equirect": wall_eq,
+                "output_rows_equirect": out_rows_eq,
             }
         )
     )

@@ -110,3 +110,11 @@ def test_willoughby_blend_solve_stays_on_track_side(spark):
     # a cartesian; the Newton solve ran on the broadcast (track) side
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_reuses_one_sort_for_both_windows(spark):
+    plan = _plan(spark, "events_sessionize")
+    # lag-flag window and running-sum window share the (user_id, ts,
+    # event_id) sort order: exactly one exchange on user_id and no
+    # second sort of the same data
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
