@@ -1501,6 +1501,64 @@ def tc_damage_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f16_antimeridian_unwrap",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    crossing AS (
+      SELECT ens_id, step,
+             CASE WHEN CAST(150.0 AS DOUBLE) + step * 1.7 > 180.0
+                  THEN CAST(150.0 AS DOUBLE) + step * 1.7 - 360.0
+                  ELSE CAST(150.0 AS DOUBLE) + step * 1.7 END AS lon
+      FROM tracks WHERE ens_id < 8
+    ),
+    jumps AS (
+      SELECT *, CASE
+          WHEN lon - lag(lon) OVER w > 180.0 THEN CAST(-360.0 AS DOUBLE)
+          WHEN lon - lag(lon) OVER w < -180.0 THEN CAST(360.0 AS DOUBLE)
+          ELSE CAST(0.0 AS DOUBLE) END AS jump
+      FROM crossing WINDOW w AS (PARTITION BY ens_id ORDER BY step)
+    )
+    SELECT ens_id, step, round(lon, 6) AS lon_wrapped,
+           round(lon + sum(jump) OVER (
+             PARTITION BY ens_id ORDER BY step ROWS UNBOUNDED PRECEDING
+           ), 6) AS lon_unwrapped
+    FROM jumps
+    """,
+    doc="F16 antimeridian unwrap (SURVEY §7.4 risk 2; tc_tracks.py:"
+        "1437-1440): a dateline-crossing track's lon jumps +→− at "
+        "180°; unwrap = lon + running sum of ∓360° jump corrections "
+        "(lag flag + cumulative window over one sort) — the guard "
+        "that keeps interpolation and segment kinematics continuous",
+)
+def f16_antimeridian_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark).filter(F.col("ens_id") < 8)
+    raw = 150.0 + F.col("step") * 1.7
+    crossing = tracks.select(
+        "ens_id",
+        "step",
+        F.when(raw > 180.0, raw - 360.0).otherwise(raw).alias("lon"),
+    )
+    w = Window.partitionBy("ens_id").orderBy("step")
+    dlon = F.col("lon") - F.lag("lon").over(w)
+    jump = (
+        F.when(dlon > 180.0, F.lit(-360.0))
+        .when(dlon < -180.0, F.lit(360.0))
+        .otherwise(F.lit(0.0))
+    )
+    run = Window.partitionBy("ens_id").orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return crossing.withColumn("jump", jump).select(
+        "ens_id",
+        "step",
+        F.round("lon", 6).alias("lon_wrapped"),
+        F.round(F.col("lon") + F.sum("jump").over(run), 6).alias(
+            "lon_unwrapped"
+        ),
+    )
+
+
+@register(
     "j1_point_in_polygon",
     f"""
     WITH centroids AS ({CENTROIDS_SQL}),
