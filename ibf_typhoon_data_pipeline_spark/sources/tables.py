@@ -32,6 +32,10 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    # oracle parity requires UTC timestamp rendering; the correctness
+    # driver builds a PLAIN session (machine TZ), so pin it at runtime
+    # here — the choke point every timestamped query passes through
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS); a session built without
         # our factory (e.g. the correctness driver's) rejects it unless
