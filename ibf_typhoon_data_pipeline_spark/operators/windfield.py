@@ -342,8 +342,14 @@ def windfield_vectors(
         F.col("lat").alias("t_lat"),
         F.col("lon").alias("t_lon"),
         "pcen", "penv", "v_trans_ms", "rmw_km", "b_s",
-        F.coalesce(seg_dx / seg_len, F.lit(0.0)).alias("hx"),
-        F.coalesce(seg_dy / seg_len, F.lit(0.0)).alias("hy"),
+        # explicit > 0 guard, NOT coalesce: a stationary segment
+        # (seg_len = 0) divides 0/0 — NULL under Spark's non-ANSI
+        # division but NaN under DuckDB/IEEE, so coalesce would let
+        # NaN through on the oracle side and on real tracks with
+        # repeated positions. CASE catches both (NULL condition →
+        # ELSE). Same text both engines.
+        F.when(seg_len > 0.0, seg_dx / seg_len).otherwise(F.lit(0.0)).alias("hx"),
+        F.when(seg_len > 0.0, seg_dy / seg_len).otherwise(F.lit(0.0)).alias("hy"),
     )
     cond = (
         F.col("c_lat").between(F.col("t_lat") - DEG_BOX, F.col("t_lat") + DEG_BOX)

@@ -448,8 +448,12 @@ assert _WIND_EXPR_NO_TRANS != WIND_EXPR_SQL
     ),
     kin AS (
       SELECT *,
-        coalesce(seg_dx / sqrt(seg_dx * seg_dx + seg_dy * seg_dy), 0.0) AS hx,
-        coalesce(seg_dy / sqrt(seg_dx * seg_dx + seg_dy * seg_dy), 0.0) AS hy
+        CASE WHEN sqrt(seg_dx * seg_dx + seg_dy * seg_dy) > 0.0
+             THEN seg_dx / sqrt(seg_dx * seg_dx + seg_dy * seg_dy)
+             ELSE 0.0 END AS hx,
+        CASE WHEN sqrt(seg_dx * seg_dx + seg_dy * seg_dy) > 0.0
+             THEN seg_dy / sqrt(seg_dx * seg_dx + seg_dy * seg_dy)
+             ELSE 0.0 END AS hy
       FROM kin0
     ),
     pairs AS (
@@ -480,8 +484,9 @@ assert _WIND_EXPR_NO_TRANS != WIND_EXPR_SQL
       SELECT *, sqrt(u_ms * u_ms + v_ms * v_ms) AS speed_ms FROM vec
     )
     SELECT ens_id, step, centroid_id,
-           round(u_ms, 3) AS u_ms, round(v_ms, 3) AS v_ms,
-           round(speed_ms, 3) AS speed_ms
+           CAST(round(u_ms * 1000.0) AS BIGINT) AS u_mms,
+           CAST(round(v_ms * 1000.0) AS BIGINT) AS v_mms,
+           CAST(round(speed_ms * 1000.0) AS BIGINT) AS speed_mms
     FROM spd WHERE speed_ms > 17.5
     """,
     doc="K1 at FULL output fidelity: (u, v) velocity VECTORS — the "
@@ -489,7 +494,12 @@ assert _WIND_EXPR_NO_TRANS != WIND_EXPR_SQL
         "hemisphere-signed tangential rotation + translational "
         "component attenuated by min(1, rmax/r)) — tangential unit "
         "vector (−dy, dx)/r in the equirect frame, no atan2, pure "
-        "codegen arithmetic",
+        "codegen arithmetic. Outputs quantized to integer milli-m/s "
+        "(round→BIGINT): float doubles rounded to 3dp can land on "
+        "half-ulp boundaries where Spark's BigDecimal rounding and "
+        "DuckDB's mult/div rounding pick different nearest doubles, "
+        "and −0.0 vs 0.0 near the tangential axis breaks value "
+        "hashing — integers are exact in both engines",
 )
 def tc_windfield_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibf_typhoon_data_pipeline_spark.operators.windfield import (
@@ -503,9 +513,9 @@ def tc_windfield_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ens_id",
         "step",
         "centroid_id",
-        F.round("u_ms", 3).alias("u_ms"),
-        F.round("v_ms", 3).alias("v_ms"),
-        F.round("speed_ms", 3).alias("speed_ms"),
+        F.round(F.col("u_ms") * 1000.0).cast("long").alias("u_mms"),
+        F.round(F.col("v_ms") * 1000.0).cast("long").alias("v_mms"),
+        F.round(F.col("speed_ms") * 1000.0).cast("long").alias("speed_mms"),
     )
 
 
