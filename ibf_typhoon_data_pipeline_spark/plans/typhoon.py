@@ -1632,7 +1632,7 @@ def j1_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gbt_oracle() -> str:
-    """Generate the GBT oracle at import: materialize the (synthetic,
+    """Generate the GBT oracle lazily at first use: materialize the (synthetic,
     sf-independent) damage frame in DuckDB, run the SAME deterministic
     numpy fit the Spark entry runs on the same-sorted same-rounded
     arrays, and emit the fitted stumps as a CASE-chain scoring
@@ -1665,7 +1665,7 @@ def _gbt_oracle() -> str:
 
 @register(
     "tc_damage_gbt",
-    _gbt_oracle(),
+    _gbt_oracle,  # lazy: the DuckDB refit runs only when the oracle is checked
     doc="K6 at the reference's model class: gradient-boosted "
         "regression stumps (xgboost's family at depth 1) fit "
         "driver-side on the hazard feature frame with fixed "

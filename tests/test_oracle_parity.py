@@ -9,17 +9,19 @@ from ibf_typhoon_data_pipeline_spark import plans
 from tests.oracle_util import compare_query
 
 ORACLE_QUERIES = sorted(
-    name for name, qd in plans.QUERIES.items() if qd.oracle
+    name for name, qd in plans.QUERIES.items() if qd.oracle is not None
 )
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, name):
     qd = plans.QUERIES[name]
-    compare_query(spark, name, qd.fn, qd.oracle)
+    compare_query(spark, name, qd.fn, qd.oracle_text())
 
 
-ROWS_ONLY = sorted(name for name, qd in plans.QUERIES.items() if not qd.oracle)
+ROWS_ONLY = sorted(
+    name for name, qd in plans.QUERIES.items() if qd.oracle is None
+)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
