@@ -113,6 +113,249 @@ def gbt_case_sql(trees: list[Stump], feat_names: list[str]) -> str:
     return " + ".join(terms)
 
 
+# ------------------------------------------------- histogram GBT (depth ≥ 2)
+# The reference's actual model class is a depth-8 100-tree XGBRegressor
+# trained with tree_method="hist" (forecast_process.py:485-510:
+# max_depth=8, learning_rate=0.025, gamma=1, min_child_weight=1,
+# base_score=0.5, objective=reg:squarederror). xgboost isn't in this
+# container, so the estimator below is the same hist algorithm in
+# plain numpy — depthwise-grown regression trees on binned features,
+# boosted on squared-error gradients with the xgb gain formula
+# (0.5·(G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ)) − γ) and leaf weight
+# −G/(H+λ).
+#
+# What makes it 100 TB-shaped AND oracle-checkable at the same time:
+# the engine's only job is ONE aggregation — group rows by their full
+# bin vector and return (bin-vector, Σ round(y·1e6)::BIGINT, count).
+# Integer sums are exact and order-independent, so Spark and DuckDB
+# hand the fit bit-identical sufficient statistics no matter how the
+# shuffle partitioned the rows; the whole boosting loop then runs
+# driver-side on that bounded sketch (≤ min(rows, bins^features)
+# groups, 20 small ints + 2 int64s each — the hist trick: the model
+# never distinguishes rows beyond their bins). No toPandas of the
+# frame, no per-round engine round-trips, and the fitted model scores
+# as a pure CASE-chain expression (whole-stage codegen, no UDF).
+
+HIST_BINS = 16          # equal-width bins from (min, max); deterministic
+XGB_ROUNDS = 20         # boosting rounds (reference: 100 @ eta 0.025)
+XGB_ETA = 0.1
+XGB_DEPTH = 2
+XGB_LAMBDA = 1.0        # xgb reg_lambda default
+XGB_GAMMA = 1.0         # reference gamma=1
+XGB_BASE = 0.5          # reference base_score
+MICRO = 1_000_000       # target quantization for the integer sketch
+
+
+@dataclass(frozen=True)
+class TreeNode:
+    """Either a leaf (value set, feat < 0) or an internal split on
+    feature `feat` at raw-value threshold `edge` (left when x < edge,
+    matching the bin rule bin < k ⟺ x < edge_k)."""
+
+    feat: int
+    edge: float
+    left: "TreeNode | None"
+    right: "TreeNode | None"
+    value: float
+
+    @staticmethod
+    def leaf(value: float) -> "TreeNode":
+        return TreeNode(-1, 0.0, None, None, value)
+
+    @property
+    def is_leaf(self) -> bool:
+        return self.feat < 0
+
+
+def uniform_edges(lo: float, hi: float, n_bins: int = HIST_BINS) -> list[float]:
+    """Equal-width bin edges from the exact (min, max) order statistics
+    — zero interpolation arithmetic, so both engines derive bitwise-
+    identical edges from identical column extremes. (A quantile-sketch
+    binning is the production swap at skewed 100 TB distributions; the
+    plan shape — one groupBy on the bin vector — is unchanged.)"""
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        return []
+    return [lo + k * (hi - lo) / n_bins for k in range(1, n_bins)]
+
+
+def bin_expr_sql(col: str, edges: list[float]) -> str:
+    """bin = Σ 1[x ≥ edge_k] — monotone edges make bin ≥ k ⟺ x ≥
+    edge_k exactly, so fit-time bins and the scoring CASE rules
+    (x < edge_k) can never disagree, even at float boundaries."""
+    if not edges:
+        return "0"
+    return " + ".join(
+        f"(CASE WHEN {col} >= CAST({e!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        for e in edges
+    )
+
+
+def sketch_sql(
+    frame: str, features: list[str], edges: list[list[float]], target: str
+) -> str:
+    """The one engine-side pass: bin-vector → (Σ micro-target, count).
+    Identical text for Spark and DuckDB; integer outputs make the
+    result independent of partitioning and fold order."""
+    bins = ", ".join(
+        f"{bin_expr_sql(f, edges[i])} AS b{i}" for i, f in enumerate(features)
+    )
+    bcols = ", ".join(f"b{i}" for i in range(len(features)))
+    return (
+        f"SELECT {bcols}, "
+        f"sum(CAST(round({target} * 1000000.0) AS BIGINT)) AS y_micro, "
+        f"count(*) AS n "
+        f"FROM (SELECT {bins}, {target} FROM {frame}) g "
+        f"GROUP BY {bcols}"
+    )
+
+
+def fit_hist_gbt(
+    bins: np.ndarray,
+    y_micro: np.ndarray,
+    cnt: np.ndarray,
+    edges: list[list[float]],
+    n_rounds: int = XGB_ROUNDS,
+    eta: float = XGB_ETA,
+    depth: int = XGB_DEPTH,
+    lam: float = XGB_LAMBDA,
+    gamma: float = XGB_GAMMA,
+    base: float = XGB_BASE,
+) -> list[TreeNode]:
+    """Boosted depthwise trees from the grouped sketch. Deterministic:
+    the sketch rows arrive lexicographically sorted, every histogram
+    accumulation (np.add.at) runs in that fixed order, and split ties
+    keep the first-seen (feature order, then bin order) candidate."""
+    bins = np.asarray(bins, dtype=np.int64)
+    y_sum = np.asarray(y_micro, dtype=np.float64) / MICRO
+    h_all = np.asarray(cnt, dtype=np.float64)
+    n_groups, n_feat = bins.shape
+    pred = np.full(n_groups, float(base))
+    trees: list[TreeNode] = []
+
+    def grow(idx: np.ndarray, grad: np.ndarray, d: int) -> TreeNode:
+        g_node = float(grad[idx].sum())
+        h_node = float(h_all[idx].sum())
+        leaf_w = -g_node / (h_node + lam)
+        if d == 0:
+            return TreeNode.leaf(leaf_w)
+        parent = g_node * g_node / (h_node + lam)
+        best = None  # (gain, feat, k)
+        for fi in range(n_feat):
+            nb = len(edges[fi]) + 1
+            if nb <= 1:
+                continue
+            hist_g = np.zeros(nb)
+            hist_h = np.zeros(nb)
+            np.add.at(hist_g, bins[idx, fi], grad[idx])
+            np.add.at(hist_h, bins[idx, fi], h_all[idx])
+            cum_g = np.cumsum(hist_g)
+            cum_h = np.cumsum(hist_h)
+            for k in range(1, nb):
+                h_l, h_r = cum_h[k - 1], h_node - cum_h[k - 1]
+                if h_l < 1.0 or h_r < 1.0:  # min_child_weight=1
+                    continue
+                g_l, g_r = cum_g[k - 1], g_node - cum_g[k - 1]
+                gain = (
+                    0.5
+                    * (
+                        g_l * g_l / (h_l + lam)
+                        + g_r * g_r / (h_r + lam)
+                        - parent
+                    )
+                    - gamma
+                )
+                if best is None or gain > best[0]:
+                    best = (gain, fi, k)
+        if best is None or best[0] <= 0.0:
+            return TreeNode.leaf(leaf_w)
+        _, fi, k = best
+        lmask = bins[idx, fi] < k
+        return TreeNode(
+            fi,
+            edges[fi][k - 1],
+            grow(idx[lmask], grad, d - 1),
+            grow(idx[~lmask], grad, d - 1),
+            0.0,
+        )
+
+    def apply(node: TreeNode, idx: np.ndarray, out: np.ndarray) -> None:
+        if node.is_leaf:
+            out[idx] = node.value
+            return
+        k = edges[node.feat].index(node.edge) + 1
+        lmask = bins[idx, node.feat] < k
+        apply(node.left, idx[lmask], out)
+        apply(node.right, idx[~lmask], out)
+
+    all_idx = np.arange(n_groups)
+    for _ in range(n_rounds):
+        grad = h_all * pred - y_sum  # Σ per-row (pred − y) within group
+        tree = grow(all_idx, grad, depth)
+        trees.append(tree)
+        contrib = np.zeros(n_groups)
+        apply(tree, all_idx, contrib)
+        pred = pred + eta * contrib
+    return trees
+
+
+def hist_gbt_case_sql(
+    trees: list[TreeNode],
+    feat_names: list[str],
+    eta: float = XGB_ETA,
+    base: float = XGB_BASE,
+) -> str:
+    """Scoring expression both engines evaluate verbatim: base + Σ
+    nested CASE trees, leaf literals repr()'d (shortest round-trip)
+    with eta folded in driver-side, every literal CAST AS DOUBLE."""
+
+    def node_sql(n: TreeNode) -> str:
+        if n.is_leaf:
+            return f"CAST({eta * n.value!r} AS DOUBLE)"
+        return (
+            f"CASE WHEN {feat_names[n.feat]} < CAST({n.edge!r} AS DOUBLE)"
+            f" THEN {node_sql(n.left)} ELSE {node_sql(n.right)} END"
+        )
+
+    terms = [f"CAST({base!r} AS DOUBLE)"] + [node_sql(t) for t in trees]
+    return " + ".join(terms)
+
+
+def fit_hist_gbt_from_engine(
+    run_sql,
+    features: list[str],
+    target: str,
+    frame: str = "xgb_frame",
+    n_bins: int = HIST_BINS,
+    **fit_kw,
+) -> str:
+    """Engine-agnostic fit: `run_sql(sql) -> list[tuple]` executes
+    against a view/table named `frame`. Two queries total (min/max,
+    then the sketch); everything after is driver-side numpy on exact
+    integers, so Spark and DuckDB land on the identical model and this
+    returns the identical CASE-chain scoring SQL from either."""
+    mm_sql = "SELECT " + ", ".join(
+        f"min({f}), max({f})" for f in features
+    ) + f" FROM {frame}"
+    mm = run_sql(mm_sql)[0]
+    edges = [
+        uniform_edges(mm[2 * i], mm[2 * i + 1], n_bins)
+        for i in range(len(features))
+    ]
+    rows = sorted(tuple(r) for r in run_sql(sketch_sql(frame, features, edges, target)))
+    nf = len(features)
+    bins = np.array([r[:nf] for r in rows], dtype=np.int64)
+    y_micro = np.array([r[nf] for r in rows], dtype=np.int64)
+    cnt = np.array([r[nf + 1] for r in rows], dtype=np.int64)
+    trees = fit_hist_gbt(bins, y_micro, cnt, edges, **fit_kw)
+    return hist_gbt_case_sql(
+        trees,
+        features,
+        eta=fit_kw.get("eta", XGB_ETA),
+        base=fit_kw.get("base", XGB_BASE),
+    )
+
+
 def gbt_predict_udf(spark: SparkSession, trees: list[Stump]):
     """Broadcast the fitted stumps, score Arrow batches — the harness
     an xgboost Booster drops straight into (swap predict_gbt for

@@ -1699,3 +1699,233 @@ def tc_damage_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- K6 at reference class
+# The reference trains a 20-feature XGBRegressor (tree_method="hist",
+# max_depth=8, 100 trees, eta=0.025, gamma=1, base_score=0.5 —
+# forecast_process.py:426-510) each run and applies four post-rules
+# (y_pred<0→0; Trigger = y_pred≥10; Damage zeroed beyond the
+# Wind_damage_radius=300 km, settings.py:188 — the Trigger column is
+# deliberately NOT re-zeroed, a reference quirk preserved here; and a
+# per-municipality prob_within_50km merge, forecast_process.py:511-544).
+
+ECMWF_CORRECTION_SQL = "CAST(1.0 AS DOUBLE)"  # settings.py:182 factor=1
+
+XGB_FEATURES = [
+    # forecast_process.py:446-467 selected_features_xgb_regr, in order
+    # (HAZ_rainfall_max_24h is commented out there — excluded here too)
+    "HAZ_v_max",
+    "HAZ_dis_track_min",
+    "TOP_mean_slope",
+    "TOP_mean_elevation_m",
+    "TOP_ruggedness_stdev",
+    "TOP_mean_ruggedness",
+    "TOP_slope_stdev",
+    "VUL_poverty_perc",
+    "GEN_with_coast",
+    "VUL_Housing_Units",
+    "VUL_StrongRoof_StrongWall",
+    "VUL_StrongRoof_LightWall",
+    "VUL_StrongRoof_SalvageWall",
+    "VUL_LightRoof_StrongWall",
+    "VUL_LightRoof_LightWall",
+    "VUL_SalvagedRoof_StrongWall",
+    "VUL_SalvagedRoof_LightWall",
+    "VUL_SalvagedRoof_SalvageWall",
+    "VUL_vulnerable_groups",
+    "VUL_pantawid_pamilya_beneficiary",
+]
+
+INDICATORS_FULL_SQL = f"""
+  SELECT concat('PH', lpad(CAST(id AS VARCHAR), 9, '0')) AS Mun_Code,
+         (id * 13) % 50 / 2.0 AS TOP_mean_slope,
+         CAST((id * 23) % 2000 AS DOUBLE) AS TOP_mean_elevation_m,
+         (id * 11) % 40 / 4.0 AS TOP_ruggedness_stdev,
+         (id * 17) % 60 / 3.0 AS TOP_mean_ruggedness,
+         (id * 29) % 30 / 6.0 AS TOP_slope_stdev,
+         CAST((id * 7) % 80 AS DOUBLE) AS VUL_poverty_perc,
+         CAST(id % 2 AS BIGINT) AS GEN_with_coast,
+         CAST(500 + (id * 37) % 1500 AS BIGINT) AS VUL_Housing_Units,
+         (id * 31) % 70 + 10.0 AS VUL_StrongRoof_StrongWall,
+         (id * 41) % 25 / 1.0 AS VUL_StrongRoof_LightWall,
+         (id * 43) % 10 / 2.0 AS VUL_StrongRoof_SalvageWall,
+         (id * 47) % 15 / 3.0 AS VUL_LightRoof_StrongWall,
+         (id * 53) % 30 / 2.0 AS VUL_LightRoof_LightWall,
+         (id * 59) % 8 / 4.0 AS VUL_SalvagedRoof_StrongWall,
+         (id * 61) % 12 / 3.0 AS VUL_SalvagedRoof_LightWall,
+         (id * 67) % 6 / 2.0 AS VUL_SalvagedRoof_SalvageWall,
+         (id * 71) % 20 / 2.0 AS VUL_vulnerable_groups,
+         (id * 73) % 50 / 2.0 AS VUL_pantawid_pamilya_beneficiary
+  FROM range({27 * MUNI_COLS}) AS ifull(id)
+"""
+
+
+def gen_indicators_full(spark: SparkSession) -> DataFrame:
+    """The full 20-feature pre-disaster indicator table (the reference's
+    data_cleaning_forecast.R frame) — deterministic small-denominator
+    modular formulas, exact in float64, so no rounding is needed for
+    cross-engine parity."""
+    ids = spark.range(27 * MUNI_COLS)
+    i = F.col("id")
+    return ids.select(
+        F.concat(F.lit("PH"), F.lpad(i.cast("string"), 9, "0")).alias(
+            "Mun_Code"
+        ),
+        ((i * 13) % 50 / 2.0).alias("TOP_mean_slope"),
+        ((i * 23) % 2000).cast("double").alias("TOP_mean_elevation_m"),
+        ((i * 11) % 40 / 4.0).alias("TOP_ruggedness_stdev"),
+        ((i * 17) % 60 / 3.0).alias("TOP_mean_ruggedness"),
+        ((i * 29) % 30 / 6.0).alias("TOP_slope_stdev"),
+        ((i * 7) % 80).cast("double").alias("VUL_poverty_perc"),
+        (i % 2).cast("bigint").alias("GEN_with_coast"),
+        (500 + (i * 37) % 1500).cast("bigint").alias("VUL_Housing_Units"),
+        ((i * 31) % 70 + 10.0).alias("VUL_StrongRoof_StrongWall"),
+        ((i * 41) % 25 / 1.0).alias("VUL_StrongRoof_LightWall"),
+        ((i * 43) % 10 / 2.0).alias("VUL_StrongRoof_SalvageWall"),
+        ((i * 47) % 15 / 3.0).alias("VUL_LightRoof_StrongWall"),
+        ((i * 53) % 30 / 2.0).alias("VUL_LightRoof_LightWall"),
+        ((i * 59) % 8 / 4.0).alias("VUL_SalvagedRoof_StrongWall"),
+        ((i * 61) % 12 / 3.0).alias("VUL_SalvagedRoof_LightWall"),
+        ((i * 67) % 6 / 2.0).alias("VUL_SalvagedRoof_SalvageWall"),
+        ((i * 71) % 20 / 2.0).alias("VUL_vulnerable_groups"),
+        ((i * 73) % 50 / 2.0).alias("VUL_pantawid_pamilya_beneficiary"),
+    )
+
+
+# DAM_perc_dmg twin: percent damage = damage / housing units × 100,
+# the reference's target unit (so base_score=0.5 and the ≥10 trigger
+# threshold keep their meaning). HAZ_v_max carries the ECMWF
+# correction factor exactly where the reference applies it.
+XGB_FRAME_SQL = f"""
+  {DAMAGE_SQL},
+  indicators_full AS ({INDICATORS_FULL_SQL}),
+  xgb_frame AS (
+    SELECT d.adm3_pcode AS Mun_Code, d.ens_id,
+           round({ECMWF_CORRECTION_SQL} * d.v_max, 3) AS HAZ_v_max,
+           round(d.dis_track_min, 3) AS HAZ_dis_track_min,
+           i.TOP_mean_slope, i.TOP_mean_elevation_m,
+           i.TOP_ruggedness_stdev, i.TOP_mean_ruggedness, i.TOP_slope_stdev,
+           i.VUL_poverty_perc, i.GEN_with_coast, i.VUL_Housing_Units,
+           i.VUL_StrongRoof_StrongWall, i.VUL_StrongRoof_LightWall,
+           i.VUL_StrongRoof_SalvageWall, i.VUL_LightRoof_StrongWall,
+           i.VUL_LightRoof_LightWall, i.VUL_SalvagedRoof_StrongWall,
+           i.VUL_SalvagedRoof_LightWall, i.VUL_SalvagedRoof_SalvageWall,
+           i.VUL_vulnerable_groups, i.VUL_pantawid_pamilya_beneficiary,
+           round(d.damage_predicted / i.VUL_Housing_Units * 100.0, 6)
+             AS dam_perc
+    FROM damage d JOIN indicators_full i ON d.adm3_pcode = i.Mun_Code
+  )
+"""
+
+
+def _xgb_frame(spark: SparkSession) -> DataFrame:
+    """Spark twin of XGB_FRAME_SQL (token-matching expressions)."""
+    d = _damage(spark)
+    ind = gen_indicators_full(spark)
+    return d.join(
+        F.broadcast(ind), d.adm3_pcode == ind.Mun_Code
+    ).select(
+        F.col("adm3_pcode").alias("Mun_Code"),
+        "ens_id",
+        F.round(F.lit(1.0) * F.col("v_max"), 3).alias("HAZ_v_max"),
+        F.round("dis_track_min", 3).alias("HAZ_dis_track_min"),
+        *XGB_FEATURES[2:],
+        F.round(
+            F.col("damage_predicted") / F.col("VUL_Housing_Units") * 100.0, 6
+        ).alias("dam_perc"),
+    )
+
+
+def _xgb_post_sql(score_sql: str) -> tuple[str, list[str]]:
+    """The shared post-rule texts: a scored projection, then the final
+    output expressions. Returned as (scored_select, final_exprs) so the
+    Spark path feeds them to selectExpr and the oracle path inlines
+    them into CTEs — identical text either way."""
+    scored = (
+        "SELECT Mun_Code, ens_id, HAZ_dis_track_min, "
+        f"greatest(({score_sql}), CAST(0.0 AS DOUBLE)) AS y_pred "
+        "FROM xgb_frame"
+    )
+    final = [
+        "Mun_Code",
+        "ens_id",
+        "CASE WHEN HAZ_dis_track_min > 300.0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(round(y_pred * 1000.0) AS BIGINT) END "
+        "AS damage_milli_perc",
+        "CASE WHEN y_pred >= 10.0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS trigger_flag",
+        # CAST the 1.0/0.0 branches: Spark SQL types bare decimal
+        # literals as DECIMAL and would return a Decimal prob column
+        "round(avg(CASE WHEN HAZ_dis_track_min < 50.0"
+        " THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+        " OVER (PARTITION BY Mun_Code), 6) AS prob_within_50km",
+    ]
+    return scored, final
+
+
+def _xgb_oracle() -> str:
+    """Lazy oracle: materialize the frame in DuckDB, run the SAME
+    two-query sketch fit (operators/gbt.fit_hist_gbt_from_engine) the
+    Spark entry runs — integer sufficient statistics make the fits
+    bitwise identical — and inline the resulting CASE-chain scorer
+    plus post-rules into standalone SQL."""
+    import duckdb
+
+    from ibf_typhoon_data_pipeline_spark.operators.gbt import (
+        fit_hist_gbt_from_engine,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TEMP TABLE xgb_frame AS {XGB_FRAME_SQL}"
+        " SELECT * FROM xgb_frame"
+    )
+    score = fit_hist_gbt_from_engine(
+        lambda s: con.execute(s).fetchall(), XGB_FEATURES, "dam_perc"
+    )
+    scored, final = _xgb_post_sql(score)
+    return (
+        f"{XGB_FRAME_SQL}, scored AS ({scored})"
+        f" SELECT {', '.join(final)} FROM scored"
+    )
+
+
+@register(
+    "tc_damage_xgb",
+    _xgb_oracle,  # lazy: DuckDB refit runs only when the oracle is checked
+    doc="K6 at the reference's model class and width: depth-2 boosted "
+        "trees on the full 20-feature frame (forecast_process.py:"
+        "426-510) fit via the histogram algorithm — ONE in-engine "
+        "groupBy collapses rows to (bin-vector, Σ micro-target, count) "
+        "integer sufficient statistics, the boosting loop runs driver-"
+        "side on that bounded sketch (no toPandas of the frame), and "
+        "the fitted model scores as pure CASE-chain codegen. Post-"
+        "rules: clip<0, Trigger=y_pred≥10, Wind_damage_radius=300 "
+        "zeroing (Trigger deliberately not re-zeroed — reference "
+        "quirk), prob_within_50km merge (forecast_process.py:511-544)",
+)
+def tc_damage_xgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.gbt import (
+        fit_hist_gbt_from_engine,
+    )
+
+    frame = _xgb_frame(spark)
+    frame.persist()  # consumed twice by the fit (min/max + sketch)
+    frame.createOrReplaceTempView("xgb_frame")
+    try:
+        score = fit_hist_gbt_from_engine(
+            lambda s: [tuple(r) for r in spark.sql(s).collect()],
+            XGB_FEATURES,
+            "dam_perc",
+        )
+    finally:
+        frame.unpersist()
+    _, final_exprs = _xgb_post_sql(score)
+    scored = frame.selectExpr(
+        "Mun_Code",
+        "ens_id",
+        "HAZ_dis_track_min",
+        f"greatest(({score}), CAST(0.0 AS DOUBLE)) AS y_pred",
+    )
+    return scored.selectExpr(*final_exprs)
+
+

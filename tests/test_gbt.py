@@ -54,3 +54,71 @@ def test_case_sql_is_exact_twin_of_numpy_scorer():
     )
     # bitwise equality — same doubles, same add order, no tolerance
     assert np.array_equal(got, expected)
+
+
+# ------------------------------------------------- histogram GBT (depth ≥ 2)
+from ibf_typhoon_data_pipeline_spark.operators.gbt import (  # noqa: E402
+    fit_hist_gbt_from_engine,
+    hist_gbt_case_sql,
+    uniform_edges,
+)
+
+
+def _toy_frame() -> pd.DataFrame:
+    i = np.arange(600, dtype=np.float64)
+    x1 = (i * 7919.0) % 97.0
+    x2 = (i * 104729.0) % 89.0
+    x3 = i % 2.0
+    # interaction structure a stump can't capture but depth 2 can
+    y = np.where((x1 > 50.0) & (x2 > 40.0), 30.0 + x3 * 5.0, x2 * 0.05)
+    return pd.DataFrame({"f1": x1, "f2": x2, "f3": x3, "target": y})
+
+
+def _duck_run(df: pd.DataFrame):
+    con = duckdb.connect()
+    con.register("xgb_frame", df)
+    return lambda s: con.execute(s).fetchall()
+
+
+def test_hist_gbt_engine_agnostic_and_order_independent():
+    """The fit must depend only on the grouped integer sketch — not on
+    row order — and must emit the identical CASE SQL from any engine
+    handing back the same statistics."""
+    df = _toy_frame()
+    shuffled = df.iloc[::-1].reset_index(drop=True)
+    sql1 = fit_hist_gbt_from_engine(
+        _duck_run(df), ["f1", "f2", "f3"], "target"
+    )
+    sql2 = fit_hist_gbt_from_engine(
+        _duck_run(shuffled), ["f1", "f2", "f3"], "target"
+    )
+    assert sql1 == sql2
+    assert "CASE WHEN" in sql1
+
+
+def test_hist_gbt_depth2_beats_depth1_on_interaction():
+    df = _toy_frame()
+    con = duckdb.connect()
+    con.register("xgb_frame", df)
+    run = lambda s: con.execute(s).fetchall()  # noqa: E731
+
+    def mse(score_sql: str) -> float:
+        return con.execute(
+            f"SELECT avg((target - ({score_sql})) * (target - ({score_sql})))"
+            " FROM xgb_frame"
+        ).fetchone()[0]
+
+    d1 = fit_hist_gbt_from_engine(run, ["f1", "f2", "f3"], "target", depth=1)
+    d2 = fit_hist_gbt_from_engine(run, ["f1", "f2", "f3"], "target", depth=2)
+    base = con.execute(
+        "SELECT avg((target - 0.5) * (target - 0.5)) FROM xgb_frame"
+    ).fetchone()[0]
+    assert mse(d1) < base
+    assert mse(d2) < mse(d1) * 0.7  # the interaction needs depth 2
+
+
+def test_uniform_edges_contract():
+    assert uniform_edges(0.0, 0.0) == []          # constant feature
+    e = uniform_edges(0.0, 16.0, 16)
+    assert len(e) == 15 and e[0] == 1.0 and e[-1] == 15.0
+    assert hist_gbt_case_sql([], ["x"]).startswith("CAST(0.5")
