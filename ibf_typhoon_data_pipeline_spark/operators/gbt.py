@@ -321,19 +321,18 @@ def hist_gbt_case_sql(
     return " + ".join(terms)
 
 
-def fit_hist_gbt_from_engine(
+def fit_hist_gbt_sketch(
     run_sql,
     features: list[str],
     target: str,
     frame: str = "xgb_frame",
     n_bins: int = HIST_BINS,
     **fit_kw,
-) -> str:
+) -> list[TreeNode]:
     """Engine-agnostic fit: `run_sql(sql) -> list[tuple]` executes
     against a view/table named `frame`. Two queries total (min/max,
     then the sketch); everything after is driver-side numpy on exact
-    integers, so Spark and DuckDB land on the identical model and this
-    returns the identical CASE-chain scoring SQL from either."""
+    integers, so Spark and DuckDB land on the identical model."""
     mm_sql = "SELECT " + ", ".join(
         f"min({f}), max({f})" for f in features
     ) + f" FROM {frame}"
@@ -347,13 +346,75 @@ def fit_hist_gbt_from_engine(
     bins = np.array([r[:nf] for r in rows], dtype=np.int64)
     y_micro = np.array([r[nf] for r in rows], dtype=np.int64)
     cnt = np.array([r[nf + 1] for r in rows], dtype=np.int64)
-    trees = fit_hist_gbt(bins, y_micro, cnt, edges, **fit_kw)
+    return fit_hist_gbt(bins, y_micro, cnt, edges, **fit_kw)
+
+
+def fit_hist_gbt_from_engine(
+    run_sql,
+    features: list[str],
+    target: str,
+    frame: str = "xgb_frame",
+    n_bins: int = HIST_BINS,
+    **fit_kw,
+) -> str:
+    """Sketch-fit (fit_hist_gbt_sketch) straight to the CASE-chain
+    scoring SQL — identical text from either engine's statistics."""
+    trees = fit_hist_gbt_sketch(
+        run_sql, features, target, frame=frame, n_bins=n_bins, **fit_kw
+    )
     return hist_gbt_case_sql(
         trees,
         features,
         eta=fit_kw.get("eta", XGB_ETA),
         base=fit_kw.get("base", XGB_BASE),
     )
+
+
+def predict_hist_gbt(
+    trees: list[TreeNode],
+    features: list[np.ndarray],
+    eta: float = XGB_ETA,
+    base: float = XGB_BASE,
+) -> np.ndarray:
+    """Numpy twin of hist_gbt_case_sql: same raw-value comparisons
+    (x < edge), same eta·leaf doubles, same round-order accumulation
+    from base — bitwise equal to the SQL scorer."""
+    xs = [np.asarray(f, dtype=np.float64) for f in features]
+    n = len(xs[0])
+
+    def apply(node: TreeNode, mask: np.ndarray, out: np.ndarray) -> None:
+        if node.is_leaf:
+            out[mask] = eta * node.value
+            return
+        left = mask & (xs[node.feat] < node.edge)
+        apply(node.left, left, out)
+        apply(node.right, mask & ~left, out)
+
+    pred = np.full(n, float(base))
+    for t in trees:
+        contrib = np.zeros(n)
+        apply(t, np.ones(n, dtype=bool), contrib)
+        pred = pred + contrib
+    return pred
+
+
+def hist_gbt_predict_udf(
+    spark: SparkSession,
+    trees: list[TreeNode],
+    eta: float = XGB_ETA,
+    base: float = XGB_BASE,
+):
+    """Broadcast-model Arrow-batched scorer over the hist trees — the
+    §2.11 UDF harness an xgboost Booster drops into unchanged."""
+    bc = spark.sparkContext.broadcast((trees, eta, base))
+
+    @pandas_udf("double")
+    def score(*cols: pd.Series) -> pd.Series:
+        ts, e, b = bc.value
+        feats = [c.to_numpy(dtype=np.float64) for c in cols]
+        return pd.Series(predict_hist_gbt(ts, feats, eta=e, base=b))
+
+    return score
 
 
 def gbt_predict_udf(spark: SparkSession, trees: list[Stump]):

@@ -1631,30 +1631,41 @@ def j1_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stump-family hyperparameters for the sketch fit: depth 1, mean-leaf
+# (lambda=0), no complexity penalty, additive from 0 — the depth-1
+# slice of the hist estimator, matching the original stump booster.
+_GBT_STUMP_KW = dict(depth=1, n_rounds=6, eta=0.5, lam=0.0, gamma=0.0, base=0.0)
+
+
 def _gbt_oracle() -> str:
-    """Generate the GBT oracle lazily at first use: materialize the (synthetic,
-    sf-independent) damage frame in DuckDB, run the SAME deterministic
-    numpy fit the Spark entry runs on the same-sorted same-rounded
-    arrays, and emit the fitted stumps as a CASE-chain scoring
-    expression. Both engines derive the identical model, so the SQL is
-    a true twin of the broadcast-model pandas-UDF path."""
+    """Lazy oracle: materialize the (synthetic, sf-independent) damage
+    frame in DuckDB and run the SAME two-query sketch fit the Spark
+    entry runs — integer sufficient statistics, not a collected frame —
+    then emit the fitted stumps as a CASE-chain scoring expression.
+    Both engines derive the identical model, so the SQL is a true twin
+    of the broadcast-model pandas-UDF path."""
     import duckdb
 
     from ibf_typhoon_data_pipeline_spark.operators.gbt import (
-        fit_gbt_stumps,
-        gbt_case_sql,
+        fit_hist_gbt_sketch,
+        hist_gbt_case_sql,
     )
 
     con = duckdb.connect()
-    pdf = con.execute(
-        f"{DAMAGE_SQL} SELECT adm3_pcode, ens_id, v_max, dis_track_min,"
-        " damage_predicted FROM damage ORDER BY adm3_pcode, ens_id"
-    ).df()
-    trees = fit_gbt_stumps(
-        [pdf["v_max"].to_numpy(), pdf["dis_track_min"].to_numpy()],
-        pdf["damage_predicted"].to_numpy(),
+    con.execute(
+        f"CREATE TEMP TABLE gbt_frame AS {DAMAGE_SQL}"
+        " SELECT v_max, dis_track_min, damage_predicted FROM damage"
     )
-    expr = gbt_case_sql(trees, ["d.v_max", "d.dis_track_min"])
+    trees = fit_hist_gbt_sketch(
+        lambda s: con.execute(s).fetchall(),
+        ["v_max", "dis_track_min"],
+        "damage_predicted",
+        frame="gbt_frame",
+        **_GBT_STUMP_KW,
+    )
+    expr = hist_gbt_case_sql(
+        trees, ["d.v_max", "d.dis_track_min"], eta=0.5, base=0.0
+    )
     return f"""
     {DAMAGE_SQL}
     SELECT d.adm3_pcode AS Mun_Code, d.ens_id,
@@ -1666,27 +1677,34 @@ def _gbt_oracle() -> str:
 @register(
     "tc_damage_gbt",
     _gbt_oracle,  # lazy: the DuckDB refit runs only when the oracle is checked
-    doc="K6 at the reference's model class: gradient-boosted "
-        "regression stumps (xgboost's family at depth 1) fit "
-        "driver-side on the hazard feature frame with fixed "
-        "deterministic quantile splits (forecast_process.py:409-547 "
-        "seeded-retrain semantics), broadcast, scored by pandas UDF; "
-        "oracle scores the identically-refit model as generated "
-        "CASE-chain SQL",
+    doc="K6 stump baseline: gradient-boosted regression stumps "
+        "(xgboost's family at depth 1) fit from the integer bin-vector "
+        "sketch — no frame collect, the fit input is one groupBy's "
+        "bounded statistics (forecast_process.py:409-547 seeded-"
+        "retrain semantics) — broadcast, scored by the Arrow-batched "
+        "pandas UDF (§2.11 carrier); oracle scores the identically-"
+        "refit model as generated CASE-chain SQL",
 )
 def tc_damage_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibf_typhoon_data_pipeline_spark.operators.gbt import (
-        fit_gbt_stumps,
-        gbt_predict_udf,
+        fit_hist_gbt_sketch,
+        hist_gbt_predict_udf,
     )
 
     d = _damage(spark)
-    pdf = d.orderBy("adm3_pcode", "ens_id").toPandas()
-    trees = fit_gbt_stumps(
-        [pdf["v_max"].to_numpy(), pdf["dis_track_min"].to_numpy()],
-        pdf["damage_predicted"].to_numpy(),
-    )
-    score = gbt_predict_udf(spark, trees)
+    d.persist()  # consumed twice by the fit (min/max + sketch)
+    d.createOrReplaceTempView("gbt_frame")
+    try:
+        trees = fit_hist_gbt_sketch(
+            lambda s: [tuple(r) for r in spark.sql(s).collect()],
+            ["v_max", "dis_track_min"],
+            "damage_predicted",
+            frame="gbt_frame",
+            **_GBT_STUMP_KW,
+        )
+    finally:
+        d.unpersist()
+    score = hist_gbt_predict_udf(spark, trees, eta=0.5, base=0.0)
     return d.select(
         F.col("adm3_pcode").alias("Mun_Code"),
         "ens_id",
