@@ -1947,3 +1947,125 @@ def tc_damage_xgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.selectExpr(*final_exprs)
 
 
+# ---------------------------------------------------------- publish payloads
+# The upload frame the reference assembles per event
+# (forecast_process.py:1150-1233): municipality aggregates of the
+# ensemble, then one exposure document per indicator layer. Amount
+# transforms follow the reference exactly where it has them
+# (houses_affected = round(0.01·x, 2), prob round 2, int() elsewhere).
+_UPLOAD_SQL = """
+  SELECT adm3_pcode,
+         avg(damage_predicted) AS avg_dmg,
+         avg(CASE WHEN dis_track_min < 50.0 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END) AS prob50,
+         avg(v_max) AS avg_vmax
+  FROM damage GROUP BY adm3_pcode
+"""
+
+_PUBLISH_LAYERS = [
+    ("windspeed", "CAST(CAST(round(avg_vmax) AS BIGINT) AS STRING)"),
+    ("prob_within_50km", "CAST(round(prob50, 2) AS STRING)"),
+    ("houses_affected", "CAST(round(0.01 * avg_dmg, 2) AS STRING)"),
+    (
+        "affected_population",
+        "CAST(CAST(round(avg_dmg * 4.6) AS BIGINT) AS STRING)",
+    ),
+    (
+        "show_admin_area",
+        "CAST(CASE WHEN avg_dmg > 0.0 THEN 1 ELSE 0 END AS STRING)",
+    ),
+    (
+        "forecast_severity",
+        "CAST(CASE WHEN avg_dmg >= 500.0 THEN 2 "
+        "WHEN avg_dmg >= 80.0 THEN 1 ELSE 0 END AS STRING)",
+    ),
+    (
+        "forecast_trigger",
+        "CAST(CASE WHEN avg_dmg >= 80.0 AND prob50 >= 0.6 "
+        "THEN 1 ELSE 0 END AS STRING)",
+    ),
+]
+
+_BODY_PREFIX = '\'{"countryCodeISO3":"PHL","exposurePlaceCodes":[\''
+_ENTRY = (
+    "concat('{\"placeCode\":\"', adm3_pcode, '\",\"amount\":', %s, '}')"
+)
+
+
+def _body_suffix(layer: str) -> str:
+    return (
+        "'],\"adminLevel\":3,\"leadTime\":\"72-hour\","
+        f"\"dynamicIndicator\":\"{layer}\",\"disasterType\":\"typhoon\","
+        "\"eventName\":\"synthetic-storm\"}'"
+    )
+
+
+def _publish_body_duck(layer: str, amount_sql: str) -> str:
+    entry = _ENTRY % amount_sql
+    return (
+        f"concat({_BODY_PREFIX}, "
+        f"string_agg({entry}, ',' ORDER BY adm3_pcode), "
+        f"{_body_suffix(layer)})"
+    )
+
+
+def _publish_body_spark(layer: str, amount_sql: str) -> str:
+    # same strings, Spark's sorted-aggregate idiom: the entry text is
+    # prefix-ordered by the fixed-width pcode, so array_sort ≡ the
+    # oracle's ORDER BY adm3_pcode
+    entry = _ENTRY % amount_sql
+    return (
+        f"concat({_BODY_PREFIX}, "
+        f"concat_ws(',', array_sort(collect_list({entry}))), "
+        f"{_body_suffix(layer)})"
+    )
+
+
+@register(
+    "pipeline_publish",
+    f"""
+    {DAMAGE_SQL},
+    upload AS ({_UPLOAD_SQL}),
+    bodies AS (SELECT
+      {", ".join(
+          f"{_publish_body_duck(layer, amt)} AS body_{i}"
+          for i, (layer, amt) in enumerate(_PUBLISH_LAYERS)
+      )}
+      FROM upload)
+    {" UNION ALL ".join(
+        f"SELECT '{layer}' AS dynamicIndicator, body_{i} AS body_json FROM bodies"
+        for i, (layer, _) in enumerate(_PUBLISH_LAYERS)
+    )}
+    """,
+    doc="S8 payload assembly: the per-indicator exposure documents the "
+        "reference writes with iterrows loops (forecast_process.py:"
+        "1150-1233) built IN-ENGINE — one municipality aggregation, "
+        "then every body string in a single global-agg pass (sorted "
+        "collect_list, no driver loop); sinks.publish posts the "
+        "collected rows with the dynamicDataDb auth/retry contract",
+)
+def pipeline_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _damage(spark)
+    upload = d.groupBy("adm3_pcode").agg(
+        F.avg("damage_predicted").alias("avg_dmg"),
+        F.expr(
+            "avg(CASE WHEN dis_track_min < 50.0 THEN CAST(1.0 AS DOUBLE)"
+            " ELSE CAST(0.0 AS DOUBLE) END)"
+        ).alias("prob50"),
+        F.avg("v_max").alias("avg_vmax"),
+    )
+    bodies = upload.agg(
+        *[
+            F.expr(_publish_body_spark(layer, amt)).alias(f"body_{i}")
+            for i, (layer, amt) in enumerate(_PUBLISH_LAYERS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{layer}', body_{i}" for i, (layer, _) in enumerate(_PUBLISH_LAYERS)
+    )
+    return bodies.selectExpr(
+        f"stack({len(_PUBLISH_LAYERS)}, {stack_args})"
+        " AS (dynamicIndicator, body_json)"
+    )
+
+

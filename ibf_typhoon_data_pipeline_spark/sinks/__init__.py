@@ -1,5 +1,8 @@
 from ibf_typhoon_data_pipeline_spark.sinks.publish import (
-    post_exposure_to_api,
+    IbfApiClient,
+    process_events,
+    publish_exposure_frames,
+    replay_mock_event,
     upload_to_blob,
     write_exposure_json,
     write_layer_csv,
@@ -8,6 +11,9 @@ from ibf_typhoon_data_pipeline_spark.sinks.publish import (
 __all__ = [
     "write_exposure_json",
     "write_layer_csv",
-    "post_exposure_to_api",
+    "IbfApiClient",
+    "publish_exposure_frames",
+    "process_events",
+    "replay_mock_event",
     "upload_to_blob",
 ]
