@@ -2069,3 +2069,246 @@ def pipeline_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ------------------------------------------------------- landfall ladder (K7)
+# The reference's full landfallTimeCal case ladder (forecast_process.
+# py:655-879): on-land test against real polygons, per-point distance
+# to the nearest municipality, then
+#   1  on track to landfall            2  already made landfall
+#   10 on track to landfall but far    3  will pass next to land
+#   5  already passed closest point    6  beyond the lead-time window
+#   60 beyond the max coast distance
+# (the docstring there also lists 30, but the code path emits 6 — the
+# actual emitted domain {1,2,3,5,6,10,60} is what this reproduces).
+# Constants: ECMWF_LATENCY_LEADTIME_CORRECTION=8, longtiude_limit_
+# leadtime=120, maxDistanceFromCoast=2000 (settings.py:184-214).
+#
+# The land test runs against a CONCAVE polygon as an edge table with
+# the ray-crossing (PNPOLY) parity sum — bbox-free here because the
+# polygon is one broadcast row set; at production scale the same
+# groupBy-parity plan takes a bbox-bounded edge join (J1 note in
+# docs/SCALING.md).
+
+# concave Philippines-ish land polygon: a rectangle with a deep
+# water inlet (the bite spans lon 119..121.5, lat 9.5..19), so the
+# convex half-plane test would misclassify it
+LAND_POLY = [
+    (117.0, 5.0), (127.0, 5.0), (127.0, 19.0), (121.5, 19.0),
+    (121.5, 12.5), (124.0, 12.5), (124.0, 9.5), (119.0, 9.5),
+    (119.0, 15.0), (117.0, 15.0),
+]
+LAND_EDGES = [
+    (x1, y1, x2, y2)
+    for (x1, y1), (x2, y2) in zip(LAND_POLY, LAND_POLY[1:] + LAND_POLY[:1])
+]
+
+EDGES_VALUES_SQL = "(VALUES " + ", ".join(
+    f"(CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE),"
+    f" CAST({x2!r} AS DOUBLE), CAST({y2!r} AS DOUBLE))"
+    for x1, y1, x2, y2 in LAND_EDGES
+) + ") AS e(x1, y1, x2, y2)"
+
+# PNPOLY crossing test for one (point, edge) pair; the strict-> pair
+# on the y spans makes shared vertices count exactly once, and the
+# boolean inequality guarantees y2<>y1 wherever the division runs
+# (horizontal edges short out on the first conjunct in both engines:
+# Spark's NULL division and DuckDB's inf both land in FALSE AND)
+RAY_CROSS_SQL = (
+    "CASE WHEN (y1 > lat) <> (y2 > lat)"
+    " AND lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1)"
+    " THEN 1 ELSE 0 END"
+)
+
+# seven per-member scenarios so every emitted ladder code appears in
+# the fixture: 0 lands mid-track (1); 1 recedes west of the coast
+# (5); 2 is far east beyond 2000 km (60); 3 passes next to land with
+# hours>168 (6); 4 lands with hours>168 (10); 5 passes north within
+# the window (3); 6 starts on land west of lon 120 (2)
+SCEN_SQL = """
+  SELECT ens_id, step,
+         lat + CASE WHEN ens_id % 7 = 5 THEN 14.0 ELSE 0.0 END AS lat,
+         lon + CASE ens_id % 7 WHEN 1 THEN -22.0 WHEN 2 THEN 60.0
+                               WHEN 3 THEN 16.0 WHEN 4 THEN 8.0
+                               WHEN 5 THEN 5.0 WHEN 6 THEN -19.0
+                               ELSE 0.0 END AS lon
+  FROM tracks
+"""
+
+_LADDER_CODE_SQL = """CASE
+  WHEN first_land_step IS NOT NULL THEN
+    CASE WHEN first_land_step * 6 - 8 < 0 OR max_lon < 120.0 THEN 2
+         WHEN first_land_step * 6 - 8 > 168 THEN 10
+         ELSE 1 END
+  WHEN min_dist_km < 2000.0 THEN
+    CASE WHEN closest_step * 6 - 8 < 0 OR max_lon < 120.0 THEN 5
+         WHEN closest_step * 6 - 8 > 168 THEN 6
+         ELSE 3 END
+  ELSE 60 END"""
+
+_LADDER_HOURS_SQL = """CASE
+  WHEN first_land_step IS NOT NULL THEN
+    CASE WHEN first_land_step * 6 - 8 < 0 OR max_lon < 120.0
+         THEN CAST(0 AS BIGINT) ELSE first_land_step * 6 - 8 END
+  WHEN min_dist_km < 2000.0 THEN
+    CASE WHEN closest_step * 6 - 8 < 0 OR max_lon < 120.0
+         THEN CAST(0 AS BIGINT) ELSE closest_step * 6 - 8 END
+  ELSE CAST(168 AS BIGINT) END"""
+
+_LADDER_DIST_SQL = """2 * 6367.0 * asin(sqrt(
+      pow(sin(radians(m_lat - lat) / 2), 2)
+      + cos(radians(lat)) * cos(radians(m_lat))
+        * pow(sin(radians(m_lon - lon) / 2), 2)))"""
+
+
+@register(
+    "tc_landfall_ladder",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    scen AS ({SCEN_SQL}),
+    edges AS (SELECT * FROM {EDGES_VALUES_SQL}),
+    munis AS ({MUNIS_SQL}),
+    onland AS (
+      SELECT ens_id, step, sum({RAY_CROSS_SQL}) % 2 = 1 AS on_land
+      FROM scen CROSS JOIN edges
+      GROUP BY ens_id, step
+    ),
+    dists AS (
+      SELECT ens_id, step, min({_LADDER_DIST_SQL}) AS dist_land_km
+      FROM scen CROSS JOIN munis
+      GROUP BY ens_id, step
+    ),
+    pts AS (
+      SELECT s.ens_id, s.step, s.lon, o.on_land, d.dist_land_km
+      FROM scen s
+      JOIN onland o ON s.ens_id = o.ens_id AND s.step = o.step
+      JOIN dists d ON s.ens_id = d.ens_id AND s.step = d.step
+    ),
+    summary AS (
+      SELECT ens_id,
+             min(CASE WHEN on_land THEN step END) AS first_land_step,
+             min(dist_land_km) AS min_dist_km,
+             max(lon) AS max_lon
+      FROM pts GROUP BY ens_id
+    ),
+    closest AS (
+      SELECT p.ens_id, min(p.step) AS closest_step
+      FROM pts p JOIN summary s
+        ON p.ens_id = s.ens_id AND p.dist_land_km = s.min_dist_km
+      GROUP BY p.ens_id
+    ),
+    laddered AS (
+      SELECT s.ens_id, s.ens_id % 7 AS scenario,
+             s.first_land_step, c.closest_step,
+             round(s.min_dist_km, 4) AS closest_km,
+             {_LADDER_CODE_SQL} AS landfall_code,
+             {_LADDER_HOURS_SQL} AS lead_hours
+      FROM summary s JOIN closest c ON s.ens_id = c.ens_id
+    )
+    SELECT ens_id, scenario, first_land_step, closest_step, closest_km,
+           landfall_code, lead_hours,
+           concat(CAST(lead_hours AS STRING), '-hour') AS lead_label
+    FROM laddered
+    """,
+    doc="K7 at the FULL reference ladder (forecast_process.py:655-879) "
+        "over a concave polygon land test: PNPOLY ray-crossing parity "
+        "sum on a broadcast edge table (J1 for concave boundaries), "
+        "per-point nearest-municipality haversine, then the exact "
+        "emitted code domain {{1,2,3,5,6,10,60}} with the -8 h ECMWF "
+        "latency correction, the lon<120 already-passed override, and "
+        "the 168 h / 2000 km far limits; seven track scenarios pin "
+        "every code",
+)
+def tc_landfall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.functions.geo import haversine_km
+
+    tracks = gen_tracks(spark)
+    scen = tracks.select(
+        "ens_id",
+        "step",
+        F.expr(
+            "lat + CASE WHEN ens_id % 7 = 5 THEN 14.0 ELSE 0.0 END"
+        ).alias("lat"),
+        F.expr(
+            "lon + CASE ens_id % 7 WHEN 1 THEN -22.0 WHEN 2 THEN 60.0"
+            " WHEN 3 THEN 16.0 WHEN 4 THEN 8.0"
+            " WHEN 5 THEN 5.0 WHEN 6 THEN -19.0 ELSE 0.0 END"
+        ).alias("lon"),
+    )
+    edges = spark.createDataFrame(
+        LAND_EDGES, "x1 double, y1 double, x2 double, y2 double"
+    )
+    onland = (
+        scen.crossJoin(F.broadcast(edges))
+        .groupBy("ens_id", "step")
+        .agg(((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("on_land"))
+    )
+    munis = gen_munis(spark).select("m_lat", "m_lon")
+    dists = (
+        scen.crossJoin(F.broadcast(munis))
+        .groupBy("ens_id", "step")
+        .agg(
+            F.min(
+                haversine_km(
+                    F.col("lat"), F.col("lon"), F.col("m_lat"), F.col("m_lon")
+                )
+            ).alias("dist_land_km")
+        )
+    )
+    pts = scen.select("ens_id", "step", "lon").join(
+        onland, ["ens_id", "step"]
+    ).join(dists, ["ens_id", "step"])
+    summary = pts.groupBy("ens_id").agg(
+        F.min(F.when(F.col("on_land"), F.col("step"))).alias("first_land_step"),
+        F.min("dist_land_km").alias("min_dist_km"),
+        F.max("lon").alias("max_lon"),
+    )
+    closest = (
+        pts.join(summary.select("ens_id", "min_dist_km"), "ens_id")
+        .filter(F.col("dist_land_km") == F.col("min_dist_km"))
+        .groupBy("ens_id")
+        .agg(F.min("step").alias("closest_step"))
+    )
+    laddered = summary.join(closest, "ens_id").select(
+        "ens_id",
+        (F.col("ens_id") % 7).alias("scenario"),
+        "first_land_step",
+        "closest_step",
+        F.round("min_dist_km", 4).alias("closest_km"),
+        F.expr(_LADDER_CODE_SQL).alias("landfall_code"),
+        F.expr(_LADDER_HOURS_SQL).alias("lead_hours"),
+    )
+    return laddered.select(
+        "ens_id", "scenario", "first_land_step", "closest_step",
+        "closest_km", "landfall_code", "lead_hours",
+        F.concat(
+            F.col("lead_hours").cast("string"), F.lit("-hour")
+        ).alias("lead_label"),
+    )
+
+
+@register(
+    "j1_point_in_polygon_concave",
+    f"""
+    WITH centroids AS ({CENTROIDS_SQL}),
+    edges AS (SELECT * FROM {EDGES_VALUES_SQL})
+    SELECT centroid_id, sum({RAY_CROSS_SQL}) % 2 = 1 AS inside
+    FROM centroids CROSS JOIN edges
+    GROUP BY centroid_id
+    """,
+    doc="J1 for CONCAVE boundaries: winding/ray-crossing parity over "
+        "a polygon edge table (grid points x broadcast edges -> "
+        "groupBy parity sum), correct where the convex half-plane "
+        "test fails — the water inlet in the fixture polygon flips "
+        "roughly a third of the grid versus its convex hull",
+)
+def j1_point_in_polygon_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    edges = spark.createDataFrame(
+        LAND_EDGES, "x1 double, y1 double, x2 double, y2 double"
+    )
+    return (
+        cents.crossJoin(F.broadcast(edges))
+        .groupBy("centroid_id")
+        .agg(((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("inside"))
+    )
