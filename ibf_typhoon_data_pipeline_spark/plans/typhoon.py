@@ -2131,7 +2131,8 @@ SCEN_SQL = """
          lon + CASE ens_id % 7 WHEN 1 THEN -22.0 WHEN 2 THEN 60.0
                                WHEN 3 THEN 16.0 WHEN 4 THEN 8.0
                                WHEN 5 THEN 5.0 WHEN 6 THEN -19.0
-                               ELSE 0.0 END AS lon
+                               ELSE 0.0 END AS lon,
+         vmax
   FROM tracks
 """
 
@@ -2312,3 +2313,251 @@ def j1_point_in_polygon_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("centroid_id")
         .agg(((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("inside"))
     )
+
+
+# -------------------------------------------------- track JSON (F19 part 2)
+# The reference's second upload document (forecast_process.py:818-872):
+# an hourly track with per-point windspeed/category, the
+# %m-%d-%Y %H:%M:%S timestampOfTrackpoint format, the 3-hourly P5
+# filter (with firstLandfall/closestToLand points force-included via
+# the HH='00:00' override), and the trackpointDetails envelope.
+# Timestamp strings are built with pure integer day/hour arithmetic —
+# identical text in both engines and independent of session timezone.
+
+_TS_STR_SQL = (
+    "concat('06-', lpad(CAST(1 + CAST(floor(h / 24.0) AS BIGINT) AS STRING),"
+    " 2, '0'), '-2024 ', lpad(CAST(h % 24 AS STRING), 2, '0'), ':00:00')"
+)
+# VMAX/0.88 is the reference's 10-min→1-min average conversion; ×3.6
+# m/s→km/h with the ECMWF correction factor (=1) in front
+_KPH_SQL = (
+    "CAST(1.0 AS DOUBLE) * CAST(3.6 AS DOUBLE) * (vmax / CAST(0.88 AS DOUBLE))"
+)
+_CAT_SQL = (
+    "CASE WHEN kph <= 62 THEN 'TD' WHEN kph <= 88 THEN 'TS'"
+    " WHEN kph <= 117 THEN 'STS' WHEN kph <= 185 THEN 'TY'"
+    " ELSE 'STY' END"
+)
+_FL_SQL = (
+    "CASE WHEN first_land_h IS NOT NULL AND h = first_land_h"
+    " THEN 'true' ELSE 'false' END"
+)
+_CL_SQL = (
+    "CASE WHEN first_land_h IS NULL AND h = closest_h"
+    " THEN 'true' ELSE 'false' END"
+)
+# int() in the reference truncates; CAST(double AS BIGINT) truncates in
+# Spark but ROUNDS in DuckDB — floor() first so both engines truncate
+# 2dp via round(x,6) then floor(x*100+0.5)/100: round(x,2) disagrees
+# across engines on half-ulp boundaries (Spark rounds the shortest
+# decimal repr, DuckDB the binary value), and the raw generator
+# doubles differ by ~2 ulp (DuckDB folds bare literals as DECIMAL);
+# the 6dp pre-round collapses the ulp noise to one shared double,
+# floor on the scaled value is then exact in both engines, and the
+# /100.0 quotient is the same double -> same shortest-repr string
+_TRACK_ENTRY_SQL = (
+    "concat('{\"lat\":',"
+    " CAST(CAST(floor(round(lat, 6) * 100.0 + 0.5) AS BIGINT) / CAST(100.0 AS DOUBLE) AS STRING),"
+    " ',\"lon\":',"
+    " CAST(CAST(floor(round(lon, 6) * 100.0 + 0.5) AS BIGINT) / CAST(100.0 AS DOUBLE) AS STRING),"
+    " ',\"windspeed\":', CAST(CAST(floor(kph) AS BIGINT) AS STRING),"
+    " ',\"category\":\"', category,"
+    " '\",\"timestampOfTrackpoint\":\"', ts_str,"
+    " '\",\"firstLandfall\":', fl_str,"
+    " ',\"closestToLand\":', cl_str, '}')"
+)
+_TRACK_FILTER_SQL = (
+    "h % 3 = 0 OR (first_land_h IS NOT NULL AND h = first_land_h)"
+    " OR (first_land_h IS NULL AND h = closest_h)"
+)
+_LEAD_LABEL_SQL = (
+    "concat(CAST(CASE WHEN first_land_h IS NOT NULL"
+    " THEN greatest(first_land_h - 8, CAST(0 AS BIGINT))"
+    " ELSE CAST(168 AS BIGINT) END AS STRING), '-hour')"
+)
+_TRACK_DOC_SQL = (
+    "concat('{\"countryCodeISO3\":\"PHL\",\"leadTime\":\"', lead_label,"
+    " '\",\"eventName\":\"synthetic-storm-', CAST(ens_id AS STRING),"
+    " '\",\"trackpointDetails\":[', entries,"
+    " '],\"date\":\"2024-06-01T00:00:00Z\"}')"
+)
+
+
+@register(
+    "tc_track_json",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    scen AS ({SCEN_SQL}),
+    hours AS (SELECT CAST(id AS BIGINT) AS h FROM range(241) AS hr(id)),
+    grid AS (
+      SELECT h, CAST(floor(h / 6.0) AS BIGINT) AS s0,
+             least(CAST(floor(h / 6.0) AS BIGINT) + 1, 40) AS s1
+      FROM hours
+    ),
+    hourly AS (
+      SELECT t0.ens_id, g.h,
+             t0.lat + (t1.lat - t0.lat) * (g.h - g.s0 * 6) / 6.0 AS lat,
+             t0.lon + (t1.lon - t0.lon) * (g.h - g.s0 * 6) / 6.0 AS lon,
+             t0.vmax + (t1.vmax - t0.vmax) * (g.h - g.s0 * 6) / 6.0 AS vmax
+      FROM grid g
+      JOIN scen t0 ON t0.step = g.s0
+      JOIN scen t1 ON t1.ens_id = t0.ens_id AND t1.step = g.s1
+    ),
+    edges AS (SELECT * FROM {EDGES_VALUES_SQL}),
+    onland AS (
+      SELECT ens_id, h, sum({RAY_CROSS_SQL}) % 2 = 1 AS on_land
+      FROM hourly CROSS JOIN edges GROUP BY ens_id, h
+    ),
+    munis AS ({MUNIS_SQL}),
+    dists AS (
+      SELECT ens_id, h, min({_LADDER_DIST_SQL}) AS dist_km
+      FROM hourly CROSS JOIN munis GROUP BY ens_id, h
+    ),
+    pts AS (
+      SELECT y.ens_id, y.h, y.lat, y.lon, y.vmax, o.on_land, d.dist_km
+      FROM hourly y
+      JOIN onland o ON y.ens_id = o.ens_id AND y.h = o.h
+      JOIN dists d ON y.ens_id = d.ens_id AND y.h = d.h
+    ),
+    marks AS (
+      SELECT ens_id,
+             min(CASE WHEN on_land THEN h END) AS first_land_h,
+             min(dist_km) AS min_dist
+      FROM pts GROUP BY ens_id
+    ),
+    closest AS (
+      SELECT p.ens_id, min(p.h) AS closest_h
+      FROM pts p JOIN marks m
+        ON p.ens_id = m.ens_id AND p.dist_km = m.min_dist
+      GROUP BY p.ens_id
+    ),
+    staged AS (
+      SELECT p.ens_id, p.h, p.lat, p.lon,
+             {_KPH_SQL} AS kph,
+             {_TS_STR_SQL} AS ts_str,
+             m.first_land_h, c.closest_h
+      FROM pts p
+      JOIN marks m ON p.ens_id = m.ens_id
+      JOIN closest c ON p.ens_id = c.ens_id
+    ),
+    flagged AS (
+      SELECT *, {_CAT_SQL} AS category, {_FL_SQL} AS fl_str,
+             {_CL_SQL} AS cl_str
+      FROM staged WHERE {_TRACK_FILTER_SQL}
+    ),
+    entries AS (
+      SELECT ens_id, {_LEAD_LABEL_SQL} AS lead_label,
+             string_agg({_TRACK_ENTRY_SQL}, ',' ORDER BY h) AS entries
+      FROM flagged GROUP BY ens_id, first_land_h
+    )
+    SELECT ens_id, lead_label, {_TRACK_DOC_SQL} AS track_json
+    FROM entries
+    """,
+    doc="F19 second half — the track document with trackpointDetails "
+        "(forecast_process.py:818-872): hourly lerped positions, "
+        "KPH=3.6·VMAX/0.88 with int() truncation (floor-then-cast so "
+        "both engines truncate), PAGASA category bins, the "
+        "%m-%d-%Y %H:%M:%S upload format via integer date arithmetic "
+        "(timezone-free), the 3-hourly P5 filter with firstLandfall/"
+        "closestToLand force-included, and the document envelope with "
+        "the ladder's lead-time label; entries concatenated in track "
+        "order (sorted-struct transform ≡ ORDER BY h)",
+)
+def tc_track_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    scen = tracks.select(
+        "ens_id",
+        "step",
+        F.expr(
+            "lat + CASE WHEN ens_id % 7 = 5 THEN 14.0 ELSE 0.0 END"
+        ).alias("lat"),
+        F.expr(
+            "lon + CASE ens_id % 7 WHEN 1 THEN -22.0 WHEN 2 THEN 60.0"
+            " WHEN 3 THEN 16.0 WHEN 4 THEN 8.0"
+            " WHEN 5 THEN 5.0 WHEN 6 THEN -19.0 ELSE 0.0 END"
+        ).alias("lon"),
+        "vmax",
+    )
+    grid = (
+        spark.range(241)
+        .select(F.col("id").cast("bigint").alias("h"))
+        .selectExpr(
+            "h",
+            "CAST(floor(h / 6.0) AS BIGINT) AS s0",
+            "least(CAST(floor(h / 6.0) AS BIGINT) + 1, 40) AS s1",
+        )
+    )
+    t0 = scen.selectExpr(
+        "ens_id", "step AS s0", "lat AS lat0", "lon AS lon0", "vmax AS vmax0"
+    )
+    t1 = scen.selectExpr(
+        "ens_id", "step AS s1", "lat AS lat1", "lon AS lon1", "vmax AS vmax1"
+    )
+    hourly = (
+        grid.join(t0, "s0")
+        .join(t1, ["ens_id", "s1"])
+        .selectExpr(
+            "ens_id",
+            "h",
+            "lat0 + (lat1 - lat0) * (h - s0 * 6) / 6.0 AS lat",
+            "lon0 + (lon1 - lon0) * (h - s0 * 6) / 6.0 AS lon",
+            "vmax0 + (vmax1 - vmax0) * (h - s0 * 6) / 6.0 AS vmax",
+        )
+    )
+    edges = spark.createDataFrame(
+        LAND_EDGES, "x1 double, y1 double, x2 double, y2 double"
+    )
+    onland = (
+        hourly.crossJoin(F.broadcast(edges))
+        .groupBy("ens_id", "h")
+        .agg(((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("on_land"))
+    )
+    from ibf_typhoon_data_pipeline_spark.functions.geo import haversine_km
+
+    munis = gen_munis(spark).select("m_lat", "m_lon")
+    dists = (
+        hourly.crossJoin(F.broadcast(munis))
+        .groupBy("ens_id", "h")
+        .agg(
+            F.min(
+                haversine_km(
+                    F.col("lat"), F.col("lon"), F.col("m_lat"), F.col("m_lon")
+                )
+            ).alias("dist_km")
+        )
+    )
+    pts = hourly.join(onland, ["ens_id", "h"]).join(dists, ["ens_id", "h"])
+    marks = pts.groupBy("ens_id").agg(
+        F.min(F.when(F.col("on_land"), F.col("h"))).alias("first_land_h"),
+        F.min("dist_km").alias("min_dist"),
+    )
+    closest = (
+        pts.join(marks.select("ens_id", "min_dist"), "ens_id")
+        .filter(F.col("dist_km") == F.col("min_dist"))
+        .groupBy("ens_id")
+        .agg(F.min("h").alias("closest_h"))
+    )
+    staged = (
+        pts.join(marks.select("ens_id", "first_land_h"), "ens_id")
+        .join(closest, "ens_id")
+        .selectExpr(
+            "ens_id", "h", "lat", "lon",
+            f"{_KPH_SQL} AS kph",
+            f"{_TS_STR_SQL} AS ts_str",
+            "first_land_h", "closest_h",
+        )
+    )
+    flagged = staged.filter(F.expr(_TRACK_FILTER_SQL)).selectExpr(
+        "*",
+        f"{_CAT_SQL} AS category",
+        f"{_FL_SQL} AS fl_str",
+        f"{_CL_SQL} AS cl_str",
+    )
+    entries = flagged.groupBy("ens_id", "first_land_h").agg(
+        F.expr(_LEAD_LABEL_SQL).alias("lead_label"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(h, "
+            f"{_TRACK_ENTRY_SQL} AS entry))), x -> x.entry), ',')"
+        ).alias("entries"),
+    )
+    return entries.selectExpr("ens_id", "lead_label", f"{_TRACK_DOC_SQL} AS track_json")
