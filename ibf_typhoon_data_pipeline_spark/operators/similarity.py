@@ -270,6 +270,233 @@ def ivf_multiprobe_topk(
     )
 
 
+# --------------------------------------------- trained codebook / seeded LSH
+# The axis-aligned cell/bucket functions above are the oracle-
+# reproducible stand-ins; these are the production-quality variants the
+# docstrings promise: a k-means coarse quantizer and seeded Gaussian
+# projections. Both stay oracle-checkable through the tc_damage_gbt
+# pattern — the fit is deterministic numpy on a bounded, id-ordered,
+# 6dp-rounded sample, and the fitted constants are embedded as literals
+# into EXPLICIT per-dimension sum expressions (left-associated, same
+# token order in Spark and DuckDB → bitwise-equal scores, so cell and
+# bucket assignment can never diverge between engines).
+
+
+def kmeans_codebook(vecs, k: int = 8, iters: int = 5):
+    """Deterministic Lloyd k-means: init = evenly spaced rows of the
+    (id-sorted) sample, fixed iteration count, argmin ties to the
+    lowest centroid, empty cells keep their previous centroid. Returns
+    centroids rounded to 6dp — the literals both engines score with."""
+    import numpy as np
+
+    v = np.round(np.asarray(vecs, dtype=np.float64), 6)
+    n = len(v)
+    cents = v[[(i * n) // k for i in range(k)]].copy()
+    for _ in range(iters):
+        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cents[j] = v[mask].mean(axis=0)
+    return np.round(cents, 6)
+
+
+def seeded_planes(m: int = 6, dim: int = 64, seed: int = 42):
+    """Seeded Gaussian random projections for sign-LSH (the proper
+    Charikar construction), rounded to 3dp for compact literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((m, dim)), 3)
+
+
+def dot_literal_sql(vec: str, weights, idx0: int) -> str:
+    """Σ_d vec[d]·w_d as an explicit left-associated term sum with the
+    weights inlined as CAST(… AS DOUBLE) literals. idx0 selects the
+    engine's array base (Spark 0, DuckDB 1); everything else is
+    token-identical, so both engines produce the same double."""
+    return " + ".join(
+        f"{vec}[{d + idx0}] * CAST({float(w)!r} AS DOUBLE)"
+        for d, w in enumerate(weights)
+    )
+
+
+def codebook_score_sqls(centroids, vec: str, idx0: int) -> list[str]:
+    """Per-cell affinity scores: argmin ‖v−c‖² ≡ argmax (v·c − ‖c‖²/2).
+    Rounded to 6dp BEFORE the argmax so an ulp can't flip a cell."""
+    out = []
+    for c in centroids:
+        half_sq = float(0.5 * sum(float(x) * float(x) for x in c))
+        out.append(
+            f"round({dot_literal_sql(vec, c, idx0)}"
+            f" - CAST({half_sq!r} AS DOUBLE), 6)"
+        )
+    return out
+
+
+def fit_codebook_sample(df: DataFrame, id_col: str, vec_col: str,
+                        sample: int = 512, k: int = 8, iters: int = 5):
+    """Collect the bounded, id-ordered training sample and fit. The
+    sample cap keeps the driver-side footprint constant at any SF —
+    codebook training on a sample is the standard IVF recipe."""
+    rows = (
+        df.orderBy(id_col)
+        .limit(sample)
+        .select(_as_double(F.col(vec_col)).alias("__v"))
+        .collect()
+    )
+    return kmeans_codebook([r["__v"] for r in rows], k=k, iters=iters)
+
+
+def cell_ladder_sql(n_cells: int) -> str:
+    """First-match argmax over materialized score columns s0..s{n-1}:
+    ties keep the lowest cell. Shared text for both engines."""
+    all_s = ", ".join(f"s{i}" for i in range(n_cells))
+    whens = " ".join(
+        f"WHEN s{k} = greatest({all_s}) THEN {k}" for k in range(n_cells - 1)
+    )
+    return f"CAST(CASE {whens} ELSE {n_cells - 1} END AS INT)"
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def codebook_ivf_topk(
+    df: DataFrame,
+    cents,
+    k: int = 5,
+    probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k over a TRAINED coarse quantizer: cell = nearest
+    k-means centroid via argmax(v·c − ‖c‖²/2), scores materialized as
+    columns (never re-inlined), cell key = shuffle key exactly as in
+    the axis-aligned variant. probe>1 explodes each query over its
+    best-affinity cells (neighbors stay single-cell, so no pair is
+    scored twice)."""
+    n_cells = len(cents)
+    s_sqls = codebook_score_sqls(cents, "__v", 0)
+    base = (
+        spread(df)
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+        .selectExpr(
+            id_col, "__v", *[f"{s} AS s{i}" for i, s in enumerate(s_sqls)]
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+    )
+    if probe <= 1:
+        cells = base.selectExpr(
+            id_col, "__v", "__n", f"{cell_ladder_sql(n_cells)} AS __cell"
+        )
+        a = cells.select(
+            F.col(id_col).alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"),
+            "__cell",
+        )
+    else:
+        ranked = base.selectExpr(
+            id_col,
+            "__v",
+            "__n",
+            "sort_array(array("
+            + ", ".join(
+                f"struct(s{i} AS s, CAST({i} AS INT) AS i)"
+                for i in range(n_cells)
+            )
+            + "), false) AS __ranked",
+        )
+        cells = ranked.selectExpr(
+            id_col, "__v", "__n", "element_at(__ranked, 1).i AS __cell"
+        )
+        a = ranked.select(
+            F.col(id_col).alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"),
+            F.explode(
+                F.expr(f"transform(slice(__ranked, 1, {probe}), x -> x.i)")
+            ).alias("__cell"),
+        )
+    b = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__nv"),
+        F.col("__n").alias("__nn"),
+        "__cell",
+    )
+    pairs = a.join(b, "__cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("__qv"), F.col("__nv")) / (F.col("__qn") * F.col("__nn")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    return _rank_topk(scored, k)
+
+
+def seeded_lsh_topk(
+    df: DataFrame,
+    planes,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH top-k with SEEDED Gaussian hyperplanes (Charikar) in
+    place of the axis-aligned stand-in — projections materialized as
+    columns, bucket = the sign string, same bucket-join plan shape."""
+    m = len(planes)
+    p_sqls = [dot_literal_sql("__v", w, 0) for w in planes]
+    bucket = "concat(" + ", ".join(
+        f"CASE WHEN p{i} >= 0 THEN '+' ELSE '-' END" for i in range(m)
+    ) + ")"
+    base = (
+        spread(df)
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+        .selectExpr(
+            id_col, "__v", *[f"{p} AS p{i}" for i, p in enumerate(p_sqls)]
+        )
+        .selectExpr(id_col, "__v", f"{bucket} AS __bucket")
+        .withColumn("__n", l2_norm(F.col("__v")))
+    )
+    a = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        "__bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__nv"),
+        F.col("__n").alias("__nn"),
+        "__bucket",
+    )
+    pairs = a.join(b, "__bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("__qv"), F.col("__nv")) / (F.col("__qn") * F.col("__nn")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    return _rank_topk(scored, k)
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.98,

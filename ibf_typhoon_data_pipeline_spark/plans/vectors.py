@@ -199,3 +199,163 @@ _IDX_LIST = ", ".join(str(k) for k in range(8))
 def sim_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_multiprobe_topk(emb, k=5, probe=2, n_cells=8, seg=8)
+
+
+# --------------------------------------------- trained codebook / seeded LSH
+# These are the production variants behind the same bucket-key plan
+# shapes: a k-means coarse quantizer and seeded Gaussian projections.
+# Oracle checkability uses the tc_damage_gbt pattern — the fit is
+# deterministic numpy on a bounded id-ordered 6dp-rounded sample, the
+# constants are inlined as literals into explicit left-associated
+# per-dimension sums (token-identical modulo the array base), and the
+# lazy oracle refits from the same sf0.01 parquet the driver checks
+# against. At other SFs the query fits its own codebook (no oracle
+# runs there); scores round to 6dp before any argmax/sign so an ulp
+# cannot flip a cell or bucket.
+
+from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    cell_ladder_sql,
+    codebook_ivf_topk,
+    codebook_score_sqls,
+    dot_literal_sql,
+    fit_codebook_sample,
+    kmeans_codebook,
+    seeded_lsh_topk,
+    seeded_planes,
+)
+
+_SF_ORACLE_EMB = "/root/testdata/sf0.01/embeddings.parquet"
+_RANK_TAIL = """
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rn FROM pairs
+    ) WHERE rn <= 5
+"""
+
+
+def _duck_codebook():
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM '{_SF_ORACLE_EMB}'"
+        " ORDER BY vec_id LIMIT 512"
+    ).fetchall()
+    return kmeans_codebook([r[0] for r in rows])
+
+
+def _codebook_oracle_p1() -> str:
+    cents = _duck_codebook()
+    s_sqls = codebook_score_sqls(cents, "ve", 1)
+    scores = ", ".join(f"{s} AS s{i}" for i, s in enumerate(s_sqls))
+    ladder = cell_ladder_sql(len(cents)).replace("AS INT", "AS INTEGER")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), scores AS (SELECT vec_id, ve, {scores} FROM v),
+    cells AS (SELECT vec_id, ve, {ladder} AS cell FROM scores),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COSINE.replace('a.embedding', 'a.ve').replace('b.embedding', 'b.ve')
+              .replace('CAST(a.ve AS DOUBLE[])', 'a.ve')
+              .replace('CAST(b.ve AS DOUBLE[])', 'b.ve')} AS cosine_sim
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    {_RANK_TAIL}
+    """
+
+
+def _codebook_oracle_p2() -> str:
+    cents = _duck_codebook()
+    n = len(cents)
+    s_sqls = codebook_score_sqls(cents, "ve", 1)
+    scores = ", ".join(f"{s} AS s{i}" for i, s in enumerate(s_sqls))
+    s_list = ", ".join(f"s{i}" for i in range(n))
+    i_list = ", ".join(str(i) for i in range(n))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), scores AS (SELECT vec_id, ve, {scores} FROM v),
+    affin AS (
+      SELECT vec_id, ve, unnest([{s_list}]) AS s, unnest([{i_list}]) AS i
+      FROM scores
+    ), ranked AS (
+      SELECT vec_id, ve, i, row_number() OVER (
+        PARTITION BY vec_id ORDER BY s DESC, i DESC
+      ) AS rn FROM affin
+    ), qcells AS (SELECT vec_id, ve, i AS cell FROM ranked WHERE rn <= 2),
+    ncell AS (SELECT vec_id, ve, i AS cell FROM ranked WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+      FROM qcells a JOIN ncell b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    {_RANK_TAIL}
+    """
+
+
+def _seeded_lsh_oracle() -> str:
+    planes = seeded_planes()
+    m = len(planes)
+    p_sqls = ", ".join(
+        f"{dot_literal_sql('ve', w, 1)} AS p{i}" for i, w in enumerate(planes)
+    )
+    bucket = "concat(" + ", ".join(
+        f"CASE WHEN p{i} >= 0 THEN '+' ELSE '-' END" for i in range(m)
+    ) + ")"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), proj AS (SELECT vec_id, ve, {p_sqls} FROM v),
+    bucketed AS (SELECT vec_id, ve, {bucket} AS bucket FROM proj),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    {_RANK_TAIL}
+    """
+
+
+@register(
+    "sim_ivf_codebook_topk",
+    _codebook_oracle_p1,
+    doc="IVF(probe=1) over a TRAINED k-means codebook (deterministic "
+        "Lloyd on a bounded id-ordered sample; centroids inlined as "
+        "literals, scores = v·c − ‖c‖²/2 rounded 6dp before argmax) — "
+        "the production coarse quantizer behind the same cell-key "
+        "shuffle plan as the axis-aligned stand-in",
+)
+def sim_ivf_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_codebook_sample(emb, "vec_id", "embedding")
+    return codebook_ivf_topk(emb, cents, k=5, probe=1)
+
+
+@register(
+    "sim_ivf_codebook_probe2",
+    _codebook_oracle_p2,
+    doc="Trained-codebook IVF at probe=2 — the recall knob on the "
+        "k-means quantizer: queries explode over their 2 best cells, "
+        "neighbors stay single-cell, pair space grows linearly in p",
+)
+def sim_ivf_codebook_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_codebook_sample(emb, "vec_id", "embedding")
+    return codebook_ivf_topk(emb, cents, k=5, probe=2)
+
+
+@register(
+    "sim_lsh_seeded_topk",
+    _seeded_lsh_oracle,
+    doc="Sign-LSH top-5 with SEEDED Gaussian hyperplanes (Charikar "
+        "SimHash proper) instead of axis-aligned planes — projections "
+        "materialized as columns, the sign string is the bucket join "
+        "key, same Σ bucket² pair space",
+)
+def sim_lsh_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return seeded_lsh_topk(emb, seeded_planes(), k=5)

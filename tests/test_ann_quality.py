@@ -42,3 +42,43 @@ def test_ann_recall_floors_and_multiprobe_gain(spark):
     assert recall["lsh"] > 0.02, recall
     # probing a second cell must strictly add recall
     assert recall["ivf_p2"] > recall["ivf_p1"], recall
+
+
+def test_trained_codebook_beats_axis_anchors(spark):
+    """The k-means coarse quantizer must dominate the axis-segment
+    stand-in at equal probe budget — the claim that makes it the
+    production swap. Measured at sf0.01: codebook 0.318/0.514 vs axis
+    0.259/0.443 at probe 1/2. (An absolute-recall target like 0.9 is
+    not reachable on THIS fixture: iid-uniform 64-dim embeddings have
+    no cluster structure, so top-5 neighbors are barely closer than
+    random points — the worst case for any coarse quantizer. The
+    contract is therefore relative: trained > axis, and probe adds.)"""
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        codebook_ivf_topk,
+        fit_codebook_sample,
+        seeded_lsh_topk,
+        seeded_planes,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    truth = _pairs(brute_force_topk(emb, k=5))
+    cents = fit_codebook_sample(emb, "vec_id", "embedding")
+
+    def recall(df):
+        got = _pairs(df)
+        return len(got & truth) / len(truth)
+
+    axis_p1 = recall(ivf_topk(emb, k=5))
+    axis_p2 = recall(ivf_multiprobe_topk(emb, k=5, probe=2))
+    cb_p1 = recall(codebook_ivf_topk(emb, cents, k=5, probe=1))
+    cb_p2 = recall(codebook_ivf_topk(emb, cents, k=5, probe=2))
+    assert cb_p1 > axis_p1, (cb_p1, axis_p1)
+    assert cb_p2 > axis_p2, (cb_p2, axis_p2)
+    assert cb_p2 > cb_p1, (cb_p2, cb_p1)
+    assert cb_p2 > 0.45, cb_p2  # measured 0.514, slack for regeneration
+
+    # seeded Gaussian planes are statistically equivalent to axis
+    # planes on uniform data (any fixed basis is "random" relative to
+    # an isotropic distribution) — assert the floor, not dominance
+    lsh_seeded = recall(seeded_lsh_topk(emb, seeded_planes(), k=5))
+    assert lsh_seeded > 0.02, lsh_seeded
