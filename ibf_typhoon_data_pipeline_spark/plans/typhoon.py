@@ -2561,3 +2561,88 @@ def tc_track_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entries"),
     )
     return entries.selectExpr("ens_id", "lead_label", f"{_TRACK_DOC_SQL} AS track_json")
+
+
+# ----------------------------------------------------------- GDACS scan (S9)
+# Check_for_active_typhoon.py:7-53: pull the GDACS RSS feed, keep
+# gdacs_eventtype == 'TC', test each event's coordinates against the
+# Tropical Cyclone Advisory Domain quadrilateral, and strip the
+# '-NNNN' suffix off gdacs_eventname. The feed fetch itself stays a
+# gated network adapter (sources/ingest.py); this query is the landed-
+# fixture scan+filter — the same PNPOLY parity join as J1/K7.
+
+TCAD_POLY = [(145.0, 28.0), (145.0, 2.0), (114.0, 3.0), (114.0, 28.0)]
+TCAD_EDGES_SQL = "(VALUES " + ", ".join(
+    f"(CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE),"
+    f" CAST({x2!r} AS DOUBLE), CAST({y2!r} AS DOUBLE))"
+    for (x1, y1), (x2, y2) in zip(TCAD_POLY, TCAD_POLY[1:] + TCAD_POLY[:1])
+) + ") AS e(x1, y1, x2, y2)"
+
+# landed RSS fixture: a deterministic mix of event types and positions
+# straddling the TCAD boundary
+GDACS_FIXTURE_SQL = """
+  SELECT CAST(id AS BIGINT) AS event_id,
+         CASE id % 3 WHEN 0 THEN 'TC' WHEN 1 THEN 'EQ' ELSE 'FL' END
+           AS gdacs_eventtype,
+         concat('STORM', CAST(id AS STRING), '-',
+                CAST(2020 + id % 5 AS STRING)) AS gdacs_eventname,
+         CAST(100.0 + (id * 13) % 60 AS DOUBLE) AS lon,
+         CAST(-5.0 + (id * 7) % 40 AS DOUBLE) AS lat
+  FROM range(120) AS g(id)
+"""
+
+
+@register(
+    "s9_gdacs_active_typhoons",
+    f"""
+    WITH gdacs AS ({GDACS_FIXTURE_SQL}),
+    edges AS (SELECT * FROM {TCAD_EDGES_SQL}),
+    tc AS (SELECT * FROM gdacs WHERE gdacs_eventtype = 'TC'),
+    tested AS (
+      SELECT event_id, gdacs_eventname, lat, lon,
+             sum({RAY_CROSS_SQL}) % 2 = 1 AS in_tcad
+      FROM tc CROSS JOIN edges
+      GROUP BY event_id, gdacs_eventname, lat, lon
+    )
+    SELECT event_id,
+           regexp_replace(gdacs_eventname, '-[^-]*$', '') AS storm_name,
+           lat, lon
+    FROM tested WHERE in_tcad
+    """,
+    doc="S9 — GDACS RSS scan + TCAD bbox filter (Check_for_active_"
+        "typhoon.py:7-53): keep TC events, point-in-TCAD-quadrilateral "
+        "via the PNPOLY parity join, strip the '-NNNN' name suffix "
+        "exactly as rfind('-') does",
+)
+def s9_gdacs_active_typhoons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.range(120)
+    gdacs = ids.selectExpr(
+        "CAST(id AS BIGINT) AS event_id",
+        "CASE id % 3 WHEN 0 THEN 'TC' WHEN 1 THEN 'EQ' ELSE 'FL' END"
+        " AS gdacs_eventtype",
+        "concat('STORM', CAST(id AS STRING), '-',"
+        " CAST(2020 + id % 5 AS STRING)) AS gdacs_eventname",
+        "CAST(100.0 + (id * 13) % 60 AS DOUBLE) AS lon",
+        "CAST(-5.0 + (id * 7) % 40 AS DOUBLE) AS lat",
+    )
+    edges = spark.createDataFrame(
+        [
+            (x1, y1, x2, y2)
+            for (x1, y1), (x2, y2) in zip(
+                TCAD_POLY, TCAD_POLY[1:] + TCAD_POLY[:1]
+            )
+        ],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    tested = (
+        gdacs.filter(F.col("gdacs_eventtype") == "TC")
+        .crossJoin(F.broadcast(edges))
+        .groupBy("event_id", "gdacs_eventname", "lat", "lon")
+        .agg(((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("in_tcad"))
+    )
+    return tested.filter("in_tcad").select(
+        "event_id",
+        F.regexp_replace("gdacs_eventname", "-[^-]*$", "").alias("storm_name"),
+        "lat",
+        "lon",
+    )
