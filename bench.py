@@ -43,6 +43,13 @@ HEADLINE = [
     "tc_track_interp_30min",
     "ml_ols_inference",
     "sim_ivf_topk",
+    # round-2 additions: the two riskiest entries from the r1 verdict
+    # plus the new reference-class model, ladder, and trained codebook
+    "tc_windfield_vectors",
+    "tc_damage_gbt",
+    "tc_damage_xgb",
+    "tc_landfall_ladder",
+    "sim_ivf_codebook_topk",
 ]
 
 
@@ -60,6 +67,8 @@ def main() -> None:
     for t in ("documents", "embeddings", "events", "orders", "customer"):
         load_table(spark, sf_dir, t).count()
 
+    from ibf_typhoon_data_pipeline_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = plans.QUERIES.get(name)
@@ -68,6 +77,7 @@ def main() -> None:
         t0 = time.perf_counter()
         qd.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_caches()  # orchestration path: reclaim dedup intermediates
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

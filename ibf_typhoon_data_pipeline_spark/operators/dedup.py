@@ -22,6 +22,29 @@ from pyspark.sql import functions as F
 
 from ibf_typhoon_data_pipeline_spark.operators.skew import spread
 
+# Persisted intermediates (shingle/signature tables) registered here so
+# long-lived sessions can reclaim them: the tables feed multiple plan
+# branches inside one query, so the operator cannot unpersist before
+# returning, but a bench loop or orchestrated pipeline re-invoking the
+# operators would otherwise accumulate caches. Orchestration paths call
+# release_caches() after their action (bench.py does).
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every cached dedup intermediate; returns the count."""
+    n = len(_CACHED)
+    for df in _CACHED:
+        df.unpersist()
+    _CACHED.clear()
+    return n
+
 
 def split_words(text: Column) -> Column:
     return F.split(F.trim(text), " +")
@@ -122,7 +145,7 @@ def ngram_jaccard_pairs(
     scalable formulation (common-shingle skew is the knob to salt at
     100 TB). The shingle table feeds three plan branches (both join
     sides + per-doc sizes); persist it so tokenization runs once."""
-    sh = shingle_table(df, text_col, id_col, n).persist()
+    sh = _persist(shingle_table(df, text_col, id_col, n))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -202,7 +225,7 @@ def minhash_lsh_pairs(
     sides of the verify join); Spark plans have no CTE sharing, so
     persist it — signatures are tiny (num_hashes × 32-hex per doc) next
     to the corpus they summarize."""
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    sig = _persist(minhash_signatures(df, text_col, id_col, n, num_hashes))
     n_bands = num_hashes // band_size
     bands = F.array(
         *[

@@ -485,7 +485,8 @@ def o1_latest_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name, total_bal, CAST(rank AS INTEGER) AS rank FROM (
       SELECT n_name, round(sum(c_acctbal), 2) AS total_bal,
-             row_number() OVER (ORDER BY sum(c_acctbal) DESC, n_name) AS rank
+             row_number() OVER (ORDER BY round(sum(c_acctbal), 2) DESC, n_name)
+               AS rank
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name
     )
