@@ -388,9 +388,24 @@ def windfield_vectors(
     atten = F.least(
         F.lit(1.0), F.col("rmw_km") / F.col("r_km")
     ) * F.col("v_trans_ms")
+    # Generate barrier around the expensive physics: Catalyst rewrites
+    # filters through deterministic projects by alias substitution and
+    # re-derives them below via constraint propagation, so without a
+    # barrier the speed threshold lands in the nested-loop JOIN
+    # CONDITION with the full Holland tree inlined ≈8× and evaluated
+    # per candidate pair without common-subexpression elimination —
+    # measured 34 s vs 4 s on this pair space. explode(array(v_g)) is a
+    # row-preserving generator Catalyst cannot substitute through: the
+    # gradient wind is computed exactly once per pair, and everything
+    # above (u/v/speed, the threshold, quantization) is cheap
+    # arithmetic over the materialized column.
+    staged = pairs.select(
+        *keys, "step", "centroid_id", "dx", "dy", "r_km",
+        "t_lat", "rmw_km", "v_trans_ms", "hx", "hy",
+        F.explode(F.array(v_g)).alias("v_g"),
+    )
     scored = (
-        pairs.withColumn("v_g", v_g)
-        .withColumn(
+        staged.withColumn(
             "u_ms",
             F.col("v_g") * hemi * (-F.col("dy") / F.col("r_km"))
             + atten * F.col("hx"),
