@@ -67,7 +67,7 @@ def main() -> None:
     for t in ("documents", "embeddings", "events", "orders", "customer"):
         load_table(spark, sf_dir, t).count()
 
-    from ibf_typhoon_data_pipeline_spark.operators.dedup import release_caches
+    from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -77,7 +77,7 @@ def main() -> None:
         t0 = time.perf_counter()
         qd.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        release_caches()  # orchestration path: reclaim dedup intermediates
+        release_caches()  # orchestration path: reclaim tracked persists
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -22,28 +22,15 @@ from pyspark.sql import functions as F
 
 from ibf_typhoon_data_pipeline_spark.operators.skew import spread
 
-# Persisted intermediates (shingle/signature tables) registered here so
-# long-lived sessions can reclaim them: the tables feed multiple plan
-# branches inside one query, so the operator cannot unpersist before
-# returning, but a bench loop or orchestrated pipeline re-invoking the
-# operators would otherwise accumulate caches. Orchestration paths call
-# release_caches() after their action (bench.py does).
-_CACHED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _CACHED.append(df)
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every cached dedup intermediate; returns the count."""
-    n = len(_CACHED)
-    for df in _CACHED:
-        df.unpersist()
-    _CACHED.clear()
-    return n
+# Persisted intermediates (shingle/signature tables) go through the
+# shared tracked-cache registry (operators.cache): they feed multiple
+# plan branches inside one query, so the operator cannot unpersist
+# before returning; orchestration paths call release_caches() after
+# their action (bench.py does).
+from ibf_typhoon_data_pipeline_spark.operators.cache import (  # noqa: F401
+    persist_tracked as _persist,
+    release_caches,
+)
 
 
 def split_words(text: Column) -> Column:

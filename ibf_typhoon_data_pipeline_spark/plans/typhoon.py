@@ -1691,19 +1691,19 @@ def tc_damage_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_gbt_predict_udf,
     )
 
-    d = _damage(spark)
-    d.persist()  # consumed twice by the fit (min/max + sketch)
+    from ibf_typhoon_data_pipeline_spark.operators.cache import persist_tracked
+
+    # consumed by the fit (min/max + sketch) AND the returned scoring
+    # plan — tracked persist; orchestration releases after its action
+    d = persist_tracked(_damage(spark))
     d.createOrReplaceTempView("gbt_frame")
-    try:
-        trees = fit_hist_gbt_sketch(
-            lambda s: [tuple(r) for r in spark.sql(s).collect()],
-            ["v_max", "dis_track_min"],
-            "damage_predicted",
-            frame="gbt_frame",
-            **_GBT_STUMP_KW,
-        )
-    finally:
-        d.unpersist()
+    trees = fit_hist_gbt_sketch(
+        lambda s: [tuple(r) for r in spark.sql(s).collect()],
+        ["v_max", "dis_track_min"],
+        "damage_predicted",
+        frame="gbt_frame",
+        **_GBT_STUMP_KW,
+    )
     score = hist_gbt_predict_udf(spark, trees, eta=0.5, base=0.0)
     return d.select(
         F.col("adm3_pcode").alias("Mun_Code"),
@@ -1926,17 +1926,17 @@ def tc_damage_xgb(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_hist_gbt_from_engine,
     )
 
-    frame = _xgb_frame(spark)
-    frame.persist()  # consumed twice by the fit (min/max + sketch)
+    from ibf_typhoon_data_pipeline_spark.operators.cache import persist_tracked
+
+    # consumed by the fit (min/max + sketch) AND the returned scoring
+    # plan — tracked persist; orchestration releases after its action
+    frame = persist_tracked(_xgb_frame(spark))
     frame.createOrReplaceTempView("xgb_frame")
-    try:
-        score = fit_hist_gbt_from_engine(
-            lambda s: [tuple(r) for r in spark.sql(s).collect()],
-            XGB_FEATURES,
-            "dam_perc",
-        )
-    finally:
-        frame.unpersist()
+    score = fit_hist_gbt_from_engine(
+        lambda s: [tuple(r) for r in spark.sql(s).collect()],
+        XGB_FEATURES,
+        "dam_perc",
+    )
     _, final_exprs = _xgb_post_sql(score)
     scored = frame.selectExpr(
         "Mun_Code",
