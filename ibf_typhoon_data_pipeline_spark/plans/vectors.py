@@ -235,14 +235,29 @@ _RANK_TAIL = """
 """
 
 
-def _duck_codebook():
-    import duckdb
+_CODEBOOK_MEMO: dict[str, object] = {}
 
-    rows = duckdb.connect().execute(
-        f"SELECT CAST(embedding AS DOUBLE[]) FROM '{_SF_ORACLE_EMB}'"
-        " ORDER BY vec_id LIMIT 512"
-    ).fetchall()
-    return kmeans_codebook([r[0] for r in rows])
+
+def _duck_codebook():
+    # memoized: the p1 and p2 oracles share the identical fit
+    if "duck" not in _CODEBOOK_MEMO:
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM '{_SF_ORACLE_EMB}'"
+            " ORDER BY vec_id LIMIT 512"
+        ).fetchall()
+        _CODEBOOK_MEMO["duck"] = kmeans_codebook([r[0] for r in rows])
+    return _CODEBOOK_MEMO["duck"]
+
+
+def _spark_codebook(spark, sf_dir: str):
+    # memoized per sf_dir: centroids depend only on the parquet sample
+    key = f"spark:{sf_dir}"
+    if key not in _CODEBOOK_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_MEMO[key] = fit_codebook_sample(emb, "vec_id", "embedding")
+    return _CODEBOOK_MEMO[key]
 
 
 def _codebook_oracle_p1() -> str:
@@ -331,8 +346,7 @@ def _seeded_lsh_oracle() -> str:
 )
 def sim_ivf_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = fit_codebook_sample(emb, "vec_id", "embedding")
-    return codebook_ivf_topk(emb, cents, k=5, probe=1)
+    return codebook_ivf_topk(emb, _spark_codebook(spark, sf_dir), k=5, probe=1)
 
 
 @register(
@@ -344,8 +358,7 @@ def sim_ivf_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf_codebook_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = fit_codebook_sample(emb, "vec_id", "embedding")
-    return codebook_ivf_topk(emb, cents, k=5, probe=2)
+    return codebook_ivf_topk(emb, _spark_codebook(spark, sf_dir), k=5, probe=2)
 
 
 @register(
