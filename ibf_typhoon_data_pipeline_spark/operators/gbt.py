@@ -106,9 +106,9 @@ def gbt_case_sql(trees: list[Stump], feat_names: list[str]) -> str:
     for t in trees:
         terms.append(
             f"CASE WHEN round({feat_names[t.feat]}, 6)"
-            f" < CAST({t.thr!r} AS DOUBLE)"
-            f" THEN CAST({t.left!r} AS DOUBLE)"
-            f" ELSE CAST({t.right!r} AS DOUBLE) END"
+            f" < CAST('{t.thr!r}' AS DOUBLE)"
+            f" THEN CAST('{t.left!r}' AS DOUBLE)"
+            f" ELSE CAST('{t.right!r}' AS DOUBLE) END"
         )
     return " + ".join(terms)
 
@@ -186,7 +186,7 @@ def bin_expr_sql(col: str, edges: list[float]) -> str:
     if not edges:
         return "0"
     return " + ".join(
-        f"(CASE WHEN {col} >= CAST({e!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        f"(CASE WHEN {col} >= CAST('{e!r}' AS DOUBLE) THEN 1 ELSE 0 END)"
         for e in edges
     )
 
@@ -311,13 +311,13 @@ def hist_gbt_case_sql(
 
     def node_sql(n: TreeNode) -> str:
         if n.is_leaf:
-            return f"CAST({eta * n.value!r} AS DOUBLE)"
+            return f"CAST('{eta * n.value!r}' AS DOUBLE)"
         return (
-            f"CASE WHEN {feat_names[n.feat]} < CAST({n.edge!r} AS DOUBLE)"
+            f"CASE WHEN {feat_names[n.feat]} < CAST('{n.edge!r}' AS DOUBLE)"
             f" THEN {node_sql(n.left)} ELSE {node_sql(n.right)} END"
         )
 
-    terms = [f"CAST({base!r} AS DOUBLE)"] + [node_sql(t) for t in trees]
+    terms = [f"CAST('{base!r}' AS DOUBLE)"] + [node_sql(t) for t in trees]
     return " + ".join(terms)
 
 

@@ -317,7 +317,7 @@ def dot_literal_sql(vec: str, weights, idx0: int) -> str:
     engine's array base (Spark 0, DuckDB 1); everything else is
     token-identical, so both engines produce the same double."""
     return " + ".join(
-        f"{vec}[{d + idx0}] * CAST({float(w)!r} AS DOUBLE)"
+        f"{vec}[{d + idx0}] * CAST('{float(w)!r}' AS DOUBLE)"
         for d, w in enumerate(weights)
     )
 
@@ -330,7 +330,7 @@ def codebook_score_sqls(centroids, vec: str, idx0: int) -> list[str]:
         half_sq = float(0.5 * sum(float(x) * float(x) for x in c))
         out.append(
             f"round({dot_literal_sql(vec, c, idx0)}"
-            f" - CAST({half_sq!r} AS DOUBLE), 6)"
+            f" - CAST('{half_sq!r}' AS DOUBLE), 6)"
         )
     return out
 

@@ -117,8 +117,42 @@ def test_hist_gbt_depth2_beats_depth1_on_interaction():
     assert mse(d2) < mse(d1) * 0.7  # the interaction needs depth 2
 
 
+def test_hist_gbt_deeper_trees_and_sql_twin():
+    """The sketch fit must generalize beyond depth 2 (the reference
+    runs depth 8) with the CASE-chain scorer remaining a bitwise twin
+    of the numpy predictor at any depth."""
+    import numpy as np
+
+    from ibf_typhoon_data_pipeline_spark.operators.gbt import (
+        fit_hist_gbt_sketch,
+        hist_gbt_case_sql,
+        predict_hist_gbt,
+    )
+
+    df = _toy_frame()
+    con = duckdb.connect()
+    con.register("xgb_frame", df)
+    run = lambda s: con.execute(s).fetchall()  # noqa: E731
+
+    def mse_of(depth):
+        trees = fit_hist_gbt_sketch(
+            run, ["f1", "f2", "f3"], "target", depth=depth
+        )
+        sql = hist_gbt_case_sql(trees, ["f1", "f2", "f3"])
+        got = con.execute(f"SELECT {sql} AS p FROM xgb_frame").df()["p"].to_numpy()
+        exp = predict_hist_gbt(
+            trees, [df.f1.to_numpy(), df.f2.to_numpy(), df.f3.to_numpy()]
+        )
+        assert np.array_equal(got, exp), f"SQL/numpy diverge at depth {depth}"
+        y = df.target.to_numpy()
+        return float(((y - exp) ** 2).mean())
+
+    m2, m3, m4 = mse_of(2), mse_of(3), mse_of(4)
+    assert m3 <= m2 and m4 <= m3, (m2, m3, m4)
+
+
 def test_uniform_edges_contract():
     assert uniform_edges(0.0, 0.0) == []          # constant feature
     e = uniform_edges(0.0, 16.0, 16)
     assert len(e) == 15 and e[0] == 1.0 and e[-1] == 15.0
-    assert hist_gbt_case_sql([], ["x"]).startswith("CAST(0.5")
+    assert hist_gbt_case_sql([], ["x"]).startswith("CAST('0.5'")
