@@ -137,9 +137,11 @@ def gbt_case_sql(trees: list[Stump], feat_names: list[str]) -> str:
 # as a pure CASE-chain expression (whole-stage codegen, no UDF).
 
 HIST_BINS = 16          # equal-width bins from (min, max); deterministic
-XGB_ROUNDS = 20         # boosting rounds (reference: 100 @ eta 0.025)
+XGB_ROUNDS = 30         # boosting rounds (reference: 100 @ eta 0.025)
 XGB_ETA = 0.1
-XGB_DEPTH = 2
+XGB_DEPTH = 3           # reference runs depth 8; the fit/scorer are
+                        # depth-agnostic (bitwise-twin tested to 4) —
+                        # 3×30 keeps the CASE-chain oracle readable
 XGB_LAMBDA = 1.0        # xgb reg_lambda default
 XGB_GAMMA = 1.0         # reference gamma=1
 XGB_BASE = 0.5          # reference base_score
