@@ -41,7 +41,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 0)                 AS sum_qty,
-           round(sum(l_extendedprice), 0)            AS sum_base_price,
+           CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+                                                     AS sum_base_price_cents,
            round(avg(l_quantity), 4)                 AS avg_qty,
            round(avg(l_extendedprice), 4)            AS avg_price,
            count(*)                                  AS count_order
@@ -58,7 +59,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 0).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+            F.round(F.sum("l_extendedprice") * 100.0)
+            .cast("long")
+            .alias("sum_base_price_cents"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.count("*").alias("count_order"),
@@ -152,7 +155,7 @@ def p12_conditional_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_dim_rollup",
     """
     SELECT r_name, count(*) AS cust_count,
-           round(sum(c_acctbal), 2) AS total_acctbal
+           CAST(round(sum(c_acctbal) * 100.0) AS BIGINT) AS total_acctbal_cents
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -171,7 +174,9 @@ def j3_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("cust_count"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum("c_acctbal") * 100.0)
+            .cast("long")
+            .alias("total_acctbal_cents"),
         )
     )
 
@@ -185,12 +190,13 @@ def j3_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT DISTINCT user_id % 10 AS bucket FROM events) b
     ), agg AS (
       SELECT event_type, user_id % 10 AS bucket,
-             count(*) AS n_events, round(sum(value), 2) AS total_value
+             count(*) AS n_events,
+             CAST(round(sum(value) * 100.0) AS BIGINT) AS total_value_cents
       FROM events GROUP BY 1, 2
     )
     SELECT s.event_type, s.bucket,
            coalesce(a.n_events, 0) AS n_events,
-           coalesce(a.total_value, 0.0) AS total_value
+           coalesce(a.total_value_cents, 0) AS total_value_cents
     FROM spine s LEFT JOIN agg a
       ON s.event_type = a.event_type AND s.bucket = a.bucket
     """,
@@ -203,10 +209,10 @@ def j10_complete_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum("value") * 100.0).cast("long").alias("total_value_cents"),
     )
     return complete_pairs(
-        agg, "event_type", ["bucket"], {"n_events": 0, "total_value": 0.0}
+        agg, "event_type", ["bucket"], {"n_events": 0, "total_value_cents": 0}
     )
 
 
@@ -581,7 +587,8 @@ def u4_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT s_name, s_acctbal, 'supplier' FROM supplier
     )
-    SELECT kind, count(*) AS n, round(sum(acctbal), 2) AS total_bal
+    SELECT kind, count(*) AS n,
+           CAST(round(sum(acctbal) * 100.0) AS BIGINT) AS total_bal_cents
     FROM parties GROUP BY kind
     """,
     doc="U1/U2 unionByName of heterogeneous frames "
@@ -603,7 +610,9 @@ def u2_union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("acctbal"), 2).alias("total_bal"),
+            F.round(F.sum("acctbal") * 100.0)
+            .cast("long")
+            .alias("total_bal_cents"),
         )
     )
 
@@ -637,7 +646,7 @@ def f1_substring_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f4_time_buckets",
     """
     SELECT strftime(ts, '%Y%m%d%H') AS hour_bucket, count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(value) * 100.0) AS BIGINT) AS total_value_cents
     FROM events
     WHERE CAST(strftime(ts, '%H') AS INTEGER) % 3 = 0
     GROUP BY 1
@@ -652,7 +661,9 @@ def f4_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("ts", "yyyyMMddHH").alias("hour_bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum("value") * 100.0)
+            .cast("long")
+            .alias("total_value_cents"),
         )
     )
 

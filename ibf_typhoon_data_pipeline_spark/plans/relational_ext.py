@@ -204,7 +204,8 @@ def a2_a3_ensemble_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_damage,
+           CAST(round(sum(o_totalprice) * 100.0) AS BIGINT)
+             AS total_damage_cents,
            sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_triggered
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -220,7 +221,9 @@ def a5_a6_percust_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_damage"),
+            F.round(F.sum("o_totalprice") * 100.0)
+            .cast("long")
+            .alias("total_damage_cents"),
             F.sum(
                 F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
             ).alias("n_triggered"),
@@ -371,7 +374,7 @@ def a16_gev_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
+           CAST(round(sum(value) * 100.0) AS BIGINT) AS total_value_cents,
            CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
              AS duration_s
     FROM sessions GROUP BY user_id, session_seq
@@ -403,7 +406,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum("value") * 100.0).cast("long").alias("total_value_cents"),
         (
             F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).alias("duration_s"),
@@ -483,10 +486,13 @@ def o1_latest_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "o4_ranked_output",
     """
-    SELECT n_name, total_bal, CAST(rank AS INTEGER) AS rank FROM (
-      SELECT n_name, round(sum(c_acctbal), 2) AS total_bal,
-             row_number() OVER (ORDER BY round(sum(c_acctbal), 2) DESC, n_name)
-               AS rank
+    SELECT n_name, total_bal_cents, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT n_name,
+             CAST(round(sum(c_acctbal) * 100.0) AS BIGINT) AS total_bal_cents,
+             row_number() OVER (
+               ORDER BY CAST(round(sum(c_acctbal) * 100.0) AS BIGINT) DESC,
+                        n_name
+             ) AS rank
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name
     )
@@ -501,9 +507,13 @@ def o4_ranked_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(
+            F.round(F.sum("c_acctbal") * 100.0)
+            .cast("long")
+            .alias("total_bal_cents")
+        )
     )
-    w = Window.orderBy(F.col("total_bal").desc(), F.col("n_name"))
+    w = Window.orderBy(F.col("total_bal_cents").desc(), F.col("n_name"))
     return agg.withColumn("rank", F.row_number().over(w))
 
 
@@ -871,7 +881,7 @@ def k4_degree_distance_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(value) * 100.0) AS BIGINT) AS total_value_cents
     FROM events
     WHERE value IS NOT NULL
     GROUP BY 1
@@ -887,7 +897,9 @@ def f19r_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy((k % 10).alias("k_bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum("value") * 100.0)
+            .cast("long")
+            .alias("total_value_cents"),
         )
     )
 
@@ -898,7 +910,8 @@ def f19r_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n,
-           round(sum(l_extendedprice), 2) AS revenue
+           CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+             AS revenue_cents
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -913,12 +926,14 @@ def a14b_native_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum("l_extendedprice") * 100.0)
+            .cast("long")
+            .alias("revenue_cents"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "n",
-            "revenue",
+            "revenue_cents",
         )
     )
