@@ -1,4 +1,9 @@
-from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES, oracle_sql_map, query_map
+from ibf_typhoon_data_pipeline_spark.plans.registry import (
+    QUERIES,
+    oracle_sql_map,
+    oracle_text,
+    query_map,
+)
 
 # importing the catalog modules populates the registry
 from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
@@ -10,4 +15,4 @@ from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
     vectors,
 )
 
-__all__ = ["QUERIES", "query_map", "oracle_sql_map"]
+__all__ = ["QUERIES", "query_map", "oracle_sql_map", "oracle_text"]

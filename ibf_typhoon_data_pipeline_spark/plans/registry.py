@@ -95,7 +95,18 @@ def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: QUERIES[name].fn for name in _ordered_names()}
 
 
+def oracle_text(name: str) -> str | None:
+    """Resolve ONE query's oracle SQL (memoized). Use this for subset
+    checks — a lazy oracle's generator (DuckDB GBT refit, codebook
+    k-means fit) runs only for the name actually asked for."""
+    return QUERIES[name].oracle_text()
+
+
 def oracle_sql_map() -> dict[str, str]:
+    """The driver-contract surface: a plain fully-resolved dict
+    (the driver compares every sampled query against it, so the
+    generators run here by design). Callers wanting one entry should
+    use oracle_text(name) instead of building the whole map."""
     return {
         name: QUERIES[name].oracle_text()
         for name in _ordered_names()

@@ -1818,8 +1818,10 @@ XGB_FRAME_SQL = f"""
   indicators_full AS ({INDICATORS_FULL_SQL}),
   xgb_frame AS (
     SELECT d.adm3_pcode AS Mun_Code, d.ens_id,
-           round({ECMWF_CORRECTION_SQL} * d.v_max, 3) AS HAZ_v_max,
-           round(d.dis_track_min, 3) AS HAZ_dis_track_min,
+           CAST(round({ECMWF_CORRECTION_SQL} * d.v_max * 1000.0) AS BIGINT)
+             / 1000.0 AS HAZ_v_max,
+           CAST(round(d.dis_track_min * 1000.0) AS BIGINT)
+             / 1000.0 AS HAZ_dis_track_min,
            i.TOP_mean_slope, i.TOP_mean_elevation_m,
            i.TOP_ruggedness_stdev, i.TOP_mean_ruggedness, i.TOP_slope_stdev,
            i.VUL_poverty_perc, i.GEN_with_coast, i.VUL_Housing_Units,
@@ -1828,7 +1830,8 @@ XGB_FRAME_SQL = f"""
            i.VUL_LightRoof_LightWall, i.VUL_SalvagedRoof_StrongWall,
            i.VUL_SalvagedRoof_LightWall, i.VUL_SalvagedRoof_SalvageWall,
            i.VUL_vulnerable_groups, i.VUL_pantawid_pamilya_beneficiary,
-           round(d.damage_predicted / i.VUL_Housing_Units * 100.0, 6)
+           CAST(round(d.damage_predicted / i.VUL_Housing_Units * 100.0
+                      * 1000000.0) AS BIGINT) / 1000000.0
              AS dam_perc
     FROM damage d JOIN indicators_full i ON d.adm3_pcode = i.Mun_Code
   )
@@ -1844,11 +1847,21 @@ def _xgb_frame(spark: SparkSession) -> DataFrame:
     ).select(
         F.col("adm3_pcode").alias("Mun_Code"),
         "ens_id",
-        F.round(F.lit(1.0) * F.col("v_max"), 3).alias("HAZ_v_max"),
-        F.round("dis_track_min", 3).alias("HAZ_dis_track_min"),
+        # integer milli-unit quantization (CLAUDE.md invariant): a
+        # round(x, 3) double can straddle a half-ulp boundary between
+        # engines and flip a histogram bin — the sketch, and therefore
+        # the whole fitted model, would diverge
+        F.expr(
+            f"CAST(round({ECMWF_CORRECTION_SQL} * v_max * 1000.0) AS BIGINT)"
+            " / 1000.0"
+        ).alias("HAZ_v_max"),
+        F.expr(
+            "CAST(round(dis_track_min * 1000.0) AS BIGINT) / 1000.0"
+        ).alias("HAZ_dis_track_min"),
         *XGB_FEATURES[2:],
-        F.round(
-            F.col("damage_predicted") / F.col("VUL_Housing_Units") * 100.0, 6
+        F.expr(
+            "CAST(round(damage_predicted / VUL_Housing_Units * 100.0"
+            " * 1000000.0) AS BIGINT) / 1000000.0"
         ).alias("dam_perc"),
     )
 

@@ -224,7 +224,18 @@ from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
     seeded_planes,
 )
 
-_SF_ORACLE_EMB = "/root/testdata/sf0.01/embeddings.parquet"
+# The sf whose parquet the correctness harness compares against —
+# overridable so a harness checking another scale factor fits the
+# SAME sample both sides instead of silently diverging (the Spark
+# entries fit from their call-time sf_dir; the lazy oracle fits from
+# this path at generation time).
+def _oracle_emb_path() -> str:
+    import os
+
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
 _RANK_TAIL = """
     SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
     FROM (
@@ -239,16 +250,18 @@ _CODEBOOK_MEMO: dict[str, object] = {}
 
 
 def _duck_codebook():
-    # memoized: the p1 and p2 oracles share the identical fit
-    if "duck" not in _CODEBOOK_MEMO:
+    # memoized per path: the p1 and p2 oracles share the identical fit
+    path = _oracle_emb_path()
+    key = f"duck:{path}"
+    if key not in _CODEBOOK_MEMO:
         import duckdb
 
         rows = duckdb.connect().execute(
-            f"SELECT CAST(embedding AS DOUBLE[]) FROM '{_SF_ORACLE_EMB}'"
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM '{path}'"
             " ORDER BY vec_id LIMIT 512"
         ).fetchall()
-        _CODEBOOK_MEMO["duck"] = kmeans_codebook([r[0] for r in rows])
-    return _CODEBOOK_MEMO["duck"]
+        _CODEBOOK_MEMO[key] = kmeans_codebook([r[0] for r in rows])
+    return _CODEBOOK_MEMO[key]
 
 
 def _spark_codebook(spark, sf_dir: str):

@@ -87,8 +87,13 @@ class IbfApiClient:
 
     def _request(self, req: urllib.request.Request) -> bytes:
         """urllib twin of urllib3.Retry(connect=3, backoff_factor=0.5):
-        retry only connection-level failures, back off 0.5·2^n, and
-        surface HTTP ≥400 as the reference's ValueError."""
+        retry ONLY connection-phase failures (refused/reset/DNS), back
+        off 0.5·2^n, and surface HTTP ≥400 as the reference's
+        ValueError. Read timeouts propagate immediately as
+        TimeoutError — resending a POST the server may already have
+        processed would duplicate a non-idempotent exposure upload;
+        the caller's skip-and-log loop handles them (the reference's
+        except-ReadTimeout-pass, dynamicDataDb.py:72-124)."""
         attempt = 0
         while True:
             try:
@@ -99,7 +104,18 @@ class IbfApiClient:
                     logger.error("PIPELINE ERROR")
                     raise ValueError() from exc
                 raise
-            except (urllib.error.URLError, socket.timeout) as exc:
+            except TimeoutError:
+                # raw socket.timeout from the response-body read: the
+                # request already went out — never resend
+                raise
+            except urllib.error.URLError as exc:
+                reason = exc.reason
+                if isinstance(reason, TimeoutError):
+                    # timeout after the request was sent (urllib wraps
+                    # it); normalize so callers catch TimeoutError
+                    raise TimeoutError(str(reason)) from exc
+                if not isinstance(reason, (ConnectionError, socket.gaierror)):
+                    raise
                 attempt += 1
                 if attempt > self.connect_retries:
                     raise

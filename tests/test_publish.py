@@ -49,6 +49,11 @@ class _StubIbf(BaseHTTPRequestHandler):
             self.end_headers()
             return
         srv.posts.append((self.path, json.loads(body)))
+        if srv.stall_posts > 0:
+            srv.stall_posts -= 1
+            import time as _time
+
+            _time.sleep(srv.stall_s)  # force a client read timeout
         self.send_response(201)
         self.end_headers()
 
@@ -60,6 +65,7 @@ class _StubIbf(BaseHTTPRequestHandler):
 def stub_server():
     srv = HTTPServer(("127.0.0.1", 0), _StubIbf)
     srv.posts, srv.logins, srv.fail_next = [], [], 0
+    srv.stall_posts, srv.stall_s = 0, 0.0
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -98,6 +104,21 @@ def test_connect_retry_then_raise():
     )
     with pytest.raises(OSError):
         c.authenticate()
+
+
+def test_read_timeout_not_resent(stub_server):
+    # a stalled response after the POST was received must surface as
+    # TimeoutError after exactly ONE delivery — resending would
+    # duplicate a non-idempotent exposure upload the server already
+    # processed (urllib3.Retry(connect=3) retries connects only)
+    stub_server.stall_posts, stub_server.stall_s = 1, 1.2
+    c = IbfApiClient(
+        base_url=f"http://127.0.0.1:{stub_server.server_address[1]}/",
+        email="e", password="p", backoff_factor=0.0, timeout=0.4,
+    )
+    with pytest.raises(TimeoutError):
+        c.post("admin-area-dynamic-data/exposure", {"x": 1})
+    assert len(stub_server.posts) == 1  # delivered once, never resent
 
 
 def test_publish_exposure_frames_stamps_date(spark, stub_server):
