@@ -50,6 +50,10 @@ HEADLINE = [
     "tc_damage_xgb",
     "tc_landfall_ladder",
     "sim_ivf_codebook_topk",
+    # round-4 additions: the document-assembly layer (string-concat
+    # JSON + sorted collect_list) gets round-over-round numbers
+    "pipeline_publish",
+    "tc_track_json",
 ]
 
 

@@ -40,6 +40,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
+           -- l_quantity is integral: the sum is exact in double
            round(sum(l_quantity), 0)                 AS sum_qty,
            CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
                                                      AS sum_base_price_cents,

@@ -88,6 +88,9 @@ def p8_cascading_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_composite_key_join",
     """
     WITH qty AS (
+      -- exact across engines: l_quantity is integral (0 fractional
+      -- rows), so the double sum is an exact integer and round(, 2)
+      -- cannot straddle a half-ulp boundary
       SELECT l_orderkey, l_returnflag, round(sum(l_quantity), 2) AS total_qty
       FROM lineitem GROUP BY 1, 2
     ), price AS (
@@ -152,6 +155,8 @@ def j7_derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j8_agg_window_rejoin",
     """
     SELECT l_orderkey, l_linenumber,
+           -- exact across engines: l_quantity is integral, the window
+           -- sum is an exact integer in double (no fold-order ulps)
            round(sum(l_quantity) OVER (PARTITION BY l_orderkey), 2)
              AS order_total_qty,
            round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey), 6)
