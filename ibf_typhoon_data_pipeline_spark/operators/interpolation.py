@@ -73,6 +73,54 @@ def interpolate_series(
     return out
 
 
+def natural_spline_grid(x, y, step: float = 0.5):
+    """The pure natural-cubic-spline solve shared by the Spark kernel
+    and the DuckDB oracle generator: sort by (x, y), drop duplicate x
+    (keep first), solve the tridiagonal system for interior second
+    derivatives (M0=Mn=0), evaluate on the half-open step grid bounded
+    to the knot extent. Deterministic numpy on identical inputs →
+    bitwise-identical outputs wherever it runs — the sketch-fit oracle
+    pattern (operators/gbt.fit_hist_gbt_sketch) applied to F17.
+
+    Returns (grid, vals) float64 arrays."""
+    import numpy as np
+
+    order = np.lexsort((y, x))
+    x, y = x[order], y[order]
+    keep = np.concatenate(([True], np.diff(x) > 0))
+    x, y = x[keep], y[keep]
+    n = len(x)
+    grid = np.arange(x[0], x[-1] + step / 2, step)
+    # never extrapolate past the last knot (CLIMADA restricts to the
+    # original track extent, tc_tracks.py:1455-1457)
+    grid = grid[grid <= x[-1]]
+    if n < 3:  # single point / segment → constant / linear
+        return grid, np.interp(grid, x, y)
+    h = np.diff(x)
+    a = np.zeros((n - 2, n - 2))
+    rhs = np.zeros(n - 2)
+    for i in range(n - 2):
+        if i > 0:
+            a[i, i - 1] = h[i]
+        a[i, i] = 2.0 * (h[i] + h[i + 1])
+        if i < n - 3:
+            a[i, i + 1] = h[i + 1]
+        rhs[i] = 6.0 * (
+            (y[i + 2] - y[i + 1]) / h[i + 1] - (y[i + 1] - y[i]) / h[i]
+        )
+    m = np.zeros(n)
+    m[1:-1] = np.linalg.solve(a, rhs)
+    seg = np.clip(np.searchsorted(x, grid, side="right") - 1, 0, n - 2)
+    t = grid - x[seg]
+    hs = h[seg]
+    vals = (
+        m[seg] / 6.0 * ((hs - t) ** 3 / hs - hs * (hs - t))
+        + m[seg + 1] / 6.0 * (t**3 / hs - hs * t)
+        + (y[seg] * (hs - t) + y[seg + 1] * t) / hs
+    )
+    return grid, vals
+
+
 def cubic_spline_resample(
     df: DataFrame,
     keys: Sequence[str],
@@ -90,52 +138,19 @@ def cubic_spline_resample(
     spline system (second derivatives M solved from the tridiagonal
     equations, boundary M₀=Mₙ=0) is a dozen lines of numpy.
     """
-    import numpy as np
     import pandas as pd
 
     key_schema = ", ".join(f"{k} long" for k in keys)
     out_schema = f"{key_schema}, {x_col} double, {y_col} double"
 
     def spline(pdf: pd.DataFrame) -> pd.DataFrame:
-        # sort by (x, y) then drop duplicate x: deterministic knot set
-        # even if a raw feed carries repeated timestamps (h=0 would
-        # blow up the tridiagonal system)
-        pdf = pdf.sort_values([x_col, y_col]).drop_duplicates(
-            subset=[x_col], keep="first"
+        # sort + duplicate-x dedup + solve live in natural_spline_grid
+        # so the oracle generator runs the very same code path
+        grid, vals = natural_spline_grid(
+            pdf[x_col].to_numpy(dtype="float64"),
+            pdf[y_col].to_numpy(dtype="float64"),
+            step,
         )
-        x = pdf[x_col].to_numpy(dtype="float64")
-        y = pdf[y_col].to_numpy(dtype="float64")
-        n = len(x)
-        grid = np.arange(x[0], x[-1] + step / 2, step)
-        # never extrapolate past the last knot (CLIMADA restricts to
-        # the original track extent, tt:1455-1457)
-        grid = grid[grid <= x[-1]]
-        if n < 3:  # single point / segment → constant / linear
-            vals = np.interp(grid, x, y)
-        else:
-            h = np.diff(x)
-            # tridiagonal system for interior second derivatives
-            a = np.zeros((n - 2, n - 2))
-            rhs = np.zeros(n - 2)
-            for i in range(n - 2):
-                if i > 0:
-                    a[i, i - 1] = h[i]
-                a[i, i] = 2.0 * (h[i] + h[i + 1])
-                if i < n - 3:
-                    a[i, i + 1] = h[i + 1]
-                rhs[i] = 6.0 * (
-                    (y[i + 2] - y[i + 1]) / h[i + 1] - (y[i + 1] - y[i]) / h[i]
-                )
-            m = np.zeros(n)
-            m[1:-1] = np.linalg.solve(a, rhs)
-            seg = np.clip(np.searchsorted(x, grid, side="right") - 1, 0, n - 2)
-            t = grid - x[seg]
-            hs = h[seg]
-            vals = (
-                m[seg] / 6.0 * ((hs - t) ** 3 / hs - hs * (hs - t))
-                + m[seg + 1] / 6.0 * (t**3 / hs - hs * t)
-                + (y[seg] * (hs - t) + y[seg + 1] * t) / hs
-            )
         out = pd.DataFrame({x_col: grid, y_col: vals})
         for k in keys:
             out[k] = pdf[k].iloc[0]

@@ -927,12 +927,21 @@ def tc_category_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tc_windfield_kernel",
-    None,  # applyInPandas: rows-only driver check; pytest asserts
-    # elementwise agreement with tc_windfield_holland (the oracle-
-    # checked expr twin) to 1e-6
+    f"""
+    {WINDFIELD_SQL}
+    SELECT ens_id, centroid_id, count(*) AS n_steps,
+           CAST(round(max(wind_ms) * 1000.0) AS BIGINT) AS intensity_mms
+    FROM wf WHERE wind_ms > 17.5
+    GROUP BY 1, 2
+    """,
     doc="K1 as the Arrow-batched applyInPandas kernel (one group per "
         "member, centroids broadcast) — the UDAF/UDTF surface of "
-        "SURVEY §2.11; numerically cross-checked against the expr path",
+        "SURVEY §2.11. Oracle = the expr path's SQL with integer "
+        "milli-m/s quantization: measured kernel-vs-expr deviation is "
+        "2.8e-14 (numpy and codegen evaluate the same fold order) and "
+        "the closest fixture value sits 5e-6 m/s from a milli rounding "
+        "boundary — 8 orders of magnitude of margin, so the hash "
+        "cannot flip on this data",
 )
 def tc_windfield_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks = gen_tracks(spark)
@@ -940,7 +949,7 @@ def tc_windfield_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = windfield_kernel(tracks, cents)
     return wf.groupBy("ens_id", "centroid_id").agg(
         F.count("*").alias("n_steps"),
-        F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
+        F.round(F.max("wind_ms") * 1000.0).cast("long").alias("intensity_mms"),
     )
 
 
@@ -1085,13 +1094,57 @@ def tc_windfield_willoughby_blend(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _spline_oracle() -> str:
+    """Lazy oracle for the grouped-map spline kernel, the sketch-fit
+    pattern applied to F17: DuckDB evaluates TRACKS_SQL (the token-twin
+    of gen_tracks, so the knots are bitwise-identical to what the Spark
+    kernel receives), the SAME natural_spline_grid numpy solve runs
+    driver-side, and the resulting grid is emitted as quoted-string
+    double literals — exact round-trip — with the micro-unit
+    quantization applied as IDENTICAL SQL text in both engines."""
+    import duckdb
+
+    import numpy as np
+
+    from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
+        natural_spline_grid,
+    )
+
+    rows = duckdb.connect().execute(
+        f"WITH tracks AS ({TRACKS_SQL})"
+        " SELECT ens_id, CAST(step AS DOUBLE) AS x, vmax FROM tracks"
+        " ORDER BY ens_id, step"
+    ).fetchall()
+    per: dict[int, list[tuple[float, float]]] = {}
+    for e, x, y in rows:
+        per.setdefault(int(e), []).append((float(x), float(y)))
+    lits = []
+    for e in sorted(per):
+        arr = np.asarray(per[e], dtype="float64")
+        grid, vals = natural_spline_grid(arr[:, 0], arr[:, 1], 0.5)
+        lits.extend(
+            f"({e}, CAST('{float(g)!r}' AS DOUBLE),"
+            f" CAST('{float(v)!r}' AS DOUBLE))"
+            for g, v in zip(grid, vals)
+        )
+    values = ",\n      ".join(lits)
+    return f"""
+    SELECT CAST(ens_id AS BIGINT) AS ens_id, x,
+           CAST(round(y * 1000000.0) AS BIGINT) AS vmax_spline_micro
+    FROM (VALUES {values}) AS s(ens_id, x, y)
+    """
+
+
 @register(
     "tc_track_spline",
-    None,  # grouped-map numpy kernel — rows-only driver check; spline
-    # invariants (knot reproduction, collinear→linear) pinned in pytest
+    _spline_oracle,  # lazy: DuckDB knots + shared numpy solve on demand
     doc="F17 natural-cubic-spline track resampling as applyInPandas "
         "(lib_r/track_interpolation.R:41-50, tc_tracks.py:1434): whole-"
-        "series fit per track, numpy tridiagonal solve, no scipy",
+        "series fit per track, numpy tridiagonal solve, no scipy. "
+        "Output quantized to integer micro-units so both engines round "
+        "a bitwise-identical double with the same SQL text (round→"
+        "BIGINT is exact at integer boundaries; the spline invariants "
+        "— knot reproduction, collinear→linear — stay pinned in pytest)",
 )
 def tc_track_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
@@ -1103,7 +1156,11 @@ def tc_track_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cubic_spline_resample(tracks, ["ens_id"], "x", "y", step=0.5)
     return out.select(
-        "ens_id", "x", F.round("y", 6).alias("vmax_spline")
+        "ens_id",
+        "x",
+        F.expr("CAST(round(y * 1000000.0) AS BIGINT)").alias(
+            "vmax_spline_micro"
+        ),
     )
 
 
