@@ -137,11 +137,13 @@ def gbt_case_sql(trees: list[Stump], feat_names: list[str]) -> str:
 # as a pure CASE-chain expression (whole-stage codegen, no UDF).
 
 HIST_BINS = 16          # equal-width bins from (min, max); deterministic
-XGB_ROUNDS = 30         # boosting rounds (reference: 100 @ eta 0.025)
-XGB_ETA = 0.1
-XGB_DEPTH = 3           # reference runs depth 8; the fit/scorer are
-                        # depth-agnostic (bitwise-twin tested to 4) —
-                        # 3×30 keeps the CASE-chain oracle readable
+XGB_ROUNDS = 100        # boosting rounds — reference settings.py:226
+XGB_ETA = 0.025         # reference learning_rate
+XGB_DEPTH = 8           # reference max_depth; CASE-chain oracle stays a
+                        # bitwise twin of the numpy/UDF scorer (~785 KB
+                        # SQL, DuckDB parses+evaluates it in ~2 s) —
+                        # Spark scores via the broadcast-tree Arrow UDF
+                        # instead of inlining that chain into codegen
 XGB_LAMBDA = 1.0        # xgb reg_lambda default
 XGB_GAMMA = 1.0         # reference gamma=1
 XGB_BASE = 0.5          # reference base_score
@@ -226,8 +228,9 @@ def fit_hist_gbt(
 ) -> list[TreeNode]:
     """Boosted depthwise trees from the grouped sketch. Deterministic:
     the sketch rows arrive lexicographically sorted, every histogram
-    accumulation (np.add.at) runs in that fixed order, and split ties
-    keep the first-seen (feature order, then bin order) candidate."""
+    accumulation (np.bincount over offset-flattened bins) runs in that
+    fixed order, and split ties keep the first-seen (feature order,
+    then bin order) candidate via row-major argmax."""
     bins = np.asarray(bins, dtype=np.int64)
     y_sum = np.asarray(y_micro, dtype=np.float64) / MICRO
     h_all = np.asarray(cnt, dtype=np.float64)
@@ -235,49 +238,93 @@ def fit_hist_gbt(
     pred = np.full(n_groups, float(base))
     trees: list[TreeNode] = []
 
-    def grow(idx: np.ndarray, grad: np.ndarray, d: int) -> TreeNode:
+    # One bincount over offset-flattened bins replaces n_feat np.add.at
+    # calls per node (the reference-depth fit is ~25k node visits —
+    # add.at was the whole cost). Summation order inside a bin changes
+    # vs add.at, but BOTH engines run this same code on identical
+    # integer-derived arrays, so the fits stay bitwise twins.
+    nb_per_feat = np.array([len(e) + 1 for e in edges], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(nb_per_feat)])
+    total_bins = int(offsets[-1])
+    flat_bins = bins + offsets[:-1][None, :]
+    max_nb = int(nb_per_feat.max()) if n_feat else 1
+    # gather map: padded (n_feat, max_nb) view into the flat histogram;
+    # out-of-range slots clip into neighbor bins but every such slot is
+    # masked out of the gain scan below
+    gather = np.minimum(
+        offsets[:-1][:, None] + np.arange(max_nb)[None, :], total_bins - 1
+    )
+    # candidate split k = column+1 is real only while k ≤ nb_fi − 1
+    cand_real = (
+        np.arange(1, max_nb)[None, :] <= (nb_per_feat - 1)[:, None]
+    )
+
+    def node_hists(idx: np.ndarray, grad: np.ndarray):
+        fb = flat_bins[idx].ravel()
+        hg = np.bincount(
+            fb, weights=np.repeat(grad[idx], n_feat), minlength=total_bins
+        )
+        hh = np.bincount(
+            fb, weights=np.repeat(h_all[idx], n_feat), minlength=total_bins
+        )
+        return hg, hh
+
+    def grow(
+        idx: np.ndarray,
+        grad: np.ndarray,
+        d: int,
+        hist_g: np.ndarray,
+        hist_h: np.ndarray,
+    ) -> TreeNode:
         g_node = float(grad[idx].sum())
         h_node = float(h_all[idx].sum())
         leaf_w = -g_node / (h_node + lam)
         if d == 0:
             return TreeNode.leaf(leaf_w)
         parent = g_node * g_node / (h_node + lam)
-        best = None  # (gain, feat, k)
-        for fi in range(n_feat):
-            nb = len(edges[fi]) + 1
-            if nb <= 1:
-                continue
-            hist_g = np.zeros(nb)
-            hist_h = np.zeros(nb)
-            np.add.at(hist_g, bins[idx, fi], grad[idx])
-            np.add.at(hist_h, bins[idx, fi], h_all[idx])
-            cum_g = np.cumsum(hist_g)
-            cum_h = np.cumsum(hist_h)
-            for k in range(1, nb):
-                h_l, h_r = cum_h[k - 1], h_node - cum_h[k - 1]
-                if h_l < 1.0 or h_r < 1.0:  # min_child_weight=1
-                    continue
-                g_l, g_r = cum_g[k - 1], g_node - cum_g[k - 1]
-                gain = (
-                    0.5
-                    * (
-                        g_l * g_l / (h_l + lam)
-                        + g_r * g_r / (h_r + lam)
-                        - parent
-                    )
-                    - gamma
-                )
-                if best is None or gain > best[0]:
-                    best = (gain, fi, k)
-        if best is None or best[0] <= 0.0:
+        # all features at once: prefix sums along the padded bin axis,
+        # then one element-wise gain matrix — same per-candidate doubles
+        # as the scalar loop, first-occurrence argmax in row-major
+        # (feature, then bin) order keeps its tie rule
+        cum_g = np.cumsum(hist_g[gather], axis=1)[:, :-1]
+        cum_h = np.cumsum(hist_h[gather], axis=1)[:, :-1]
+        h_r = h_node - cum_h
+        valid = cand_real & (cum_h >= 1.0) & (h_r >= 1.0)  # min_child_weight=1
+        if not valid.any():
             return TreeNode.leaf(leaf_w)
-        _, fi, k = best
+        g_r = g_node - cum_g
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gain = (
+                0.5
+                * (
+                    cum_g * cum_g / (cum_h + lam)
+                    + g_r * g_r / (h_r + lam)
+                    - parent
+                )
+                - gamma
+            )
+        gain = np.where(valid, gain, -np.inf)
+        flat_best = int(np.argmax(gain))
+        fi, k = divmod(flat_best, max_nb - 1)
+        k += 1
+        if float(gain[fi, k - 1]) <= 0.0:
+            return TreeNode.leaf(leaf_w)
         lmask = bins[idx, fi] < k
+        lidx, ridx = idx[lmask], idx[~lmask]
+        # histogram subtraction: bincount only the smaller child, the
+        # sibling is parent − child (deterministic either engine — both
+        # run this identical code)
+        if len(lidx) <= len(ridx):
+            lhg, lhh = node_hists(lidx, grad)
+            rhg, rhh = hist_g - lhg, hist_h - lhh
+        else:
+            rhg, rhh = node_hists(ridx, grad)
+            lhg, lhh = hist_g - rhg, hist_h - rhh
         return TreeNode(
             fi,
             edges[fi][k - 1],
-            grow(idx[lmask], grad, d - 1),
-            grow(idx[~lmask], grad, d - 1),
+            grow(lidx, grad, d - 1, lhg, lhh),
+            grow(ridx, grad, d - 1, rhg, rhh),
             0.0,
         )
 
@@ -293,7 +340,8 @@ def fit_hist_gbt(
     all_idx = np.arange(n_groups)
     for _ in range(n_rounds):
         grad = h_all * pred - y_sum  # Σ per-row (pred − y) within group
-        tree = grow(all_idx, grad, depth)
+        root_hg, root_hh = node_hists(all_idx, grad)
+        tree = grow(all_idx, grad, depth, root_hg, root_hh)
         trees.append(tree)
         contrib = np.zeros(n_groups)
         apply(tree, all_idx, contrib)

@@ -2016,20 +2016,27 @@ def _xgb_oracle() -> str:
 @register(
     "tc_damage_xgb",
     _xgb_oracle,  # lazy: DuckDB refit runs only when the oracle is checked
-    doc="K6 at the reference's model class and width: depth-2 boosted "
-        "trees on the full 20-feature frame (forecast_process.py:"
-        "426-510) fit via the histogram algorithm — ONE in-engine "
-        "groupBy collapses rows to (bin-vector, Σ micro-target, count) "
-        "integer sufficient statistics, the boosting loop runs driver-"
-        "side on that bounded sketch (no toPandas of the frame), and "
-        "the fitted model scores as pure CASE-chain codegen. Post-"
-        "rules: clip<0, Trigger=y_pred≥10, Wind_damage_radius=300 "
-        "zeroing (Trigger deliberately not re-zeroed — reference "
-        "quirk), prob_within_50km merge (forecast_process.py:511-544)",
+    doc="K6 at the reference's model class, width AND depth: depth-8 × "
+        "100-round @ eta 0.025 boosted trees (forecast_process.py:"
+        "426-510, settings.py:226) on the full 20-feature frame, fit "
+        "via the histogram algorithm — ONE in-engine groupBy collapses "
+        "rows to (bin-vector, Σ micro-target, count) integer "
+        "sufficient statistics, the boosting loop runs driver-side on "
+        "that bounded sketch (no toPandas of the frame). Spark scores "
+        "via the broadcast-tree Arrow UDF (the Booster slot); the "
+        "oracle scores the identically-refit model as generated CASE-"
+        "chain SQL — bitwise twins (same comparisons, leaf doubles, "
+        "add order). Post-rules: clip<0, Trigger=y_pred≥10, "
+        "Wind_damage_radius=300 zeroing (Trigger deliberately not "
+        "re-zeroed — reference quirk), prob_within_50km merge "
+        "(forecast_process.py:511-544)",
 )
 def tc_damage_xgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibf_typhoon_data_pipeline_spark.operators.gbt import (
-        fit_hist_gbt_from_engine,
+        XGB_BASE,
+        XGB_ETA,
+        fit_hist_gbt_sketch,
+        hist_gbt_predict_udf,
     )
 
     from ibf_typhoon_data_pipeline_spark.operators.cache import persist_tracked
@@ -2041,18 +2048,24 @@ def tc_damage_xgb(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame.count()  # materialize while the small shuffle width applies
         frame.createOrReplaceTempView("xgb_frame")
         if "xgb" not in _FIT_MEMO:
-            _FIT_MEMO["xgb"] = fit_hist_gbt_from_engine(
+            _FIT_MEMO["xgb"] = fit_hist_gbt_sketch(
                 lambda s: [tuple(r) for r in spark.sql(s).collect()],
                 XGB_FEATURES,
                 "dam_perc",
             )
-    score = _FIT_MEMO["xgb"]
-    _, final_exprs = _xgb_post_sql(score)
-    scored = frame.selectExpr(
+    # at reference depth the CASE chain is ~785 KB — fine for DuckDB's
+    # parser (the oracle side), hostile to Spark codegen; the Arrow UDF
+    # is the hist_gbt_case_sql bitwise twin (test_gbt sql-twin test)
+    score = hist_gbt_predict_udf(
+        spark, _FIT_MEMO["xgb"], eta=XGB_ETA, base=XGB_BASE
+    )
+    y_raw = score(*[F.col(f) for f in XGB_FEATURES])
+    _, final_exprs = _xgb_post_sql("unused")
+    scored = frame.select(
         "Mun_Code",
         "ens_id",
         "HAZ_dis_track_min",
-        f"greatest(({score}), CAST(0.0 AS DOUBLE)) AS y_pred",
+        F.greatest(y_raw, F.expr("CAST(0.0 AS DOUBLE)")).alias("y_pred"),
     )
     return scored.selectExpr(*final_exprs)
 
