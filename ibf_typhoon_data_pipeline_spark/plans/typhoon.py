@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
@@ -283,6 +283,59 @@ def gen_munis(spark: SparkSession) -> DataFrame:
     )
 
 
+# K4 bbox guard (±deg box before the min-agg): any point OUTSIDE the
+# box is strictly farther than 111·K4_BBOX_DEG km in degree-space, so
+# an in-box minimum ≤ that bound IS the global minimum — the value is
+# exact, not approximate. Groups with no in-box pair (or an in-box min
+# above the bound, possible in the box corners) fall back to the
+# unconditioned join, resolved in-plan via left-anti (the P8 tier
+# pattern — no driver-side count). Bounds the muni × track-point pair
+# space at event-count scale while every emitted distance stays
+# bit-identical to the plain global min the oracles compute.
+K4_BBOX_DEG = 3.0
+
+
+def _k4_degree_dist() -> Column:
+    """K4's degree-space distance (reference quirk preserved) — one
+    shared Column so the boxed tier and the fallback tier evaluate the
+    token-identical expression (forecast_process.py:1563-1640)."""
+    return (
+        F.sqrt(
+            (F.col("m_lat") - F.col("lat")) * (F.col("m_lat") - F.col("lat"))
+            + (F.col("m_lon") - F.col("lon")) * (F.col("m_lon") - F.col("lon"))
+        )
+        * 111.0
+    )
+
+
+def _k4_min_dists(munis: DataFrame, tracks: DataFrame) -> DataFrame:
+    """Per-(muni, ens) global min track distance, bbox-pruned. `munis`
+    carries (adm3_pcode, m_lat, m_lon); `tracks` (ens_id, lat, lon)."""
+    boxed = munis.join(
+        F.broadcast(tracks),
+        (F.abs(F.col("m_lat") - F.col("lat")) <= K4_BBOX_DEG)
+        & (F.abs(F.col("m_lon") - F.col("lon")) <= K4_BBOX_DEG),
+    )
+    d_box = boxed.groupBy("adm3_pcode", "ens_id").agg(
+        F.min(_k4_degree_dist()).alias("dis_track_min")
+    )
+    safe = d_box.filter(F.col("dis_track_min") <= 111.0 * K4_BBOX_DEG)
+    # dims-only cross join: every (muni, ens) group that must exist
+    groups = munis.select("adm3_pcode").crossJoin(
+        tracks.select("ens_id").distinct()
+    )
+    rest = groups.join(
+        safe.select("adm3_pcode", "ens_id"), ["adm3_pcode", "ens_id"], "left_anti"
+    )
+    d_rest = (
+        rest.join(munis, "adm3_pcode")
+        .join(F.broadcast(tracks), "ens_id")
+        .groupBy("adm3_pcode", "ens_id")
+        .agg(F.min(_k4_degree_dist()).alias("dis_track_min"))
+    )
+    return safe.unionByName(d_rest)
+
+
 def _muni_hazard(spark: SparkSession) -> DataFrame:
     """tracks →K1→ windfield →K2/J2/A1→ per-(muni, member) hazard +
     K4 degree-space min distance (forecast_process.py:1563-1640)."""
@@ -298,17 +351,9 @@ def _muni_hazard(spark: SparkSession) -> DataFrame:
         )
     )
     munis = gen_munis(spark)
-    pairs = munis.select("adm3_pcode", "m_lat", "m_lon").join(
-        F.broadcast(tracks.select("ens_id", "lat", "lon"))
-    )
-    dists = pairs.groupBy("adm3_pcode", "ens_id").agg(
-        F.min(
-            F.sqrt(
-                (F.col("m_lat") - F.col("lat")) * (F.col("m_lat") - F.col("lat"))
-                + (F.col("m_lon") - F.col("lon")) * (F.col("m_lon") - F.col("lon"))
-            )
-            * 111.0
-        ).alias("dis_track_min")
+    dists = _k4_min_dists(
+        munis.select("adm3_pcode", "m_lat", "m_lon"),
+        tracks.select("ens_id", "lat", "lon"),
     )
     return hazard.join(dists, ["adm3_pcode", "ens_id"])
 

@@ -118,3 +118,13 @@ def test_sessionize_reuses_one_sort_for_both_windows(spark):
     # event_id) sort order: exactly one exchange on user_id and no
     # second sort of the same data
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_k4_muni_distance_join_is_bbox_guarded(spark):
+    plan = _plan(spark, "tc_muni_hazard")
+    # the muni × track-point pair join carries the ±3° box predicate
+    # (exact global min is preserved by the left-anti fallback tier) —
+    # the join must not regress to an unconditioned broadcast product
+    assert "abs((m_lat" in plan and "abs((m_lon" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
