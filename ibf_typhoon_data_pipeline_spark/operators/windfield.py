@@ -569,30 +569,55 @@ def windfield_kernel(
 ) -> DataFrame:
     """K1 as an Arrow-batched grouped-map kernel: one pandas group per
     ensemble member (the reference's per-track loop / process pool →
-    Spark task parallelism, X4), centroid table broadcast to every
-    group. Same math as windfield_expr — the parity test asserts the
-    two agree to 1e-6.
+    Spark task parallelism, X4). Same math as windfield_expr — the
+    parity test asserts the two agree to 1e-6.
 
-    Memory bound per group = |points in bbox| × |candidate centroids|
-    doubles; chunk the centroid axis inside the kernel if a realistic
-    grid ever pushes past executor memory (SURVEY §4 note).
+    Candidate centroids reach each group through the engine, never the
+    driver: a per-member whole-track bbox (one tiny agg) broadcast-
+    theta-joins against the centroid table (X1 prefilter, now inside
+    the plan), and ``cogroup().applyInPandas`` hands every member its
+    track points AND its in-bbox centroids as two Arrow batches. No
+    toPandas of the grid, no session-lifetime broadcast — a 10× finer
+    grid just means more distributed join output, not driver memory.
 
-    NOTE: centroids are collected to the driver and broadcast at
-    plan-BUILD time (the broadcast must exist before tasks run) and
-    the broadcast lives until the session ends — fine for the grid-
-    sized tables this targets; prefer windfield_expr in loops.
+    Memory bound per group = p_chunk × |bbox centroids| doubles per
+    intermediate (≈64×47k×8B ≈ 24 MB) independent of track length.
     """
     import numpy as np
     import pandas as pd
 
     keys = keys or ["ens_id"]
     tp = track_point_params(tracks, keys=keys)
-    cent_pdf = centroids.select("centroid_id", "lat", "lon").toPandas()
-    c_lat = cent_pdf["lat"].to_numpy()
-    c_lon = cent_pdf["lon"].to_numpy()
-    c_id = cent_pdf["centroid_id"].to_numpy()
-    spark = tracks.sparkSession
-    bc = spark.sparkContext.broadcast((c_lat, c_lon, c_id))
+    # fresh aliases on the bbox keys: cands shares lineage with tp, and
+    # the cogroup below would otherwise trip Spark's ambiguous-self-join
+    # check on the key attributes
+    bbox = (
+        tp.groupBy(*keys)
+        .agg(
+            F.min("lat").alias("__lat_lo"),
+            F.max("lat").alias("__lat_hi"),
+            F.min("lon").alias("__lon_lo"),
+            F.max("lon").alias("__lon_hi"),
+        )
+        .select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            "__lat_lo", "__lat_hi", "__lon_lo", "__lon_hi",
+        )
+    )
+    cands = (
+        centroids.select("centroid_id", "lat", "lon")
+        .join(
+            F.broadcast(bbox),
+            (F.col("lat") >= F.col("__lat_lo") - DEG_BOX)
+            & (F.col("lat") <= F.col("__lat_hi") + DEG_BOX)
+            & (F.col("lon") >= F.col("__lon_lo") - DEG_BOX)
+            & (F.col("lon") <= F.col("__lon_hi") + DEG_BOX),
+        )
+        .select(
+            *[F.col(f"__k_{k}").alias(k) for k in keys],
+            "centroid_id", "lat", "lon",
+        )
+    )
 
     out_schema = (
         ", ".join(f"{k} long" for k in keys)
@@ -604,22 +629,13 @@ def windfield_kernel(
     # intermediate (≈64×47k×8B ≈ 24 MB) independent of track length.
     p_chunk = 64
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        lat_c, lon_c, id_c = bc.value
+    def compute(pdf: pd.DataFrame, cent: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(columns=[*keys, "step", "centroid_id", "wind_ms"])
-        if not len(pdf):
+        if not len(pdf) or not len(cent):
             return empty
-        # whole-track bbox prefilter once (X1), then the exact per-pair
-        # bbox mask vectorized inside each chunk — no per-row Python loop.
-        m0 = (
-            (lat_c >= pdf["lat"].min() - DEG_BOX)
-            & (lat_c <= pdf["lat"].max() + DEG_BOX)
-            & (lon_c >= pdf["lon"].min() - DEG_BOX)
-            & (lon_c <= pdf["lon"].max() + DEG_BOX)
-        )
-        la, lo, ci = lat_c[m0], lon_c[m0], id_c[m0]
-        if not la.size:
-            return empty
+        la = cent["lat"].to_numpy()
+        lo = cent["lon"].to_numpy()
+        ci = cent["centroid_id"].to_numpy()
         p_lat = pdf["lat"].to_numpy()
         p_lon = pdf["lon"].to_numpy()
         p_step = pdf["step"].to_numpy()
@@ -666,4 +682,8 @@ def windfield_kernel(
             return empty
         return pd.concat(chunks, ignore_index=True)
 
-    return tp.groupBy(*keys).applyInPandas(compute, schema=out_schema)
+    return (
+        tp.groupBy(*keys)
+        .cogroup(cands.groupBy(*keys))
+        .applyInPandas(compute, schema=out_schema)
+    )
