@@ -215,12 +215,20 @@ def windfield_expr(
         r_km, F.col("rmw_km"), F.col("b_s"),
         F.col("penv"), F.col("pcen"), F.col("t_lat"), F.col("v_trans_ms"),
     )
-    return pairs.select(
+    # Same generator fence as windfield_vectors (see the long note
+    # there): without it Catalyst substitutes the threshold filter into
+    # the join condition with the full Holland tree inlined, so every
+    # raw bbox candidate pays trig/pow/exp once in the condition and
+    # again in the project. explode(array(wind)) materializes the wind
+    # exactly once per bbox-surviving pair; the join condition stays
+    # the cheap bbox comparison.
+    staged = pairs.select(
         *keys,
         "step",
         "centroid_id",
-        wind.alias("wind_ms"),
-    ).filter(F.col("wind_ms") > threshold_ms)
+        F.explode(F.array(wind)).alias("wind_ms"),
+    )
+    return staged.filter(F.col("wind_ms") > threshold_ms)
 
 
 def intensity_reduce(windfield: DataFrame, keys: list[str] | None = None) -> DataFrame:

@@ -49,6 +49,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows the
         # 53-bit double mantissa that float division would route through
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # newer readers surface TIMESTAMP(NANOS) as µs-truncated
+        # TIMESTAMP_NTZ instead of honoring nanosAsLong; watermarks and
+        # time windows require TIMESTAMP (LTZ). Session TZ is pinned
+        # UTC above, so this cast relabels the same wall-clock instant
+        # and every downstream epoch/format expression is unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
