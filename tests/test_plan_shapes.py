@@ -28,11 +28,13 @@ def test_dimension_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_windfield_is_broadcast_theta_join_with_partial_agg(spark):
+def test_windfield_is_broadcast_grid_join_with_partial_agg(spark):
     plan = _plan(spark, "tc_windfield_holland")
     # track side broadcast against the centroid stream — never a shuffle
-    # of the pair space
-    assert "BroadcastNestedLoopJoin" in plan
+    # of the pair space; the grid-cell equi key makes it a HASH join
+    # (probe per centroid) rather than a nested loop over |C|×|T|
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     # K2 reduction partial-aggregates before the exchange
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
