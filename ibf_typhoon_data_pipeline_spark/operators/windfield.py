@@ -163,7 +163,7 @@ WIND_EXTENT_CAP_KM = 871.0
 KM_PER_DEG_LB = 111.0
 
 
-def _wind_extent_kernel(rmw, b_s, penv, pcen, vt, lat):
+def _wind_extent_kernel(rmw, b_s, penv, pcen, vt, lat, thr=V_THRESHOLD_MS):
     """Vectorized numpy twin of ``holland_wind_ms`` bisected for the
     radius where the profile crosses V_THRESHOLD_MS. v_total is
     monotone decreasing beyond rmw (dv_g/dr = a'/(2s) + c'(c/s − 1)
@@ -192,15 +192,139 @@ def _wind_extent_kernel(rmw, b_s, penv, pcen, vt, lat):
     far = v_total(hi)
     for _ in range(40):
         mid = 0.5 * (lo + hi)
-        above = v_total(mid) > V_THRESHOLD_MS
+        above = v_total(mid) > thr
         lo = np.where(above, mid, lo)
         hi = np.where(above, hi, mid)
     r_hi = np.where(
-        peak <= V_THRESHOLD_MS,
+        peak <= thr,
         0.0,
-        np.where(far > V_THRESHOLD_MS, WIND_EXTENT_CAP_KM, hi),
+        np.where(far > thr, WIND_EXTENT_CAP_KM, hi),
     )
     return r_hi + 2.0
+
+
+def _willoughby_extent_kernel(vmax, lat, thr=V_THRESHOLD_MS):
+    """Threshold-crossing radius of the reduced Willoughby profile
+    (numpy twin of ``willoughby_wind_ms``). The outer branch is a
+    convex combination of two decaying exponentials scaled by Vmax —
+    strictly decreasing whenever X1 > 0 and A ∈ [0, 1); out-of-range
+    fits (hypothetical Vmax beyond the published regression's domain)
+    fall back to the full cap, i.e. no pruning."""
+    import numpy as np
+
+    alat = np.abs(lat)
+    rmax = 46.6 * np.exp(-0.0155 * vmax + 0.0169 * alat)
+    x1 = 317.1 - 2.026 * vmax + 1.915 * alat
+    a = np.maximum(0.0696 + 0.0049 * vmax - 0.0064 * alat, 0.0)
+
+    def v_outer(r):
+        d = r - rmax
+        return vmax * ((1.0 - a) * np.exp(-d / np.where(x1 > 0, x1, 1.0))
+                       + a * np.exp(-d / 25.0))
+
+    lo = rmax.astype("float64").copy()
+    hi = np.full(len(lo), WIND_EXTENT_CAP_KM)
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        above = v_outer(mid) > thr
+        lo = np.where(above, mid, lo)
+        hi = np.where(above, hi, mid)
+    r_hi = np.where(
+        vmax <= thr,
+        0.0,
+        np.where(
+            v_outer(np.full(len(lo), WIND_EXTENT_CAP_KM)) > thr,
+            WIND_EXTENT_CAP_KM,
+            hi,
+        ),
+    )
+    unsafe = (x1 <= 0.0) | (a >= 1.0)
+    return np.where(unsafe, WIND_EXTENT_CAP_KM, r_hi) + 2.0
+
+
+def _extent_col(kernel, *cols: str) -> Column:
+    """Arrow-batched column: ``kernel`` over the named numeric columns
+    → per-row prune radius in km. Applied only to broadcast-sized
+    track frames."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _extent(*series):
+        import pandas as pd
+
+        return pd.Series(kernel(*[s.to_numpy() for s in series]))
+
+    return _extent(*cols)
+
+
+def grid_prune_pairs(
+    c: DataFrame, t: DataFrame, cond: Column, r_hi: Column,
+    cell: float = 2.0,
+) -> DataFrame:
+    """(centroid × track-point) candidate pairs via a grid-cell HASH
+    join bounded by a per-track-point prune radius.
+
+    ``r_hi`` is a conservative wind-extent radius (km): every pair
+    farther apart than r_hi must be below the output threshold, so the
+    dynamic box drops ONLY rows the threshold filter would drop and
+    the surviving pairs are identical to the plain bbox theta-join
+    (``cond`` stays as part of the residual condition).
+
+    Geometry: dist ≥ KM_PER_DEG_LB·|Δlat| and ≥
+    KM_PER_DEG_LB·cos(φ̄)·|Δlon| for both supported metrics; φ̄ is
+    bounded by |t_lat|+box_lat for any pair inside the lat box, so
+    box_lon is conservative too. A [t±box] interval only intersects
+    cells floor((t−box)/cell)..floor((t+box)/cell) (x/cell and floor
+    are monotone and exact in IEEE), so the exploded cell copies can
+    never miss a box-passing centroid. Track rows stay broadcast (≤ a
+    few cell copies × a few 10⁴ rows); the equi part becomes the hash
+    key and the pair space is Σ per-cell products instead of |C|×|T|.
+    """
+    t = t.withColumn("__r_hi", r_hi)
+    box_lat = F.least(F.lit(DEG_BOX), F.col("__r_hi") / KM_PER_DEG_LB)
+    t = t.withColumn("__box_lat", box_lat).withColumn(
+        "__box_lon",
+        F.least(
+            F.lit(DEG_BOX),
+            F.col("__r_hi")
+            / (
+                KM_PER_DEG_LB
+                * F.cos(
+                    F.radians(
+                        F.least(
+                            F.abs(F.col("t_lat")) + F.col("__box_lat"),
+                            F.lit(89.0),
+                        )
+                    )
+                )
+            ),
+        ),
+    )
+
+    def _cells(col: Column, box: Column) -> Column:
+        return F.sequence(
+            F.floor((col - box) / cell), F.floor((col + box) / cell)
+        )
+
+    tg = (
+        t.withColumn(
+            "__t_latc", F.explode(_cells(F.col("t_lat"), F.col("__box_lat")))
+        )
+        .withColumn(
+            "__t_lonc", F.explode(_cells(F.col("t_lon"), F.col("__box_lon")))
+        )
+    )
+    cg = c.withColumn(
+        "__c_latc", F.floor(F.col("c_lat") / cell)
+    ).withColumn("__c_lonc", F.floor(F.col("c_lon") / cell))
+    return cg.join(
+        F.broadcast(tg),
+        (F.col("__c_latc") == F.col("__t_latc"))
+        & (F.col("__c_lonc") == F.col("__t_lonc"))
+        & cond
+        & (F.abs(F.col("c_lat") - F.col("t_lat")) <= F.col("__box_lat"))
+        & (F.abs(F.col("c_lon") - F.col("t_lon")) <= F.col("__box_lon")),
+    )
 
 
 def equirect_km(
@@ -271,87 +395,12 @@ def windfield_expr(
         F.col("lon").alias("c_lon"),
     )
     if join == "grid":
-        # Dynamic prune radius: the exact threshold-crossing radius of
-        # the profile, bisected per track point on the tiny broadcast
-        # side (Arrow-batched kernel, ~25k rows). Pairs farther than
-        # r_hi are strictly below the output threshold, so the tighter
-        # per-point box drops ONLY rows the threshold filter would
-        # drop — output identical to the plain bbox theta-join, at a
-        # fraction of the Holland evaluations (median extent ≈ 2.8°
-        # vs the static 5.5°; ≈4× fewer pairs at the production
-        # envelope).
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("double")
-        def _extent(rmw, b_s, penv, pcen, vt, lat):
-            import pandas as pd
-
-            return pd.Series(
-                _wind_extent_kernel(
-                    rmw.to_numpy(), b_s.to_numpy(), penv.to_numpy(),
-                    pcen.to_numpy(), vt.to_numpy(), lat.to_numpy(),
-                )
-            )
-
-        t = t.withColumn(
-            "__r_hi",
-            _extent("rmw_km", "b_s", "penv", "pcen",
-                    "v_trans_ms", "t_lat"),
-        )
-        # dist ≥ KM_PER_DEG_LB·|Δlat| and ≥ KM_PER_DEG_LB·cos(φ̄)·|Δlon|
-        # for both metrics; φ̄ bounded by |t_lat|+box_lat for any pair
-        # already inside the lat box, so box_lon is conservative too.
-        box_lat = F.least(F.lit(DEG_BOX), F.col("__r_hi") / KM_PER_DEG_LB)
-        t = t.withColumn("__box_lat", box_lat).withColumn(
-            "__box_lon",
-            F.least(
-                F.lit(DEG_BOX),
-                F.col("__r_hi")
-                / (
-                    KM_PER_DEG_LB
-                    * F.cos(
-                        F.radians(
-                            F.least(
-                                F.abs(F.col("t_lat")) + F.col("__box_lat"),
-                                F.lit(89.0),
-                            )
-                        )
-                    )
-                ),
+        pairs = grid_prune_pairs(
+            c, t, cond,
+            _extent_col(
+                lambda *a: _wind_extent_kernel(*a, thr=threshold_ms),
+                "rmw_km", "b_s", "penv", "pcen", "v_trans_ms", "t_lat",
             ),
-        )
-        # Cell grid: a [t±box] interval only intersects cells
-        # floor((t−box)/CELL)..floor((t+box)/CELL) (monotone x/CELL and
-        # floor are exact in IEEE, so coverage can never miss a
-        # box-passing centroid). Track rows stay broadcast (≤ a few
-        # dozen cell copies × a few 10⁴ rows); the equi part becomes
-        # the hash key and the pair space is Σ per-cell products
-        # instead of |C|×|T|.
-        cell = 2.0
-
-        def _cells(col: Column, box: Column) -> Column:
-            return F.sequence(
-                F.floor((col - box) / cell), F.floor((col + box) / cell)
-            )
-
-        tg = (
-            t.withColumn(
-                "__t_latc", F.explode(_cells(F.col("t_lat"), F.col("__box_lat")))
-            )
-            .withColumn(
-                "__t_lonc", F.explode(_cells(F.col("t_lon"), F.col("__box_lon")))
-            )
-        )
-        cg = c.withColumn(
-            "__c_latc", F.floor(F.col("c_lat") / cell)
-        ).withColumn("__c_lonc", F.floor(F.col("c_lon") / cell))
-        pairs = cg.join(
-            F.broadcast(tg),
-            (F.col("__c_latc") == F.col("__t_latc"))
-            & (F.col("__c_lonc") == F.col("__t_lonc"))
-            & cond
-            & (F.abs(F.col("c_lat") - F.col("t_lat")) <= F.col("__box_lat"))
-            & (F.abs(F.col("c_lon") - F.col("t_lon")) <= F.col("__box_lon")),
         )
     else:
         pairs = c.join(F.broadcast(t), cond)
@@ -453,13 +502,18 @@ def windfield_willoughby(
         F.col("lat").alias("c_lat"),
         F.col("lon").alias("c_lon"),
     )
-    pairs = c.join(F.broadcast(t), cond)
+    pairs = grid_prune_pairs(
+        c, t, cond, _extent_col(lambda *a: _willoughby_extent_kernel(*a, thr=threshold_ms), "vmax", "t_lat")
+    )
     r_km = haversine_km(
         F.col("c_lat"), F.col("c_lon"), F.col("t_lat"), F.col("t_lon")
     )
     wind = willoughby_wind_ms(r_km, F.col("vmax"), F.col("t_lat"))
+    # generator fence: keep the profile out of the join condition
+    # (same rationale as windfield_expr)
     return pairs.select(
-        *keys, "step", "centroid_id", wind.alias("wind_ms")
+        *keys, "step", "centroid_id",
+        F.explode(F.array(wind)).alias("wind_ms"),
     ).filter(F.col("wind_ms") > threshold_ms)
 
 
@@ -516,8 +570,17 @@ def windfield_vectors(
         F.col("lat").alias("c_lat"),
         F.col("lon").alias("c_lon"),
     )
+    # |u,v| ≤ v_g + min(1, rmw/r)·vt — the scalar profile the Holland
+    # extent kernel bisects — so the per-point prune box is
+    # conservative for the vector magnitude too (triangle inequality).
     pairs = (
-        c.join(F.broadcast(t), cond)
+        grid_prune_pairs(
+            c, t, cond,
+            _extent_col(
+                lambda *a: _wind_extent_kernel(*a, thr=threshold_ms),
+                "rmw_km", "b_s", "penv", "pcen", "v_trans_ms", "t_lat",
+            ),
+        )
         .withColumn(
             "dx",
             (F.col("c_lon") - F.col("t_lon"))
