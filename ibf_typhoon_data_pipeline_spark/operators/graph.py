@@ -1,0 +1,109 @@
+"""Connected components over a near-duplicate pair graph.
+
+The reference dedups per-pair (keep the lower id of each matched
+pair); corpus-scale dedup needs the transitive closure — A~B and B~C
+put all three in ONE cluster even when A and C never collide in a
+band. This is the standard "cluster the near-dup graph, keep one doc
+per component" step of large-scale training-data pipelines.
+
+Algorithm: iterative min-label propagation — each node adopts the
+smallest component id among itself and its neighbors, repeated until
+a fixpoint (the same Pregel formulation GraphX's connectedComponents
+ships; converges in graph-diameter supersteps, and near-dup clusters
+are shallow — a chain longer than a handful of hops means the
+threshold is too loose). Each superstep is one equi-join + one
+partial-agg min — both shuffle on bounded keys, nothing collects to
+the driver; the fixpoint check is a count of changed labels per
+superstep. At the fixpoint every node holds min(reachable ids), which
+is exactly what a reachability closure computes — the DuckDB
+recursive-CTE oracle states it that way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node → component) for every node; component id = the smallest
+    node id in the component (deterministic canonical choice).
+
+    ``nodes``: one row per node (singletons keep their own id).
+    ``edges``: undirected pairs, any orientation; symmetrized here.
+    Raises if the propagation hasn't converged after ``max_iter``
+    supersteps rather than returning a partial clustering.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+    )
+    sym.persist()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            updated = (
+                labels.join(
+                    neighbor_min, labels.node == neighbor_min.dst, "left"
+                )
+                .select(
+                    "node",
+                    "comp",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("ncomp"), F.col("comp")),
+                    ).alias("new_comp"),
+                )
+                .persist()
+            )
+            changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
+            new_labels = updated.select(
+                "node", F.col("new_comp").alias("comp")
+            ).persist()
+            new_labels.count()  # materialize before dropping parents
+            updated.unpersist()
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("node").alias(id_col),
+                    F.col("comp").alias("component_id"),
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} supersteps"
+        )
+    finally:
+        sym.unpersist()
+
+
+def component_sizes(components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach per-component cardinality (window over the component key
+    — one shuffle, no re-join)."""
+    from pyspark.sql import Window
+
+    return components.select(
+        id_col,
+        "component_id",
+        F.count("*")
+        .over(Window.partitionBy("component_id"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )

@@ -290,3 +290,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", tx.fingerprint(F.col("text"), 8).alias("fingerprint")
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, seen) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.seen
+    ), comp AS (
+      SELECT node AS doc_id, min(seen) AS component_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """,
+    doc="Transitive near-dup clustering: n-gram Jaccard >= 0.5 pairs as "
+        "the edge set, connected components by iterative min-label "
+        "propagation (GraphX's Pregel formulation: one equi-join + one "
+        "partial-agg min per superstep, diameter-bounded), component "
+        "id = smallest member. The oracle states the fixpoint as a "
+        "reachability closure (recursive CTE) - min(reachable ids) per "
+        "node, provably what the propagation converges to.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    comps = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return component_sizes(comps, id_col="doc_id")
