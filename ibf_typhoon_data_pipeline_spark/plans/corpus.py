@@ -345,3 +345,118 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
     return component_sizes(comps, id_col="doc_id")
+
+
+# ------------------------------------------------------- BM25 retrieval
+# Query terms for the retrieval catalog entry; tf/df/dl are integers in
+# both engines, so every BM25 input is binary-exact and the shared
+# formula text below (token-for-token in Spark and DuckDB, explicit
+# left-associated term sum) produces the same double.
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_term_sql(i: int) -> str:
+    """Lucene-form BM25 contribution of term i:
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)); tf saturation with k1,
+    length normalization with b against avgdl."""
+    return (
+        f"(ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE)) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B})"
+        f" + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl)))"
+    )
+
+
+_BM25_SCORE_SQL = " + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS tokens
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, len(tokens) AS dl,
+        {', '.join(
+            f"len(list_filter(tokens, x -> x = '{t}')) AS tf_{i}"
+            for i, t in enumerate(_BM25_TERMS)
+        )}
+      FROM tk
+    ), st AS (
+      SELECT count(*) AS n_docs,
+        {', '.join(
+            f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+            for i in range(len(_BM25_TERMS))
+        )},
+        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM tf
+    )
+    SELECT doc_id, score_r, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT doc_id, score_r,
+             row_number() OVER (ORDER BY score_r DESC, doc_id) AS rn
+      FROM (
+        SELECT doc_id, round({_BM25_SCORE_SQL}, 6) AS score_r
+        FROM tf CROSS JOIN st
+      ) WHERE score_r > 0.0
+    ) WHERE rn <= 10
+    """,
+    doc="BM25 top-10 retrieval for a fixed term query: tokenize once, "
+        "per-term tf as integer columns (no explode-join), one global "
+        "stats row (N, df per term, avgdl) broadcast-cross-joined, "
+        "score as an explicit left-associated term sum rounded 6dp "
+        "before ranking, deterministic doc_id tiebreak. The corpus "
+        "side of an LLM retrieval pipeline expressed as two scans and "
+        "a broadcast.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), " +").alias("tokens")
+    )
+    tf = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        *[
+            F.size(F.filter(F.col("tokens"), lambda x: x == F.lit(t))).alias(
+                f"tf_{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    st = tf.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.round(F.expr(_BM25_SCORE_SQL), 6).alias("score_r"),
+        )
+        .filter(F.col("score_r") > 0.0)
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-k merged on the driver, never a single-partition sort of the
+    # full match set; the rank window then runs over k rows only.
+    top = scored.orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "score_r",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
