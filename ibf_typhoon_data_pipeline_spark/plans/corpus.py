@@ -460,3 +460,33 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_r",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+@register(
+    "corpus_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'ccd'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'e66'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic ~80/10/10 train/val/test split: lexicographic "
+        "thresholds on the md5(doc_id) hex prefix (0xccd/0x1000 = "
+        "80.0%, 0xe66 = 89.99%) - pure per-row expression, no shuffle, "
+        "reproducible across engines/runs/partitionings, and stable "
+        "under corpus growth (a doc's split never changes when other "
+        "docs are added - the property random splits lack).",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
+    return docs.select(
+        "doc_id",
+        F.when(prefix < "ccd", "train")
+        .when(prefix < "e66", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
