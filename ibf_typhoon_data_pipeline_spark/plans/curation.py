@@ -1,0 +1,459 @@
+"""Corpus-curation catalog: the training-data-pipeline operations a
+100 TB pretraining corpus needs beyond dedup/ANN — decontamination
+(train/test n-gram leakage), PII redaction, Gopher-style repetition
+signals, corpus-frequency language-model scoring, stratified domain
+sampling, and token-budget packing.
+
+Every entry follows the repo parity invariants: identical aliases both
+engines, double-producing formulas written once as shared SQL text,
+integer sufficient statistics wherever a sum crosses rows
+(micro-nat BIGINT quantization for log-probs), deterministic
+tiebreakers on every window.
+
+Reference parity note: the reference pipeline (rodekruis/
+IBF_TYPHOON_DATA_PIPELINE) has no corpus layer; these operators are the
+"beyond the reference" training-data mandate. Shapes follow the
+published recipes: C4 (Raffel et al. 2020) for hash splits and PII
+scrubbing, Gopher (Rae et al. 2021) §A1.1 for repetition filters,
+CCNet (Wenzek et al. 2020) for LM-based quality scoring, and GPT-3
+(Brown et al. 2020) §C for 13-gram-style decontamination (3-grams
+here: the synthetic vocabulary is ~30 words, so 3-grams already
+separate planted near-dups from background collisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.operators import dedup as dd
+from ibf_typhoon_data_pipeline_spark.plans.corpus import _sql_shingles
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- split
+# Shared with corpus_split: lexicographic md5-prefix thresholds
+# (0xccd/0x1000 = 80.0% train, 0xe66 = 90.0% val cut, rest test).
+_SPLIT_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'ccd' "
+    "THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'e66' "
+    "THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_col() -> F.Column:
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
+    return (
+        F.when(prefix < "ccd", "train")
+        .when(prefix < "e66", "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    f"""
+    WITH sp AS (
+      SELECT doc_id, text, {_SPLIT_SQL} AS split FROM documents
+    ), tr AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle
+      FROM sp WHERE split = 'train'
+    ), te AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle
+      FROM sp WHERE split = 'test'
+    ), hits AS (
+      SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+             count(*) AS n_shared
+      FROM tr JOIN te ON tr.shingle = te.shingle
+      GROUP BY 1, 2
+    )
+    SELECT train_id,
+           CAST(count(*) AS BIGINT) AS n_test_hits,
+           CAST(max(n_shared) AS BIGINT) AS max_shared
+    FROM hits WHERE n_shared >= 4
+    GROUP BY train_id
+    """,
+    doc="Train/test decontamination (GPT-3 §C shape): distinct 3-gram "
+        "shingles of both splits meet in an inverted-index equi-join "
+        "(cost Σ bucket², never train×test), pairs sharing >= 4 "
+        "shingles are leaks (planted near-dups score 22-75 shared vs "
+        "a <= 3 random-collision background at sf0.01), report is "
+        "per-train-doc hit count + worst overlap. At 100 TB the test "
+        "side is tiny, so its shingle table broadcasts.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _split_col().alias("split")
+    )
+    train = dd.shingle_table(docs.filter(F.col("split") == "train"))
+    test = dd.shingle_table(docs.filter(F.col("split") == "test")).select(
+        F.col("doc_id").alias("test_id"), "shingle"
+    )
+    hits = (
+        train.withColumnRenamed("doc_id", "train_id")
+        .join(test, "shingle")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 4)
+    )
+    return hits.groupBy("train_id").agg(
+        F.count("*").cast("long").alias("n_test_hits"),
+        F.max("n_shared").cast("long").alias("max_shared"),
+    )
+
+
+# ------------------------------------------------------------ PII scrub
+# The synthetic corpus carries no PII, so the scrub target is derived
+# deterministically from row fields (source + doc_id -> one email, one
+# phone per doc) and then redacted — exercising the real patterns and
+# the count/replace plumbing end-to-end. Patterns avoid backslashes
+# entirely ([.] and [+] classes instead of \\. and \\+): Spark SQL
+# string literals treat backslash as an escape while DuckDB's do not,
+# so a backslash-free pattern is the only text that means the same
+# regex in both parsers (and in Java regex vs RE2 alike).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_PHONE = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+_PII_AUG_SQL = (
+    "concat(text, ' contact ', source, '.', CAST(doc_id AS VARCHAR), "
+    "'@example.com tel +63-917-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS contact_text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(contact_text, '{_PII_EMAIL}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(contact_text, '{_PII_PHONE}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(contact_text,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_digest,
+           CAST(length(regexp_replace(regexp_replace(contact_text,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT)
+             AS redacted_len
+    FROM aug
+    """,
+    doc="PII redaction (C4-style scrub): email + E.164-ish phone "
+        "patterns counted and replaced in one projection — pure "
+        "codegen'd regex, no shuffle, no UDF; output pinned by the "
+        "md5 of the fully-redacted text. Patterns are backslash-free "
+        "so Spark SQL and DuckDB literals denote the identical regex.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # mirrors _PII_AUG_SQL; built with F functions because Spark's
+    # parser rejects CAST(AS VARCHAR) without a length
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("."),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +63-917-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("contact_text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.col("contact_text"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("contact_text"), F.lit(_PII_EMAIL), 0)
+        ).cast("long").alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("contact_text"), F.lit(_PII_PHONE), 0)
+        ).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_digest"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# ------------------------------------------------- repetition signals
+# Gopher §A1.1 repetition filters: fraction of tokens taken by the
+# most frequent token, distinct-token ratio, and fraction of bigram
+# occurrences taken by the most frequent bigram. All ratios are
+# quotients of per-doc integers — the one double op both engines
+# compute identically — rounded 6dp.
+_NONDISTINCT_BIGRAMS_SQL = (
+    "CASE WHEN len(string_split_regex(trim(text), ' +')) >= 2 THEN "
+    "list_transform(range(1, len(string_split_regex(trim(text), ' +'))), "
+    "i -> array_to_string((string_split_regex(trim(text), ' +'))[i:i+1], ' ')) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    ), toks AS (
+      SELECT doc_id, sum(c) AS total_tokens, max(c) AS top_token_c,
+             count(*) AS n_distinct
+      FROM tc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, unnest({_NONDISTINCT_BIGRAMS_SQL}) AS bigram
+      FROM documents WHERE length(trim(text)) > 0
+    ), bc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+    ), bgs AS (
+      SELECT doc_id, sum(c) AS total_bigrams, max(c) AS top_bigram_c
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           round(CAST(t.top_token_c AS DOUBLE)
+                 / CAST(t.total_tokens AS DOUBLE), 6) AS top_token_frac,
+           round(CAST(t.n_distinct AS DOUBLE)
+                 / CAST(t.total_tokens AS DOUBLE), 6) AS distinct_frac,
+           round(CAST(coalesce(b.top_bigram_c, 0) AS DOUBLE)
+                 / CAST(greatest(coalesce(b.total_bigrams, 0), 1)
+                        AS DOUBLE), 6) AS top_bigram_frac
+    FROM toks t LEFT JOIN bgs b ON b.doc_id = t.doc_id
+    """,
+    doc="Gopher-style repetition signals: top-token fraction, "
+        "distinct-token ratio, top-bigram fraction. Explode + two "
+        "partial-agg groupBys per granularity — the shuffle key is "
+        "(doc_id, gram), doc-local and balanced by construction, so "
+        "the plan is one map-side-combined pass per granularity at "
+        "any corpus size.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", dd.split_words(F.col("text")).alias("__words"))
+    )
+    tok = docs.select("doc_id", F.explode("__words").alias("tok"))
+    toks = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_tokens"),
+            F.max("c").alias("top_token_c"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    cnt = F.size("__words")
+    grams = F.when(
+        cnt >= 2,
+        F.transform(
+            F.sequence(F.lit(0), cnt - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("__words", i + 1),
+                F.element_at("__words", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(grams).alias("bigram"))
+    bgs = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_bigrams"),
+            F.max("c").alias("top_bigram_c"),
+        )
+    )
+    t, b = toks.alias("t"), bgs.alias("b")
+    return t.join(b, "doc_id", "left").select(
+        F.col("doc_id"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.col("top_token_c").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("top_token_frac"),
+        F.round(
+            F.col("n_distinct").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("distinct_frac"),
+        F.round(
+            F.coalesce(F.col("top_bigram_c"), F.lit(0)).cast("double")
+            / F.greatest(
+                F.coalesce(F.col("total_bigrams"), F.lit(0)), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+# ------------------------------------------------- unigram LM scoring
+# CCNet-shape quality scoring: a unigram LM fit on the corpus itself
+# (token frequency / corpus size), each doc scored by mean negative
+# log-likelihood. The per-token log-prob is quantized to integer
+# micro-nats BEFORE the per-doc sum, so the sum is exact integer
+# arithmetic (order-free — summation fold order can never flip the
+# hash) and the only double ops are one division + one ln on
+# identical integer inputs, written once as shared SQL text.
+_LM_LP_MICRO_SQL = (
+    "CAST(round(ln(CAST(c AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)) "
+    "* 1000000.0) AS BIGINT)"
+)
+_LM_MEAN_NLL_SQL = (
+    "round(CAST(-sum(lp_micro) AS DOUBLE) "
+    "/ (1000000.0 * CAST(count(*) AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "text_lm_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS corpus_tokens FROM freq
+    ), scored AS (
+      SELECT t.doc_id, {_LM_LP_MICRO_SQL} AS lp_micro
+      FROM tok t JOIN freq USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lp_micro) AS BIGINT) AS logprob_micro,
+           {_LM_MEAN_NLL_SQL} AS mean_nll
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-style LM quality score: corpus unigram frequencies "
+        "(one partial-agg groupBy) joined back to the token stream, "
+        "per-token ln-prob quantized to integer micro-nats before "
+        "summing so the per-doc reduction is exact integer math. The "
+        "frequency table is vocabulary-sized — broadcast at any "
+        "corpus scale; corpus total is a 1-row cross join.",
+)
+def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", dd.split_words(F.col("text")).alias("__words"))
+    )
+    tok = docs.select("doc_id", F.explode("__words").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("corpus_tokens"))
+    scored = (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr(_LM_LP_MICRO_SQL).alias("lp_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lp_micro").cast("long").alias("logprob_micro"),
+        F.expr(_LM_MEAN_NLL_SQL).alias("mean_nll"),
+    )
+
+
+# --------------------------------------------- stratified domain sample
+# Domain rebalancing: per-language keep rates applied by salted-hash
+# threshold — deterministic, shuffle-free, reproducible across engines
+# and runs, and independent per row (no global count pass).
+_STRATA_RATE_SQL = (
+    "CASE lang WHEN 'en' THEN '8000' WHEN 'es' THEN 'c000' "
+    "WHEN 'de' THEN '4000' ELSE 'zzzz' END"
+)
+
+
+@register(
+    "corpus_sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(concat('samp:', CAST(doc_id AS VARCHAR))), 1, 4)
+          < {_STRATA_RATE_SQL}
+    """,
+    doc="Stratified domain sampling: per-language keep rates (en 50%, "
+        "es 75%, de 25%, others 100%) as lexicographic thresholds on "
+        "a salted md5 prefix — the deterministic domain-mixing "
+        "primitive; a row's fate depends only on its own id, so the "
+        "sample is stable under corpus growth and needs no shuffle.",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    return docs.filter(prefix < F.expr(_STRATA_RATE_SQL)).select(
+        "doc_id", "lang"
+    )
+
+
+# --------------------------------------------------- token-budget pack
+@register(
+    "corpus_token_budget",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens,
+             md5(concat('shuf:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+      FROM documents WHERE length(trim(text)) > 0
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM packed WHERE cum_tokens <= 10000
+    """,
+    doc="Token-budget packing: deterministic corpus shuffle (salted "
+        "md5 order) + running token sum, cut at a 10k-token budget — "
+        "how a training run takes 'the first N tokens' "
+        "reproducibly. The running sum is integer-exact; the global "
+        "order is a range-partitioned sort at scale (Spark samples "
+        "range bounds; no single-partition window until the final "
+        "budget cut, which at 100 TB would be per-range partial sums "
+        "- documented trade-off for an sf-sized catalog entry).",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(dd.split_words(F.col("text"))).alias("n_tokens"),
+            F.md5(
+                F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+            ).alias("shuffle_key"),
+        )
+    )
+    w = (
+        Window.orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 10000)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
