@@ -130,3 +130,28 @@ def test_k4_muni_distance_join_is_bbox_guarded(spark):
     assert "abs((m_lat" in plan and "abs((m_lon" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_logprob_frequency_join_is_broadcast(spark):
+    plan = _plan(spark, "text_lm_logprob")
+    # the vocabulary-sized frequency table and the 1-row corpus total
+    # must broadcast against the token stream — a sort-merge join here
+    # would shuffle the whole corpus by token
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    plan = _plan(spark, "corpus_sample_stratified")
+    # per-row hash-threshold sampling: scan + filter + project, no
+    # exchange anywhere
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_is_inverted_index_equi_join(spark):
+    plan = _plan(spark, "corpus_decontaminate")
+    # train and test shingle tables meet on the shingle equi key —
+    # never a nested-loop or cartesian pair enumeration
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
