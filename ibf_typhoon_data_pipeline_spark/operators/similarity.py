@@ -613,3 +613,38 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ------------------------------------------------------------------ PCA
+def pca_components(vecs, n_comp: int = 2):
+    """Deterministic PCA fit: 6dp-rounded sample, exact scatter matrix,
+    numpy symmetric eigendecomposition, sign fixed so each component's
+    largest-|coordinate| entry is positive. Returns (components
+    rounded 6dp, mean rounded 6dp) — the literals both engines project
+    with (same bounded-sample recipe as the k-means codebook)."""
+    import numpy as np
+
+    v = np.round(np.asarray(vecs, dtype=np.float64), 6)
+    mean = v.mean(axis=0)
+    x = v - mean
+    w, evec = np.linalg.eigh(x.T @ x)
+    comps = evec[:, ::-1][:, :n_comp].T.copy()
+    for i in range(n_comp):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return np.round(comps, 6), np.round(mean, 6)
+
+
+def pca_project_sqls(comps, mean, vec: str, idx0: int) -> list[str]:
+    """Per-component projection (v − μ)·c expanded to v·c − μ·c with
+    μ·c precomputed as one quoted literal; the dot is the shared
+    left-associated literal sum, rounded 6dp."""
+    out = []
+    for c in comps:
+        offset = float(sum(float(m) * float(w) for m, w in zip(mean, c)))
+        out.append(
+            f"round({dot_literal_sql(vec, c, idx0)}"
+            f" - CAST('{offset!r}' AS DOUBLE), 6)"
+        )
+    return out

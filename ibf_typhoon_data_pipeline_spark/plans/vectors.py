@@ -385,3 +385,148 @@ def sim_ivf_codebook_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return seeded_lsh_topk(emb, seeded_planes(), k=5)
+
+
+# ------------------------------------------------------------ PCA / SQ
+# Dimensionality reduction + vector compression: the remaining two
+# embedding-pipeline staples. PCA follows the codebook recipe (bounded
+# id-ordered 6dp sample -> deterministic numpy fit -> quoted-literal
+# projection SQL shared by both engines); scalar quantization is fully
+# in-engine — per-dimension min/max from one 64-key groupBy, codes and
+# reconstruction errors as integer-quantized expressions.
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    pca_components,
+    pca_project_sqls,
+)
+
+
+def _duck_pca():
+    path = _oracle_emb_path()
+    key = f"duckpca:{path}"
+    if key not in _CODEBOOK_MEMO:
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM '{path}'"
+            " ORDER BY vec_id LIMIT 512"
+        ).fetchall()
+        _CODEBOOK_MEMO[key] = pca_components([r[0] for r in rows])
+    return _CODEBOOK_MEMO[key]
+
+
+def _spark_pca(spark, sf_dir: str):
+    key = f"sparkpca:{sf_dir}"
+    if key not in _CODEBOOK_MEMO:
+        from pyspark.sql import functions as FF
+
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(512)
+            .select(FF.col("embedding").cast("array<double>").alias("__v"))
+            .collect()
+        )
+        _CODEBOOK_MEMO[key] = pca_components([r["__v"] for r in rows])
+    return _CODEBOOK_MEMO[key]
+
+
+def _pca_oracle() -> str:
+    comps, mean = _duck_pca()
+    p_sqls = pca_project_sqls(comps, mean, "ve", 1)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    )
+    SELECT vec_id, label, {p_sqls[0]} AS pc1, {p_sqls[1]} AS pc2
+    FROM v
+    """
+
+
+@register(
+    "emb_pca_project",
+    _pca_oracle,
+    doc="PCA projection to the top-2 principal components: fit is "
+        "deterministic numpy eigendecomposition of the exact scatter "
+        "matrix of a bounded id-ordered 6dp sample (codebook recipe, "
+        "sign-fixed), projection is a quoted-literal left-associated "
+        "dot product — pure codegen'd expressions, zero shuffle, "
+        "constant driver footprint at any SF",
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps, mean = _spark_pca(spark, sf_dir)
+    p_sqls = pca_project_sqls(comps, mean, "__v", 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("__v"),
+    ).selectExpr(
+        "vec_id", "label", f"{p_sqls[0]} AS pc1", f"{p_sqls[1]} AS pc2"
+    )
+
+
+# Shared quantization expression texts (d is 1-based in both engines;
+# floor(x + 0.5) instead of round per the half-ulp invariant, and the
+# mx = mn degenerate dimension pins code 0 identically).
+_SQ_CODE_SQL = (
+    "CAST(CASE WHEN mx = mn THEN 0 ELSE "
+    "floor((x - mn) / (mx - mn) * 255.0 + 0.5) END AS BIGINT)"
+)
+_SQ_ERR_SQL = (
+    "CAST(floor(abs(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0)) "
+    "* 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "emb_scalar_quantize",
+    f"""
+    WITH dims AS (
+      SELECT vec_id,
+             generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), stats AS (
+      SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d
+    ), coded AS (
+      SELECT vec_id, dims.d, x, mn, mx, {_SQ_CODE_SQL} AS code
+      FROM dims JOIN stats ON stats.d = dims.d
+    )
+    SELECT vec_id, CAST(d AS BIGINT) AS d, code,
+           {_SQ_ERR_SQL} AS err_micro
+    FROM coded
+    """,
+    doc="int8 scalar quantization (the vector-compression baseline): "
+        "per-dimension min/max from ONE 64-key partial-agg groupBy "
+        "broadcast back onto the dimension stream, code = "
+        "floor-half-up into 0..255, reconstruction error quantized to "
+        "integer micro-units. Fully in-engine — no driver fit; at "
+        "100 TB the stats side is 64 rows and the code assignment is "
+        "a map-side projection",
+)
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).alias("d"), "x")
+    stats = dims.groupBy("d").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = (
+        dims.join(F.broadcast(stats), "d")
+        .selectExpr("vec_id", "d", "x", "mn", "mx",
+                    f"{_SQ_CODE_SQL} AS code")
+    )
+    return coded.selectExpr(
+        "vec_id",
+        "CAST(d AS BIGINT) AS d",
+        "code",
+        f"{_SQ_ERR_SQL} AS err_micro",
+    )
