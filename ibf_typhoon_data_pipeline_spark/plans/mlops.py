@@ -557,3 +557,88 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) >= 1800
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(round(sum(value) * 100.0) AS BIGINT) AS total_value_cents,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+             AS duration_s
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    doc="§2.10 native session windows: events stream through "
+        "readStream → withWatermark(2h) → session_window(ts, 30 min) "
+        "per user → AvailableNow sink. session_window's end is "
+        "EXCLUSIVE (a gap of exactly 30 min opens a new session), so "
+        "the batch oracle's new-session condition is gap >= 1800 — "
+        "one strictness tick off the lag-based events_sessionize "
+        "entry, both documented. With one drop the watermark drops "
+        "nothing and the result equals the batch gap sessionization.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ibf_typhoon_data_pipeline_spark.streaming.micro_batch import (
+        session_event_rollups,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_sess_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    ev.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    sessions = session_event_rollups(stream)
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        # complete mode: each batch carries the FULL session state, so
+        # overwrite — the final batch is the answer
+        batch.write.mode("overwrite").parquet(out)
+
+    q = (
+        sessions.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(out)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value_cents",
+            "duration_s",
+        )
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -102,3 +102,43 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def session_event_rollups(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Event-time SESSION windows with a watermark (§2.10): Spark's
+    native session_window merges events whose gap to the session end
+    is < ``gap`` (an event landing exactly at the end opens a NEW
+    session — the window end is exclusive), the streaming twin of the
+    batch lag+running-sum sessionization. State per open session is
+    bounded by the watermark. Emits (user_id, session_start, n_events,
+    total_value_cents, duration_s)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), gap).alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100.0)
+            .cast("long")
+            .alias("total_value_cents"),
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value_cents",
+            "duration_s",
+        )
+    )
