@@ -12,6 +12,7 @@ from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
     mlops,
     relational,
     relational_ext,
+    temporal,
     typhoon,
     vectors,
 )

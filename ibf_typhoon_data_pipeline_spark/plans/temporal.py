@@ -1,0 +1,175 @@
+"""Temporal join catalog: as-of (point-in-time) join and bucketed
+range join — the two time-join operators Spark's DataFrame API lacks
+as primitives, re-expressed in their scalable relational formulations
+(SURVEY §2 'custom operators' mandate; no reference counterpart — the
+reference is a batch pipeline with no event-time joins).
+
+- As-of: the union + tagged-sort + last_value(ignore nulls) window
+  formulation — ONE shuffle on the join key, linear in rows, the
+  standard distributed as-of recipe (kdb's aj / pandas merge_asof
+  semantics). The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an
+  independent implementation of the same semantics, so parity here
+  validates the formulation, not just the arithmetic.
+- Range join: interval predicates are not equi-joinable, so each probe
+  row explodes to the fixed-width time buckets its window touches and
+  the band predicate becomes the residual of a (key, bucket) hash
+  join — the same decomposition as the windfield grid join; pair space
+  is Σ per-bucket products, never |A|×|B|.
+
+Both run on the events table: attribution (purchase → latest prior
+click) and blast-radius (errors within ±1 h of a purchase) — the
+event-log joins every training-data/analytics pipeline ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "j13_asof_attribution",
+    """
+    WITH a AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT user_id, ts, max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT a.event_id, a.user_id, b.click_event_id,
+           CAST(floor(epoch(a.ts)) - floor(epoch(b.ts)) AS BIGINT)
+             AS gap_s
+    FROM a ASOF LEFT JOIN b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    doc="As-of join (point-in-time attribution): each purchase matched "
+        "to the same user's latest click at-or-before it. Spark side "
+        "is the scalable union formulation — tag both streams, one "
+        "sort per user on (ts, tag, id), last_value(ignore nulls) "
+        "carries the most recent click forward, filter back to "
+        "purchases; ONE shuffle, no range predicate, no per-row "
+        "probing. Clicks are deduped to (user, ts) keep-max-id first "
+        "so ties are deterministic in both engines. Oracle is "
+        "DuckDB's native ASOF LEFT JOIN — an independent "
+        "implementation of the semantics.",
+)
+def j13_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            "click_event_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    # at equal ts the click (tag 0) sorts before the purchase (tag 1),
+    # so ts_b = ts_a matches — same >= semantics as ASOF JOIN
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = a.unionByName(b).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.last("click_event_id", ignorenulls=True)
+        .over(w)
+        .alias("m_click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("m_click_ts"),
+    )
+    return u.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("m_click_id").alias("click_event_id"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("m_click_ts")
+        ).cast("long").alias("gap_s"),
+    )
+
+
+@register(
+    "j14_range_join_bucketed",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'error'
+    ), pairs AS (
+      SELECT p.event_id, count(e.event_id) AS n
+      FROM p JOIN e
+        ON p.user_id = e.user_id AND abs(p.es - e.es) <= 3600
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(coalesce(pairs.n, 0) AS BIGINT) AS n_nearby_errors
+    FROM p LEFT JOIN pairs ON pairs.event_id = p.event_id
+    """,
+    doc="Bucketed range join (blast-radius count): errors within ±1 h "
+        "of each purchase by the same user. The band predicate can't "
+        "equi-join, so each purchase explodes to the <= 3 hour-buckets "
+        "its window touches, errors hash to one bucket, and "
+        "|Δt| <= 3600 is the residual of the (user, bucket) hash "
+        "join — pair space is Σ per-bucket products (the windfield "
+        "grid-join decomposition on the time axis). Purchases with no "
+        "nearby error kept by a final left join against the "
+        "purchase-side keys.",
+)
+def j14_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    es = F.unix_timestamp("ts").cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", es.alias("es")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_event_id"),
+        "user_id",
+        es.alias("e_es"),
+        F.floor(es / 3600).alias("bucket"),
+    )
+    pb = p.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("es") - 3600) / 3600),
+                F.floor((F.col("es") + 3600) / 3600),
+            )
+        ),
+    )
+    counts = (
+        pb.join(e, ["user_id", "bucket"])
+        .filter(F.abs(F.col("es") - F.col("e_es")) <= 3600)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return p.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_nearby_errors"),
+    )

@@ -155,3 +155,23 @@ def test_decontaminate_is_inverted_index_equi_join(spark):
     # never a nested-loop or cartesian pair enumeration
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_shuffle_union_window(spark):
+    plan = _plan(spark, "j13_asof_attribution")
+    # the as-of is a union + one per-user sort window — never a range
+    # join enumerated as a nested loop or cartesian pair space
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly two key shuffles: the click-side (user, ts) dedup and
+    # the one union-wide sort under the carry-forward window
+    assert plan.count("Exchange hashpartitioning(user_id") == 2
+    assert plan.count("Window ") == 1
+
+
+def test_range_join_is_bucketed_hash_join(spark):
+    plan = _plan(spark, "j14_range_join_bucketed")
+    # the band predicate rides as residual on a (user, bucket) hash
+    # join — the time-axis grid decomposition
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
