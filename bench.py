@@ -54,6 +54,12 @@ HEADLINE = [
     # JSON + sorted collect_list) gets round-over-round numbers
     "pipeline_publish",
     "tc_track_json",
+    # round-3 catalog growth: one representative per new family —
+    # corpus LM scoring (broadcast freq join), vector compression
+    # (posexplode + 64-key agg), as-of join (union + carry window)
+    "text_lm_logprob",
+    "emb_scalar_quantize",
+    "j13_asof_attribution",
 ]
 
 

@@ -173,3 +173,44 @@ def j14_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_nearby_errors"),
     )
+
+
+@register(
+    "a17_pivot_event_matrix",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+             AS n_click,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+             AS n_view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+             AS n_signup,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+             AS n_error
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (long -> wide feature matrix): per-user event-type "
+        "counts via Spark's native pivot with an EXPLICIT value list — "
+        "the two-pass distinct-discovery scan is skipped and the "
+        "pivot compiles to one partial-agg groupBy with conditional "
+        "aggregates, which is also exactly the oracle's FILTER "
+        "formulation. The standard long-to-wide step feeding a "
+        "per-user feature table.",
+)
+def a17_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+            for k in kinds
+        ],
+    )
