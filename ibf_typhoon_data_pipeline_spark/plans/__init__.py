@@ -9,6 +9,7 @@ from ibf_typhoon_data_pipeline_spark.plans.registry import (
 from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
     corpus,
     curation,
+    graphs,
     mlops,
     relational,
     relational_ext,

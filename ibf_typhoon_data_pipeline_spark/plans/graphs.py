@@ -1,0 +1,147 @@
+"""Graph-analytics catalog beyond connected components: PageRank over
+the customer–supplier purchase graph (orders ⋈ lineitem, symmetrized),
+run as the classic Pregel iteration — per superstep one equi-join of
+ranks onto edges, one partial-agg sum by destination, one left join
+back onto the node set. No driver-side state; the edge and degree
+frames are persisted once and reused by every superstep.
+
+Cross-engine exactness: ranks live as INTEGER micro-units. Each
+contribution is integer division rank_micro // degree (exact in both
+engines), the damped update is 150000 + floor(0.85 · Σ + 0.5) where Σ
+is an exact integer sum — the one double multiply is computed from
+identical integers in both engines, so the floor is identical. The
+oracle unrolls the fixed iteration count into one CTE per superstep
+(the CLAUDE.md unrolled-iteration invariant; a recursive CTE with
+aggregation in the recursive term is not portable SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.operators.cache import (
+    persist_tracked,
+)
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+_PR_ITERS = 4
+_PR_BASE_MICRO = 150000          # 0.15 in micro-units
+_PR_DAMP = "0.85"
+_PR_INIT_MICRO = 1000000         # every node starts at 1.0
+
+
+def _pr_update_sql(sum_expr: str) -> str:
+    """Damped update shared by both engines: the Σ is an exact BIGINT,
+    the single double op is 0.85·Σ from identical inputs."""
+    return (
+        f"CAST({_PR_BASE_MICRO} + floor({_PR_DAMP} "
+        f"* CAST({sum_expr} AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+
+
+def pagerank_micro(
+    nodes: DataFrame, edges: DataFrame, iters: int = _PR_ITERS
+) -> DataFrame:
+    """(node → rank_micro) after ``iters`` damped supersteps.
+    ``nodes``: one ``node`` column; ``edges``: directed (src, dst) —
+    symmetrize upstream for an undirected walk."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = persist_tracked(edges.join(deg, "src"))
+    rank = nodes.select(
+        "node", F.lit(_PR_INIT_MICRO).cast("long").alias("rank_micro")
+    )
+    for _ in range(iters):
+        sums = (
+            e.join(rank, e.src == rank.node)
+            .select("dst", F.expr("rank_micro div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        rank = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                F.expr(_pr_update_sql("coalesce(s, 0)")).alias(
+                    "rank_micro"
+                ),
+            )
+        )
+    return rank
+
+
+def _pagerank_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT n.node, {_pr_update_sql('coalesce(s.s, 0)')} AS rank_micro
+      FROM n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum({prev}.rank_micro // deg.deg) AS BIGINT) AS s
+        FROM e JOIN {prev} ON {prev}.node = e.src
+               JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ", ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+      SELECT concat('c', CAST(c AS VARCHAR)) AS src,
+             concat('s', CAST(sp AS VARCHAR)) AS dst FROM pairs
+      UNION ALL
+      SELECT concat('s', CAST(sp AS VARCHAR)) AS src,
+             concat('c', CAST(c AS VARCHAR)) AS dst FROM pairs
+    ), n AS (
+      SELECT DISTINCT src AS node FROM e
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST({_PR_INIT_MICRO} AS BIGINT) AS rank_micro FROM n
+    ), {chain}
+    SELECT node, rank_micro FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    doc="PageRank (4 damped supersteps) on the symmetrized "
+        "customer-supplier purchase graph: per superstep one rank⋈edge "
+        "equi-join + one partial-agg sum by destination — the Pregel "
+        "shape, edges+degrees persisted once across supersteps, "
+        "nothing on the driver. Integer micro-unit ranks make every "
+        "superstep exact in both engines; the oracle unrolls the "
+        "iterations as CTEs per the repo's unrolled-Newton invariant.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
+    return pagerank_micro(nodes, edges)
