@@ -145,3 +145,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     return pagerank_micro(nodes, edges)
+
+
+# ------------------------------------------------------- sketches
+# Cardinality estimation the oracle-checkable way: linear-time
+# probabilistic counting (Whang et al. 1990, the HyperLogLog
+# predecessor). The "randomness" is an md5 bucket hash — fully
+# deterministic and identical in both engines, so unlike
+# approx_count_distinct the estimate itself is reproducible
+# cross-engine. One partial-agg pass; the bitmap is a 1024-key
+# count(DISTINCT bucket).
+_LC_BUCKETS = 1048576  # 16^5: five md5 hex chars map exactly onto the space
+_LC_EST_SQL = (
+    f"CAST(CASE WHEN n_hit >= {_LC_BUCKETS} THEN {_LC_BUCKETS} "
+    f"ELSE floor(-{_LC_BUCKETS}.0 * ln("
+    f"CAST({_LC_BUCKETS} - n_hit AS DOUBLE) / {_LC_BUCKETS}.0) + 0.5) "
+    "END AS BIGINT)"
+)
+
+
+@register(
+    "sketch_distinct_linear_count",
+    f"""
+    WITH hits AS (
+      SELECT count(DISTINCT substr(md5(concat('lc:',
+               CAST(user_id AS VARCHAR), ':',
+               CAST(event_id AS VARCHAR))), 1, 5)) AS n_hit,
+             count(DISTINCT concat(CAST(user_id AS VARCHAR), ':',
+               CAST(event_id AS VARCHAR))) AS exact_distinct
+      FROM events
+    )
+    SELECT CAST(n_hit AS BIGINT) AS n_buckets_hit,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           {_LC_EST_SQL} AS estimated_distinct
+    FROM hits
+    """,
+    doc="Linear-counting distinct sketch: md5-hash each key into 1024 "
+        "buckets (m = 2^20, the 5-hex-char md5 prefix), estimate = "
+        "-m·ln(empty/m), saturation-guarded — deterministic "
+        "cardinality estimation (same estimate in both engines, which "
+        "approx_count_distinct cannot promise), next to the exact "
+        "count as the yardstick. One partial-agg scan; at 100 TB the "
+        "bitmap is what crosses the wire, not the keys.",
+)
+def sketch_distinct_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("event_id").cast("string"),
+    )
+    # the 5-hex-char prefix IS the bucket id (16^5 = _LC_BUCKETS); no
+    # numeric conversion needed on either side
+    bucket = F.substring(F.md5(F.concat(F.lit("lc:"), key)), 1, 5)
+    hits = ev.agg(
+        F.countDistinct(bucket).alias("n_hit"),
+        F.countDistinct(key).alias("exact_distinct"),
+    )
+    return hits.selectExpr(
+        "CAST(n_hit AS BIGINT) AS n_buckets_hit",
+        "CAST(exact_distinct AS BIGINT) AS exact_distinct",
+        f"{_LC_EST_SQL} AS estimated_distinct",
+    )

@@ -214,3 +214,40 @@ def a17_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in kinds
         ],
     )
+
+
+@register(
+    "w8_scd2_intervals",
+    """
+    SELECT user_id, event_id, event_type AS status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(floor(epoch(coalesce(lead(ts) OVER w, ts)))
+                - floor(epoch(ts)) AS BIGINT) AS duration_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD2 validity intervals: each event opens a [valid_from, "
+        "valid_to) interval closed by the user's next event (lead "
+        "window, (ts, event_id) tiebreak); the open current row keeps "
+        "a NULL valid_to and zero duration. The slowly-changing-"
+        "dimension historization every warehouse load ships — one "
+        "sort per user, no self-join.",
+)
+def w8_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        (
+            F.unix_timestamp(F.coalesce(nxt, F.col("ts")))
+            - F.unix_timestamp("ts")
+        ).cast("long").alias("duration_s"),
+    )
