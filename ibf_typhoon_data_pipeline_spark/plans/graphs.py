@@ -207,3 +207,94 @@ def sketch_distinct_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(exact_distinct AS BIGINT) AS exact_distinct",
         f"{_LC_EST_SQL} AS estimated_distinct",
     )
+
+
+# ------------------------------------------------------- data layout
+# Z-order (Morton) keys — the clustering primitive behind spatially
+# local file layout: range-partitioning by zkey co-locates
+# lat/lon-near centroids in the same files, so the windfield's
+# per-cell probes touch a bounded file set at 100 TB (Delta/Iceberg
+# OPTIMIZE ZORDER does exactly this). Quantize each axis to 16 bits,
+# spread with the four magic-mask doubling steps, interleave. All
+# integer ops — bit-exact in both engines; each spread step is a
+# materialized column per the unrolled-iteration invariant. The
+# engines spell shifts differently (shiftleft vs <<) but every
+# intermediate is a BIGINT, so parity is structural, not textual.
+_Z_MASKS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _zorder_oracle() -> str:
+    from ibf_typhoon_data_pipeline_spark.plans.typhoon import CENTROIDS_SQL
+
+    qx = ("CAST(floor((lon + 180.0) / 360.0 * 65535.0 + 0.5) AS BIGINT)")
+    qy = ("CAST(floor((lat + 90.0) / 180.0 * 65535.0 + 0.5) AS BIGINT)")
+    steps = []
+    prev_x, prev_y = "qx", "qy"
+    for i, (sh, mask) in enumerate(_Z_MASKS):
+        steps.append(
+            f"s{i} AS (SELECT centroid_id, lat, lon, "
+            f"({prev_x} | ({prev_x} << {sh})) & {mask} AS qx{i}, "
+            f"({prev_y} | ({prev_y} << {sh})) & {mask} AS qy{i} "
+            f"FROM s{i - 1})" if i else
+            f"s0 AS (SELECT centroid_id, lat, lon, "
+            f"(qx | (qx << {sh})) & {mask} AS qx0, "
+            f"(qy | (qy << {sh})) & {mask} AS qy0 FROM q)"
+        )
+        prev_x, prev_y = f"qx{i}", f"qy{i}"
+    chain = ", ".join(steps)
+    last = len(_Z_MASKS) - 1
+    return f"""
+    WITH centroids AS ({CENTROIDS_SQL}),
+    q AS (
+      SELECT centroid_id, lat, lon, {qx} AS qx, {qy} AS qy FROM centroids
+    ), {chain}
+    SELECT centroid_id,
+           CAST(qx{last} | (qy{last} << 1) AS BIGINT) AS zkey,
+           CAST((qx{last} | (qy{last} << 1)) >> 22 AS BIGINT) AS ztile
+    FROM s{last}
+    """
+
+
+@register(
+    "layout_zorder_key",
+    _zorder_oracle(),
+    doc="Z-order/Morton layout keys for the centroid grid: 16-bit "
+        "axis quantization, magic-mask bit spread (4 doubling steps, "
+        "one materialized column each), interleave; ztile = top bits "
+        "= the coarse spatial file bucket. Range-partition/sort by "
+        "zkey before writing and spatial probes touch O(1) files — "
+        "the OPTIMIZE ZORDER primitive as a catalog entry, pure "
+        "integer codegen, zero shuffle.",
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.plans.typhoon import gen_centroids
+
+    c = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    qx = F.floor((F.col("lon") + 180.0) / 360.0 * 65535.0 + 0.5).cast("long")
+    qy = F.floor((F.col("lat") + 90.0) / 180.0 * 65535.0 + 0.5).cast("long")
+    out = c.select("centroid_id", qx.alias("qx"), qy.alias("qy"))
+    for i, (sh, mask) in enumerate(_Z_MASKS):
+        out = out.select(
+            "centroid_id",
+            (
+                F.col("qx").bitwiseOR(F.shiftleft("qx", sh)).bitwiseAND(
+                    F.lit(mask)
+                )
+            ).alias("qx"),
+            (
+                F.col("qy").bitwiseOR(F.shiftleft("qy", sh)).bitwiseAND(
+                    F.lit(mask)
+                )
+            ).alias("qy"),
+        )
+    zkey = F.col("qx").bitwiseOR(F.shiftleft("qy", 1))
+    return out.select(
+        "centroid_id",
+        zkey.cast("long").alias("zkey"),
+        F.shiftright(zkey, 22).cast("long").alias("ztile"),
+    )
