@@ -175,3 +175,18 @@ def test_range_join_is_bucketed_hash_join(spark):
     # join — the time-axis grid decomposition
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_supersteps_are_equi_joins(spark):
+    plan = _plan(spark, "graph_pagerank")
+    # every superstep is rank⋈edges by key — never a pair enumeration
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_key_is_shuffle_free_codegen(spark):
+    plan = _plan(spark, "layout_zorder_key")
+    # pure per-row integer bit math over the generated grid; the *(1)
+    # markers are executedPlan's whole-stage-codegen stage tags
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
