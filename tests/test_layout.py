@@ -48,3 +48,27 @@ def test_bucketed_join_has_no_exchange(spark):
     # and the result is the same as the unbucketed join
     n = joined.groupBy("adm3_pcode").agg(F.count("*")).count()
     assert n > 0
+
+
+def test_zorder_tile_layout_prunes_partitions(spark, tmp_path):
+    """Writing the grid partitioned by the Morton tile and filtering on
+    it must prune at the SCAN (PartitionFilters), reading only the
+    matching tile directories — the data-skipping payoff the
+    layout_zorder_key entry exists for."""
+    from ibf_typhoon_data_pipeline_spark import plans
+
+    out = str(tmp_path / "ztiles")
+    keys = plans.QUERIES["layout_zorder_key"].fn(
+        spark, "/root/testdata/sf0.01"
+    )
+    keys.write.mode("overwrite").partitionBy("ztile").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("ztile") == 838)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ztile" in plan
+    # spatial locality: one tile holds a contiguous lat/lon block, and
+    # the filter touches only that block's rows
+    n_total = plans.QUERIES["layout_zorder_key"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).count()
+    assert 0 < df.count() < n_total
