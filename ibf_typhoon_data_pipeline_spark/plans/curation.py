@@ -457,3 +457,122 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+# ------------------------------------------------------ curation funnel
+# The end-to-end corpus manifest: every upstream signal — hash split,
+# quality gate, exact-dup representative election, train/test
+# decontamination — composed into ONE declarative plan. This is the
+# query a training run actually consumes: per document, which split it
+# landed in, which gates it cleared, and the single final keep bit.
+# Each stage is the same formulation its standalone catalog entry uses
+# (same SQL fragments), so the funnel inherits their oracle parity and
+# their scale shapes: two digest/shingle shuffles + broadcast-sized
+# joins, nothing new materializes.
+
+
+@register(
+    "corpus_curation_funnel",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SPLIT_SQL} AS split FROM documents
+    ), q AS (
+      SELECT doc_id,
+        (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END) >= 10
+              THEN 1 ELSE 0 END
+         + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / greatest(length(text), 1) < 0.2
+                THEN 1 ELSE 0 END) >= 2 AS quality_keep
+      FROM documents
+    ), reps AS (
+      SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+    ), tr AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle
+      FROM base WHERE split = 'train'
+    ), te AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle
+      FROM base WHERE split = 'test'
+    ), contaminated AS (
+      SELECT DISTINCT train_id AS doc_id FROM (
+        SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+               count(*) AS n_shared
+        FROM tr JOIN te ON tr.shingle = te.shingle
+        GROUP BY 1, 2
+      ) WHERE n_shared >= 4
+    )
+    SELECT b.doc_id, b.split,
+           q.quality_keep,
+           (reps.keep_id IS NOT NULL) AS dedup_keep,
+           (c.doc_id IS NOT NULL) AS contaminated,
+           (q.quality_keep AND reps.keep_id IS NOT NULL
+            AND c.doc_id IS NULL) AS final_keep
+    FROM base b
+    JOIN q ON q.doc_id = b.doc_id
+    LEFT JOIN reps ON reps.keep_id = b.doc_id
+    LEFT JOIN contaminated c ON c.doc_id = b.doc_id
+    """,
+    doc="The end-to-end curation funnel as ONE declarative plan: hash "
+        "split + quality gate (length & digit-ratio rules) + exact-dup "
+        "representative election + train/test 3-gram decontamination, "
+        "emitting the per-document manifest (split, each gate's bit, "
+        "final_keep) a training run consumes. Composes the standalone "
+        "entries' own SQL fragments, so scale shape is two bounded-key "
+        "shuffles plus manifest-sized joins — the funnel itself adds "
+        "no new materialization.",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", "text", _split_col().alias("split"))
+
+    n_words = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), " +")))
+    digit_ratio = F.length(
+        F.regexp_replace("text", "[^0-9]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    q = docs.select(
+        "doc_id",
+        (
+            (F.when(n_words >= 10, 1).otherwise(0)
+             + F.when(digit_ratio < 0.2, 1).otherwise(0)) >= 2
+        ).alias("quality_keep"),
+    )
+
+    reps = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+
+    train = dd.shingle_table(base.filter(F.col("split") == "train"))
+    test = dd.shingle_table(base.filter(F.col("split") == "test")).select(
+        F.col("doc_id").alias("test_id"), "shingle"
+    )
+    contaminated = (
+        train.withColumnRenamed("doc_id", "train_id")
+        .join(test, "shingle")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 4)
+        .select(F.col("train_id").alias("c_id"))
+        .distinct()
+    )
+
+    return (
+        base.join(q, "doc_id")
+        .join(reps, base.doc_id == reps.keep_id, "left")
+        .join(contaminated, base.doc_id == contaminated.c_id, "left")
+        .select(
+            "doc_id",
+            "split",
+            "quality_keep",
+            F.col("keep_id").isNotNull().alias("dedup_keep"),
+            F.col("c_id").isNotNull().alias("contaminated"),
+            (
+                F.col("quality_keep")
+                & F.col("keep_id").isNotNull()
+                & F.col("c_id").isNull()
+            ).alias("final_keep"),
+        )
+    )
