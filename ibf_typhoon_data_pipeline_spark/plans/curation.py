@@ -576,3 +576,106 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("final_keep"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE), 6)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE)
+          / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE) >= 0.8
+    """,
+    doc="Containment near-dup pairs (Broder's asymmetric measure): "
+        "|A∩B| / min(|A|,|B|) >= 0.8 catches a short doc embedded in "
+        "a longer one, which symmetric Jaccard misses (the quote/"
+        "boilerplate-inclusion case). Same inverted-index equi-join "
+        "pair generator as the Jaccard entry — only the normalizer "
+        "changes, so the scale shape is identical.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_table(docs, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("size_b")
+    )
+    cont = F.col("n_inter").cast("double") / F.least(
+        "size_a", "size_b"
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(cont >= 0.8)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_ingest",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents
+      WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+      WHERE doc_id % 2 = 1
+    )
+    SELECT b.doc_id, b.digest, (seen.digest IS NOT NULL) AS is_known
+    FROM batch b LEFT JOIN seen ON seen.digest = b.digest
+    """,
+    doc="Incremental-ingest dedup: a new batch (odd ids) checked "
+        "against the standing corpus digest set (even ids) by one "
+        "digest equi-join — the shape of continuous corpus ingestion, "
+        "where the state is a digest table, not the corpus itself. At "
+        "100 TB the digest set is the only thing the join touches "
+        "(32 bytes/doc), and bucketing both sides by digest makes the "
+        "nightly merge exchange-free.",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    return batch.join(seen, "digest", "left").select(
+        "doc_id",
+        "digest",
+        F.col("known").isNotNull().alias("is_known"),
+    )

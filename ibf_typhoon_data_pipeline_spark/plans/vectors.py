@@ -530,3 +530,93 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         f"{_SQ_ERR_SQL} AS err_micro",
     )
+
+
+# ---------------------------------------------- contrastive negatives
+# Deterministic negative sampling for contrastive training: each
+# anchor draws k candidate ids from a salted md5 hash (mod corpus
+# size), keeps those with a different label — reproducible across
+# engines/runs/partitionings, no RNG state, no shuffle beyond the two
+# id-equi-joins. The candidate id is hash mod n, so at 100 TB the
+# draw is a broadcast of one count and a map-side projection.
+_NEG_K = 3
+
+
+@register(
+    "emb_negative_pairs",
+    f"""
+    WITH n AS (
+      SELECT count(*) AS n_vecs FROM embeddings
+    ), draws AS (
+      SELECT e.vec_id AS anchor_id, e.label AS anchor_label, t.slot,
+             CAST(('0x' || substr(md5(concat('neg:',
+                 CAST(e.vec_id AS VARCHAR), ':',
+                 CAST(t.slot AS VARCHAR))), 1, 5)) AS BIGINT)
+               % n.n_vecs AS neg_id
+      FROM embeddings e CROSS JOIN n,
+           unnest([1, 2, {_NEG_K}]) AS t(slot)
+    )
+    SELECT d.anchor_id, CAST(d.slot AS BIGINT) AS slot, d.neg_id,
+           d.anchor_label, g.label AS neg_label
+    FROM draws d JOIN embeddings g ON g.vec_id = d.neg_id
+    WHERE g.label <> d.anchor_label
+    """,
+    doc="Deterministic contrastive negative sampling: k=3 salted-hash "
+        "draws per anchor (id = md5 mod corpus size), kept only when "
+        "the candidate's label differs — the reproducible "
+        "negative-pair generator a contrastive embedding run needs; "
+        "one broadcast count + one id equi-join, no RNG state.",
+)
+def emb_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.agg(F.count("*").alias("n_vecs"))
+    slots = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _NEG_K + 1)])
+    ).alias("slot")
+    draws = (
+        emb.crossJoin(F.broadcast(n))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("n_vecs"),
+            slots,
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "slot",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"),
+                                F.col("anchor_id").cast("string"),
+                                F.lit(":"),
+                                F.col("slot").cast("string"),
+                            )
+                        ),
+                        1,
+                        5,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_vecs")
+            ).alias("neg_id"),
+        )
+    )
+    g = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        draws.join(g, "neg_id")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("slot").cast("long").alias("slot"),
+            "neg_id",
+            "anchor_label",
+            "neg_label",
+        )
+    )
