@@ -679,3 +679,61 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         F.col("known").isNotNull().alias("is_known"),
     )
+
+
+@register(
+    "corpus_sequence_pack",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens,
+             md5(concat('shuf:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+      FROM documents WHERE length(trim(text)) > 0
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM sized
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+           CAST(start_offset % 2048 AS BIGINT) AS offset_in_seq
+    FROM packed
+    """,
+    doc="Sequence packing for training: deterministic corpus shuffle, "
+        "running token offset, docs assigned to fixed 2048-token "
+        "sequences by start offset (boundary docs span into the next "
+        "sequence — the standard concat-then-chunk packing). All "
+        "integer window arithmetic; the same deterministic order the "
+        "token-budget entry uses, so the two compose into one "
+        "dataloader manifest.",
+)
+def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(dd.split_words(F.col("text"))).alias("n_tokens"),
+            F.md5(
+                F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+            ).alias("shuffle_key"),
+        )
+    )
+    w = (
+        Window.orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "start_offset"
+    )
+    packed = docs.select("doc_id", "n_tokens", start)
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.expr("start_offset div 2048").cast("long").alias("seq_id"),
+        (F.col("start_offset") % 2048).cast("long").alias("offset_in_seq"),
+    )
