@@ -76,6 +76,17 @@ def main() -> None:
     plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).count()
     for t in ("documents", "embeddings", "events", "orders", "customer"):
         load_table(spark, sf_dir, t).count()
+    # ...and the Arrow/Python worker pool: the first pandas-UDF stage
+    # of a session pays worker spin-up (~1-2 s) that a long-lived
+    # cluster never sees per-query; one trivial batch absorbs it
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(64).select(_warm(F.col("id").cast("double"))).count()
 
     from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
 

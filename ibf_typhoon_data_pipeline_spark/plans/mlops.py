@@ -618,14 +618,23 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # overwrite — the final batch is the answer
         batch.write.mode("overwrite").parquet(out)
 
-    q = (
-        sessions.writeStream.foreachBatch(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the stateful shuffle width is fixed at query start from session
+    # conf; under a plain 200-partition session that is 200 tiny
+    # stateful tasks for a catalog-sized drop — pin a sane width for
+    # the stream, restore after (per-user keys stay balanced at 32)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = (
         spark.read.parquet(out)
         .select(
