@@ -56,28 +56,51 @@ def register(name: str, oracle: str | Callable[[], str] | None, doc: str = ""):
     return deco
 
 
+# Entries whose SEMANTICS changed after a green driver row was recorded:
+# green rows from rounds before the listed round don't count as proof.
+# (Round 3 moved the GBT/XGB fit to the reference depth-8 × 100-round
+# hyperparameters after round 2's green rows; see VERDICT r3.)
+_STALE_BEFORE_ROUND: dict[str, int] = {
+    "tc_damage_gbt": 4,
+    "tc_damage_xgb": 4,
+}
+
+
 def _driver_green_names() -> set[str]:
     """Names already confirmed by a prior round's driver sample — a
-    green hash row or a completed rows-only check in any
-    CORRECTNESS_r*.json at the repo root. Used only for ordering."""
+    green hash row, or a completed rows-only check for an entry that
+    STILL has no oracle, in any CORRECTNESS_r*.json at the repo root.
+    Used only for ordering. A `no_oracle` row for an entry that has
+    since gained an oracle does NOT count: the new oracle has never
+    been driver-hashed, so the entry floats to the front again."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     seen: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            if rnd < _STALE_BEFORE_ROUND.get(name, 0):
+                continue
             if row.get("hash_match") is True:
                 seen.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and name in QUERIES
+                and QUERIES[name].oracle is None
+            ):
                 seen.add(name)
     return seen
 

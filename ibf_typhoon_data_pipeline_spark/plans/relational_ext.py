@@ -211,7 +211,8 @@ def a2_a3_ensemble_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders,
            CAST(round(sum(o_totalprice) * 100.0) AS BIGINT)
              AS total_damage_cents,
-           sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_triggered
+           CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_triggered
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o_custkey
