@@ -12,6 +12,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ibf_typhoon_data_pipeline_spark.operators import cache
+
 
 def dedup_keep_max(
     df: DataFrame,
@@ -111,6 +113,80 @@ def ntile_rank(
         out_col, F.lit(None).cast("int")
     )
     return ranked.unionByName(nulls)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str,
+    bucket: Column | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Running sum in a GLOBAL total order without the single-partition
+    window (``Window.orderBy`` with no ``partitionBy`` makes WindowExec
+    move the whole input to one partition — THE scale-killer for
+    corpus-sized manifests). Two-pass partitioned cumsum:
+
+    1. Split the order into contiguous buckets; a window partitioned
+       by the bucket computes the local running sum (ONE shuffle; each
+       bucket sorts independently).
+    2. Per-bucket totals (a tiny aggregate) become cumulative offsets
+       via a broadcast triangle join (tiny × tiny), broadcast back,
+       and added to the local sums.
+
+    ``bucket`` — an INTEGER expression that is a monotone coarsening
+    of ``order_cols`` (every row of bucket b orders before every row
+    of bucket b+1). When the leading order column is an md5 hex key,
+    ``F.conv(F.substring(key, 1, 2), 16, 10).cast("int")`` gives 256
+    uniform buckets with NO sampling pass and no extra exchange: the
+    window's own hash-exchange on the bucket is the only shuffle of
+    the fact table. Without ``bucket`` the operator falls back to
+    ``repartitionByRange`` + ``spark_partition_id()`` (adds a range
+    sampling job and a second exchange — still no single-partition
+    window).
+
+    Output values are identical to ``sum(value) OVER (ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING .. CURRENT ROW)`` for ANY
+    bucketing — the offsets compensate wherever the boundaries land —
+    so a plain global-window DuckDB oracle is unchanged. The local
+    frame feeds two branches (rows + totals) and is registered with
+    persist_tracked; orchestration calls release_caches() after the
+    action.
+    """
+    if bucket is None:
+        spark = df.sparkSession
+        if num_ranges is None:
+            num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartitionByRange(
+            num_ranges, *[F.col(c) for c in order_cols]
+        ).withColumn("__pid", F.spark_partition_id())
+    else:
+        df = df.withColumn("__pid", bucket)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = cache.persist_tracked(
+        df.withColumn("__local_cum", F.sum(value_col).over(w_local))
+    )
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__ptot"))
+    lower = totals.select(
+        F.col("__pid").alias("__lo_pid"), F.col("__ptot").alias("__lo_tot")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(lower), F.col("__lo_pid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__lo_tot"), F.lit(0)).alias("__off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
+        .drop("__pid", "__local_cum", "__off")
+    )
 
 
 def top1_per_group(

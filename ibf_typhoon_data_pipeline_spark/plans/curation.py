@@ -23,10 +23,11 @@ separate planted near-dups from background collisions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ibf_typhoon_data_pipeline_spark.operators import dedup as dd
+from ibf_typhoon_data_pipeline_spark.operators.windows import global_running_sum
 from ibf_typhoon_data_pipeline_spark.plans.corpus import _sql_shingles
 from ibf_typhoon_data_pipeline_spark.plans.registry import register
 from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
@@ -400,6 +401,15 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- token-budget pack
+def _md5_prefix_bucket(key_col: str) -> F.Column:
+    """256 contiguous order buckets from the first two hex chars of an
+    md5 key — a monotone coarsening of the lexicographic key order
+    (fixed-width hex, so prefix-integer order == string order), and
+    uniform by construction. Feeds global_running_sum's bucket arg:
+    one hash exchange, no range-sampling job."""
+    return F.conv(F.substring(F.col(key_col), 1, 2), 16, 10).cast("int")
+
+
 @register(
     "corpus_token_budget",
     """
@@ -422,11 +432,11 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token-budget packing: deterministic corpus shuffle (salted "
         "md5 order) + running token sum, cut at a 10k-token budget — "
         "how a training run takes 'the first N tokens' "
-        "reproducibly. The running sum is integer-exact; the global "
-        "order is a range-partitioned sort at scale (Spark samples "
-        "range bounds; no single-partition window until the final "
-        "budget cut, which at 100 TB would be per-range partial sums "
-        "- documented trade-off for an sf-sized catalog entry).",
+        "reproducibly. The running sum is integer-exact and computed "
+        "by operators.windows.global_running_sum — a two-pass "
+        "range-partitioned cumsum (per-range local window + broadcast "
+        "partition offsets), NOT a no-partitionBy window, so no "
+        "single-partition sort of the corpus (docs/SCALING.md).",
 )
 def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -440,15 +450,13 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shuffle_key"),
         )
     )
-    w = (
-        Window.orderBy("shuffle_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        docs.select(
-            "doc_id",
+        global_running_sum(
+            docs,
+            ["shuffle_key", "doc_id"],
             "n_tokens",
-            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            "cum_tokens",
+            bucket=_md5_prefix_bucket("shuffle_key"),
         )
         .filter(F.col("cum_tokens") <= 10000)
         .select(
@@ -706,9 +714,10 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "running token offset, docs assigned to fixed 2048-token "
         "sequences by start offset (boundary docs span into the next "
         "sequence — the standard concat-then-chunk packing). All "
-        "integer window arithmetic; the same deterministic order the "
-        "token-budget entry uses, so the two compose into one "
-        "dataloader manifest.",
+        "integer arithmetic via the two-pass range-partitioned cumsum "
+        "(operators.windows.global_running_sum — no single-partition "
+        "window); the same deterministic order the token-budget entry "
+        "uses, so the two compose into one dataloader manifest.",
 )
 def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -722,14 +731,13 @@ def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shuffle_key"),
         )
     )
-    w = (
-        Window.orderBy("shuffle_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
-        "start_offset"
-    )
-    packed = docs.select("doc_id", "n_tokens", start)
+    packed = global_running_sum(
+        docs,
+        ["shuffle_key", "doc_id"],
+        "n_tokens",
+        "cum_tokens",
+        bucket=_md5_prefix_bucket("shuffle_key"),
+    ).withColumn("start_offset", F.col("cum_tokens") - F.col("n_tokens"))
     return packed.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),

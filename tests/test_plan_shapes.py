@@ -190,3 +190,23 @@ def test_zorder_key_is_shuffle_free_codegen(spark):
     # markers are executedPlan's whole-stage-codegen stage tags
     assert "Exchange" not in plan
     assert "*(1)" in plan
+
+
+def test_packing_running_sum_has_no_single_partition_window(spark):
+    # VERDICT r3 #2: the corpus manifests must never execute the
+    # global running sum as a no-partitionBy window (WindowExec moves
+    # the whole corpus to ONE partition). global_running_sum splits
+    # the md5 order into 256 prefix buckets: every Window is
+    # partitioned by __pid, there is no SinglePartition exchange on
+    # the fact path, and no range-sampling repartition either — the
+    # window's own hash exchange is the only fact-table shuffle.
+    for name in ("corpus_token_budget", "corpus_sequence_pack"):
+        plan = _plan(spark, name)
+        win_lines = [l for l in plan.splitlines() if "Window " in l]
+        assert win_lines, f"{name}: expected a window operator"
+        assert all("__pid" in l for l in win_lines), (
+            f"{name}: window without bucket partition spec:\n"
+            + "\n".join(win_lines)
+        )
+        assert "SinglePartition" not in plan, name
+        assert "rangepartitioning" not in plan, name
