@@ -23,6 +23,14 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame (e.g. the survivor of an
+    iterative loop that manages its own in-flight persists) so
+    release_caches() frees it — without re-calling persist()."""
+    _CACHED.append(df)
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every tracked intermediate; returns the count."""
     n = len(_CACHED)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ibf_typhoon_data_pipeline_spark.operators import cache
+
 
 def connected_components(
     nodes: DataFrame,
@@ -92,6 +94,11 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+        # the loop unpersists every superseded label frame; the final
+        # one backs the RETURNED plan, so hand it to the tracked
+        # registry — release_caches() frees it after the caller's
+        # action instead of it outliving the session
+        cache.track(labels)
 
 
 def component_sizes(components: DataFrame, id_col: str = "doc_id") -> DataFrame:

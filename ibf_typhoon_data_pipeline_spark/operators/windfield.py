@@ -358,9 +358,12 @@ def windfield_expr(
     (ens_id, step, centroid_id) with wind_ms above threshold.
     ``metric``: "geosphere" (haversine) or "equirect" — the
     reference's dist_approx switch (equirect is CLIMADA's default).
-    ``join``: "grid" (default) equi-joins on DEG_BOX-sized grid cells
-    — each track point explodes to the ≤3×3 cells its bbox can touch,
-    each centroid hashes to exactly one cell, so the bbox pruning is a
+    ``join``: "grid" (default) equi-joins on 2°-cell grid keys — each
+    track point explodes to the cells its dynamic bbox can touch
+    (2–4 per axis for typical extents; worst case 7×7 ≈ 49 copies
+    only when r_hi hits WIND_EXTENT_CAP_KM and the box reaches
+    DEG_BOX = 5.5°), each centroid hashes to exactly one cell, so the
+    bbox pruning is a
     hash probe instead of |centroids|×|track points| nested-loop
     condition evaluations; the exact bbox predicate remains as the
     residual condition, so the surviving pairs are IDENTICAL to

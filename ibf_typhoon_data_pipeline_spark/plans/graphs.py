@@ -153,7 +153,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predecessor). The "randomness" is an md5 bucket hash — fully
 # deterministic and identical in both engines, so unlike
 # approx_count_distinct the estimate itself is reproducible
-# cross-engine. One partial-agg pass; the bitmap is a 1024-key
+# cross-engine. One partial-agg pass; the bitmap is a 2^20-bucket
 # count(DISTINCT bucket).
 _LC_BUCKETS = 1048576  # 16^5: five md5 hex chars map exactly onto the space
 _LC_EST_SQL = (
@@ -180,8 +180,8 @@ _LC_EST_SQL = (
            {_LC_EST_SQL} AS estimated_distinct
     FROM hits
     """,
-    doc="Linear-counting distinct sketch: md5-hash each key into 1024 "
-        "buckets (m = 2^20, the 5-hex-char md5 prefix), estimate = "
+    doc="Linear-counting distinct sketch: md5-hash each key into "
+        "m = 2^20 buckets (the 5-hex-char md5 prefix), estimate = "
         "-m·ln(empty/m), saturation-guarded — deterministic "
         "cardinality estimation (same estimate in both engines, which "
         "approx_count_distinct cannot promise), next to the exact "

@@ -585,17 +585,25 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="§2.10 native session windows: events stream through "
         "readStream → withWatermark(2h) → session_window(ts, 30 min) "
-        "per user → AvailableNow sink. session_window's end is "
+        "per user → AvailableNow sink in APPEND mode: each batch "
+        "emits only the sessions the advancing watermark finalized, "
+        "so emission is bounded per batch at any cardinality (update "
+        "mode is rejected for session_window aggs; complete mode "
+        "would re-emit full state per batch). The finite replay "
+        "flushes the tail by landing a watermark-advancing sentinel "
+        "row (user_id -1, max ts + 5 h) as a second file with "
+        "maxFilesPerTrigger=1 — in production the continuous stream "
+        "advances the watermark by itself. session_window's end is "
         "EXCLUSIVE (a gap of exactly 30 min opens a new session), so "
         "the batch oracle's new-session condition is gap >= 1800 — "
         "one strictness tick off the lag-based events_sessionize "
-        "entry, both documented. With one drop the watermark drops "
-        "nothing and the result equals the batch gap sessionization.",
+        "entry, both documented.",
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import time as _time
 
     from ibf_typhoon_data_pipeline_spark.streaming.micro_batch import (
         session_event_rollups,
@@ -609,14 +617,34 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
     ev.write.mode("overwrite").parquet(landing)
+    # watermark-advancing sentinel, landed as a LATER file so the
+    # file source serves it as its own micro-batch: 5 h past the real
+    # max ts clears gap (30 min) + watermark delay (2 h), so every
+    # real session finalizes and appends before the query drains
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    (
+        spark.createDataFrame(
+            [(int(-1), max_ts, int(-1), 0.0)], schema=ev.schema
+        )
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 HOURS"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(landing)
+    )
 
-    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
     sessions = session_event_rollups(stream)
 
-    def sink(batch: DataFrame, _bid: int) -> None:
-        # complete mode: each batch carries the FULL session state, so
-        # overwrite — the final batch is the answer
-        batch.write.mode("overwrite").parquet(out)
+    def sink(batch: DataFrame, bid: int) -> None:
+        # append mode: each batch carries only newly-finalized
+        # sessions; a per-batch-id target dir with overwrite makes the
+        # sink idempotent under micro-batch retry
+        batch.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
 
     # the stateful shuffle width is fixed at query start from session
     # conf; under a plain 200-partition session that is 200 tiny
@@ -627,7 +655,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             sessions.writeStream.foreachBatch(sink)
-            .outputMode("complete")
+            .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -636,7 +664,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = (
-        spark.read.parquet(out)
+        spark.read.parquet(os.path.join(out, "*"))
+        .filter(F.col("user_id") != -1)
         .select(
             "user_id",
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(

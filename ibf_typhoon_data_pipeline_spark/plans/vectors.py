@@ -554,7 +554,7 @@ _NEG_K = 3
                  CAST(t.slot AS VARCHAR))), 1, 5)) AS BIGINT)
                % n.n_vecs AS neg_id
       FROM embeddings e CROSS JOIN n,
-           unnest([1, 2, {_NEG_K}]) AS t(slot)
+           unnest([{", ".join(str(i) for i in range(1, _NEG_K + 1))}]) AS t(slot)
     )
     SELECT d.anchor_id, CAST(d.slot AS BIGINT) AS slot, d.neg_id,
            d.anchor_label, g.label AS neg_label
