@@ -7,6 +7,7 @@ from ibf_typhoon_data_pipeline_spark.plans.registry import (
 
 # importing the catalog modules populates the registry
 from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
+    analytics,
     corpus,
     curation,
     graphs,

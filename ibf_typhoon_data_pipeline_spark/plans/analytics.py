@@ -1,0 +1,306 @@
+"""Event-analytics catalog: the product-analytics shapes a large event
+stream demands at 100 TB — conversion funnels, retention cohorts,
+windowed anomaly scoring, and sketch-based frequency estimation.
+
+These have no direct reference twin (the reference is a forecast
+pipeline); they extend the engine the same way the corpus/curation
+layer does, with the identical oracle discipline: every computed
+column aliased identically in both engines, floats rounded or
+quantized to integers, deterministic tiebreakers on every top-k.
+
+Scale notes per entry are inline; the common theme: every shuffle key
+is bounded (user_id, event_type, day index, sketch bucket), heavy
+frames partial-aggregate before any exchange, and tiny summary frames
+broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------------ conversion funnel
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
+    """,
+    doc="Ordered conversion funnel signup -> first click at-or-after "
+        "signup -> first purchase at-or-after that click, reported as "
+        "per-stage user counts. Each stage is one user-keyed partial "
+        "aggregate joined to the previous stage's (user, ts) frame — "
+        "per-user state only ever one timestamp, so every shuffle is "
+        "on user_id and the stage frames shrink monotonically; the "
+        "final counts are three scalar aggregates cross-joined "
+        "(1-row frames).",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+# ------------------------------------------------------ retention cohorts
+@register(
+    "events_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(min(ts))) / 604800) AS BIGINT)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor(floor(epoch(e.ts)) / 604800) AS BIGINT)
+             - f.cohort_week AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users keyed by the epoch-week of "
+        "their first event, activity counted as distinct users per "
+        "(cohort_week, week_offset). Integer epoch-week arithmetic "
+        "(floor(unix/604800)) — no calendar/timezone semantics to "
+        "disagree across engines. The firsts frame is one user-keyed "
+        "partial agg (|users| rows, broadcast back onto the stream); "
+        "the matrix agg keys are bounded by weeks², not data volume.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "ts")
+    wk = lambda c: F.floor(F.unix_timestamp(c) / 604800)  # noqa: E731
+    f = ev.groupBy("user_id").agg(
+        wk(F.min("ts")).cast("long").alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(f), "user_id")
+        .groupBy(
+            "cohort_week",
+            (wk(F.col("ts")) - F.col("cohort_week"))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+# ------------------------------------------------------ windowed anomaly
+# The z-score formula is ONE SQL text fed to both engines (repo
+# invariant: physics/stats expressions token-for-token identical), all
+# inputs integer window sums so the doubles agree to the last bit
+# before the 6dp rounding.
+_ZSCORE_SQL = (
+    "CASE WHEN k = 7 AND s2 * k > s1 * s1 THEN "
+    "round((n - CAST(s1 AS DOUBLE) / k) / "
+    "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1)), 6) "
+    "ELSE NULL END"
+)
+
+
+@register(
+    "events_daily_anomaly",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_idx,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, day_idx, n,
+             sum(n) OVER w AS s1, sum(n * n) OVER w AS s2,
+             count(n) OVER w AS k
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day_idx, CAST(n AS BIGINT) AS n_events,
+           {_ZSCORE_SQL} AS zscore
+    FROM stats WHERE k >= 1
+    """,
+    doc="Trailing-window anomaly score: daily event counts per type, "
+        "z-scored against the preceding 7 full days (sample std from "
+        "integer window sums s1/s2 — the sums are exact, so both "
+        "engines divide identical doubles; NULL until the window "
+        "fills or when variance is zero). The expensive part is one "
+        "partial-agg groupBy to day granularity; the window runs on "
+        "the tiny (type x day) frame — at 100 TB the sort is over "
+        "days, never events.",
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day_idx",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("n").over(w).alias("k"),
+    )
+    return stats.filter(F.col("k") >= 1).select(
+        "event_type",
+        "day_idx",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr(_ZSCORE_SQL).alias("zscore"),
+    )
+
+
+# ------------------------------------------------------ count-min sketch
+# d=4 independent hash rows x w=1024 buckets; the bucket hash is a
+# salted md5 prefix (deterministic, identical text in both engines —
+# the same reproducibility argument as the linear-counting sketch).
+_CM_ROWS = 4
+_CM_WIDTH = 1024
+
+
+def _cm_bucket_sql(j: str, key: str) -> str:
+    # DuckDB spelling: hex-prefix literal cast; Spark uses conv()
+    return (
+        f"CAST(('0x' || substr(md5(concat('cm', CAST({j} AS VARCHAR), ':', "
+        f"CAST({key} AS VARCHAR))), 1, 5)) AS BIGINT) % {_CM_WIDTH}"
+    )
+
+
+def _cm_bucket_col(j, key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"),
+                        j.cast("string"),
+                        F.lit(":"),
+                        key.cast("string"),
+                    )
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_WIDTH
+    )
+
+
+@register(
+    "sketch_count_min",
+    f"""
+    WITH sketch AS (
+      SELECT t.j, {_cm_bucket_sql('t.j', 'user_id')} AS bucket,
+             count(*) AS c
+      FROM events, unnest([{", ".join(str(i) for i in range(_CM_ROWS))}])
+           AS t(j)
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+    ), cand AS (
+      SELECT e.user_id, t.j,
+             {_cm_bucket_sql('t.j', 'e.user_id')} AS bucket
+      FROM exact e,
+           unnest([{", ".join(str(i) for i in range(_CM_ROWS))}]) AS t(j)
+    ), est AS (
+      SELECT c.user_id, min(s.c) AS n_est
+      FROM cand c JOIN sketch s ON s.j = c.j AND s.bucket = c.bucket
+      GROUP BY c.user_id
+    )
+    SELECT ex.user_id, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           CAST(est.n_est AS BIGINT) AS n_est
+    FROM exact ex JOIN est ON est.user_id = ex.user_id
+    ORDER BY ex.n_exact DESC, ex.user_id LIMIT 20
+    """,
+    doc="Count-min heavy hitters: d=4 salted-md5 hash rows x w=1024 "
+        "buckets built in ONE partial-agg pass (explode to 4 copies, "
+        "groupBy (row, bucket)); per-key estimate = min over rows of "
+        "the bucket counts, reported next to the exact count for the "
+        "top-20 users (deterministic tiebreaker). The sketch is 4096 "
+        "integers regardless of data volume — at 100 TB it is what "
+        "crosses the wire, the candidate probe joins against it "
+        "broadcast. Estimates are >= exact by construction (here "
+        "equal: 150 keys over 1024 buckets rarely collide).",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id")
+    rows = F.array(*[F.lit(i) for i in range(_CM_ROWS)])
+    hashed = ev.select(
+        "user_id", F.explode(rows).alias("j")
+    ).select(
+        "j", _cm_bucket_col(F.col("j"), F.col("user_id")).alias("bucket")
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    cand = exact.select(
+        "user_id", F.explode(rows).alias("j")
+    ).select(
+        "user_id",
+        "j",
+        _cm_bucket_col(F.col("j"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_est").cast("long").alias("n_est"),
+        )
+        .orderBy(F.col("n_exact").desc(), "user_id")
+        .limit(20)
+    )
