@@ -490,3 +490,188 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ------------------------------------------------------ bigram LM
+# Add-1-smoothed conditional log-prob as ONE SQL text for both engines
+# (repo invariant): all inputs are integer counts, so both engines
+# feed ln() identical doubles; the result quantizes to integer
+# micro-nats with floor(x*1e6 + 0.5) (CAST truncates in Spark but
+# rounds in DuckDB — floor first, always).
+_BIGRAM_LP_SQL = (
+    "CAST(floor(ln((CAST(c_big AS DOUBLE) + 1.0) / "
+    "(CAST(c_first AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0 + 0.5) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "text_bigram_lm",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), ' +'), 1)
+               AS pos
+      FROM documents WHERE length(trim(text)) > 0
+    ), big AS (
+      SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM toks
+    ), counts AS (
+      SELECT tok, nxt, count(*) AS c_big
+      FROM big WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), firsts AS (
+      SELECT tok, CAST(sum(c_big) AS BIGINT) AS c_first
+      FROM counts GROUP BY tok
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks
+    )
+    SELECT c.tok AS w1, c.nxt AS w2,
+           CAST(c.c_big AS BIGINT) AS n_pair,
+           f.c_first AS n_first,
+           {_BIGRAM_LP_SQL.replace('c_big', 'c.c_big').replace('c_first', 'f.c_first').replace('(v ', '(v.v ')}
+             AS logprob_micro_nats
+    FROM counts c JOIN firsts f ON f.tok = c.tok CROSS JOIN vocab v
+    ORDER BY c.c_big DESC, c.tok, c.nxt LIMIT 40
+    """,
+    doc="Bigram language model: per-doc token stream (lockstep "
+        "unnest/posexplode + lead window), bigram counts, and add-1 "
+        "smoothed conditional log-probs P(w2|w1) in integer "
+        "micro-nats for the top-40 bigrams (deterministic "
+        "tiebreakers). Scale shape: the doc-keyed window sorts "
+        "within docs only, the count shuffles key on vocabulary "
+        "terms (bounded), and the vocab total is a 1-row broadcast — "
+        "the n-gram-LM training step of classic data pipelines.",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select("tok", F.lead("tok", 1).over(w).alias("nxt"))
+    counts = (
+        big.filter(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count("*").alias("c_big"))
+    )
+    firsts = counts.groupBy("tok").agg(
+        F.sum("c_big").cast("long").alias("c_first")
+    )
+    vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    return (
+        counts.join(firsts, "tok")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("tok").alias("w1"),
+            F.col("nxt").alias("w2"),
+            F.col("c_big").cast("long").alias("n_pair"),
+            F.col("c_first").alias("n_first"),
+            F.expr(_BIGRAM_LP_SQL).alias("logprob_micro_nats"),
+        )
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+        .limit(40)
+    )
+
+
+# ------------------------------------------- split distribution parity
+# Smoothed KL(train ‖ test) over unigram distributions. Per-term
+# contributions quantize to integer nano-nats BEFORE the sum (the
+# text_lm_logprob discipline: integer sums are partition-order-free,
+# so the reduction is exact and engine-independent).
+_KL_TERM_SQL = (
+    "CAST(floor("
+    "((CAST(c_tr AS DOUBLE) + 1.0) / (CAST(t_tr AS DOUBLE) + CAST(v AS DOUBLE))) * "
+    "ln(((CAST(c_tr AS DOUBLE) + 1.0) / (CAST(t_tr AS DOUBLE) + CAST(v AS DOUBLE))) / "
+    "((CAST(c_te AS DOUBLE) + 1.0) / (CAST(t_te AS DOUBLE) + CAST(v AS DOUBLE)))) "
+    "* 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "corpus_split_divergence",
+    f"""
+    WITH sp AS (
+      SELECT text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'ccd'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'e66'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), toks AS (
+      SELECT split, unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM sp WHERE split IN ('train', 'test')
+        AND length(trim(text)) > 0
+    ), counts AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_tr,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_te
+      FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c_tr) AS BIGINT) AS t_tr,
+             CAST(sum(c_te) AS BIGINT) AS t_te,
+             CAST(count(*) AS BIGINT) AS v
+      FROM counts
+    ), terms AS (
+      SELECT {_KL_TERM_SQL} AS term_nano, t_tr, t_te, v
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(sum(term_nano) AS BIGINT) AS kl_nano_nats,
+           CAST(max(v) AS BIGINT) AS vocab_size,
+           CAST(max(t_tr) AS BIGINT) AS n_train_tokens,
+           CAST(max(t_te) AS BIGINT) AS n_test_tokens
+    FROM terms
+    """,
+    doc="Split-balance check: add-1-smoothed KL(train ‖ test) between "
+        "unigram token distributions over the union vocabulary — the "
+        "drift monitor a corpus split ships with. One vocab-keyed "
+        "count shuffle; totals are a 1-row broadcast; per-term values "
+        "quantize to integer nano-nats before the order-free sum.",
+)
+def corpus_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "text",
+            F.when(prefix < "ccd", "train")
+            .when(prefix < "e66", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .filter(
+            F.col("split").isin("train", "test")
+            & (F.length(F.trim("text")) > 0)
+        )
+    )
+    toks = docs.select("split", F.explode(F.split(F.trim("text"), " +")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("c_tr"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("c_te"),
+    )
+    tot = counts.agg(
+        F.sum("c_tr").cast("long").alias("t_tr"),
+        F.sum("c_te").cast("long").alias("t_te"),
+        F.count("*").cast("long").alias("v"),
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        F.expr(_KL_TERM_SQL).alias("term_nano"), "t_tr", "t_te", "v"
+    )
+    return terms.agg(
+        F.sum("term_nano").cast("long").alias("kl_nano_nats"),
+        F.max("v").cast("long").alias("vocab_size"),
+        F.max("t_tr").cast("long").alias("n_train_tokens"),
+        F.max("t_te").cast("long").alias("n_test_tokens"),
+    )

@@ -745,3 +745,128 @@ def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("start_offset div 2048").cast("long").alias("seq_id"),
         (F.col("start_offset") % 2048).cast("long").alias("offset_in_seq"),
     )
+
+
+# ----------------------------------------------------- overlap chunking
+@register(
+    "corpus_chunk_overlap",
+    """
+    WITH sized AS (
+      SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    ), chunks AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(0,
+               CAST(ceil(n_tokens / 96.0) AS BIGINT) - 1)) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 96 AS BIGINT) AS tok_start,
+           CAST(least(chunk_idx * 96 + 128, n_tokens) AS BIGINT) AS tok_end
+    FROM chunks
+    """,
+    doc="Sliding-window chunk manifest: 128-token chunks at stride 96 "
+        "(32-token overlap), one row per (doc, chunk) with token "
+        "offsets — the RAG/embedding chunking step as pure integer "
+        "row-generation (sequence + explode; no text is copied, the "
+        "chunk slicing itself happens at read time from the "
+        "offsets). Per-row generation, zero shuffle, fan-out bounded "
+        "by ceil(n_tokens/96) per doc.",
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sized = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(dd.split_words(F.col("text"))).alias("n_tokens"),
+        )
+    )
+    chunks = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("n_tokens") / 96.0).cast("long") - 1,
+            )
+        ).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * 96).cast("long").alias("tok_start"),
+        F.least(F.col("chunk_idx") * 96 + 128, F.col("n_tokens"))
+        .cast("long")
+        .alias("tok_end"),
+    )
+
+
+# -------------------------------------------------- weighted sampling
+# Efraimidis–Spirakis exponential race: key_i = -ln(u_i)/w_i with u_i
+# a deterministic md5-uniform in (0,1]; the k smallest keys are a
+# weighted sample without replacement. ONE shared SQL text for both
+# engines; the key quantizes to integer nano-units with a
+# deterministic (race, doc_id) tiebreak, so the top-k sets are
+# identical cross-engine.
+_WS_KEY_SQL = (
+    "CAST(floor(-ln((CAST(h AS DOUBLE) + 1.0) / 1048576.0) / "
+    "CAST(n_tokens AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "corpus_weighted_sample",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens,
+             CAST(('0x' || substr(md5(concat('ws:',
+               CAST(doc_id AS VARCHAR))), 1, 5)) AS BIGINT) AS h
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           {_WS_KEY_SQL} AS race_nano
+    FROM sized
+    ORDER BY race_nano, doc_id LIMIT 100
+    """,
+    doc="Deterministic weighted sampling without replacement "
+        "(Efraimidis–Spirakis 2006): per-doc exponential race key "
+        "-ln(u)/w with u a salted-md5 uniform and w = token count, "
+        "k=100 smallest keys win — longer docs proportionally more "
+        "likely, reproducible across engines/runs/partitionings "
+        "(which rand()-based sampling cannot promise). Executes as "
+        "TakeOrderedAndProject: per-partition top-k, only k rows "
+        "cross the wire — no global sort at any scale.",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sized = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(dd.split_words(F.col("text"))).alias("n_tokens"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    return (
+        sized.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(_WS_KEY_SQL).alias("race_nano"),
+        )
+        .orderBy("race_nano", "doc_id")
+        .limit(100)
+    )
