@@ -680,3 +680,102 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_stream_interval_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT)
+             AS secs_after
+    FROM events c JOIN events p ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="§2.10 stream-stream interval join: the click stream joins "
+        "the purchase stream on user_id with a [0, 30 min] event-time "
+        "band, BOTH sides watermarked (2 h) so each side's join state "
+        "evicts once the other side's watermark passes the band — "
+        "bounded state at production cardinality, the attribution "
+        "join shape. Inner joins emit matches eagerly, so the "
+        "AvailableNow replay needs no flush sentinel. Oracle is the "
+        "identical batch interval join.",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_ssj_")
+    land_c = os.path.join(work, "clicks")
+    land_p = os.path.join(work, "purchases")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    ev.filter(F.col("event_type") == "click").write.mode("overwrite").parquet(
+        land_c
+    )
+    ev.filter(F.col("event_type") == "purchase").write.mode(
+        "overwrite"
+    ).parquet(land_p)
+
+    clicks = (
+        spark.readStream.schema(ev.schema)
+        .parquet(land_c)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(ev.schema)
+        .parquet(land_p)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = (
+        spark.read.parquet(os.path.join(out, "*"))
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+            .cast("long")
+            .alias("secs_after"),
+        )
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
