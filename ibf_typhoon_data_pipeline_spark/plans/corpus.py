@@ -373,10 +373,11 @@ def _bm25_term_sql(i: int) -> str:
 _BM25_SCORE_SQL = " + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))
 
 
-@register(
-    "text_bm25_topk",
-    f"""
-    WITH tk AS (
+# The BM25 pipeline as a spliceable CTE chain ending in `bm25_scored`
+# (doc_id, score_r > 0) — text_bm25_topk consumes it directly and the
+# hybrid-retrieval entry (plans/vectors.py) splices it next to the
+# vector leg, so both entries share ONE formulation.
+_BM25_CTES = f"""tk AS (
       SELECT doc_id, string_split_regex(trim(text), ' +') AS tokens
       FROM documents
     ), tf AS (
@@ -394,27 +395,18 @@ _BM25_SCORE_SQL = " + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))
         )},
         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
       FROM tf
-    )
-    SELECT doc_id, score_r, CAST(rn AS INTEGER) AS rank
-    FROM (
-      SELECT doc_id, score_r,
-             row_number() OVER (ORDER BY score_r DESC, doc_id) AS rn
-      FROM (
+    ), bm25_scored AS (
+      SELECT doc_id, score_r FROM (
         SELECT doc_id, round({_BM25_SCORE_SQL}, 6) AS score_r
         FROM tf CROSS JOIN st
       ) WHERE score_r > 0.0
-    ) WHERE rn <= 10
-    """,
-    doc="BM25 top-10 retrieval for a fixed term query: tokenize once, "
-        "per-term tf as integer columns (no explode-join), one global "
-        "stats row (N, df per term, avgdl) broadcast-cross-joined, "
-        "score as an explicit left-associated term sum rounded 6dp "
-        "before ranking, deterministic doc_id tiebreak. The corpus "
-        "side of an LLM retrieval pipeline expressed as two scans and "
-        "a broadcast.",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    )"""
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_r) for every doc matching the fixed BM25 query —
+    the Spark twin of the `bm25_scored` CTE; shared by text_bm25_topk
+    and the hybrid-retrieval fusion entry."""
     toks = docs.select(
         "doc_id", F.split(F.trim("text"), " +").alias("tokens")
     )
@@ -438,9 +430,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dl").cast("double") / F.count("*").cast("double")
         ).alias("avgdl"),
     )
-    from pyspark.sql import Window
-
-    scored = (
+    return (
         tf.crossJoin(F.broadcast(st))
         .select(
             "doc_id",
@@ -448,6 +438,31 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score_r") > 0.0)
     )
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score_r, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT doc_id, score_r,
+             row_number() OVER (ORDER BY score_r DESC, doc_id) AS rn
+      FROM bm25_scored
+    ) WHERE rn <= 10
+    """,
+    doc="BM25 top-10 retrieval for a fixed term query: tokenize once, "
+        "per-term tf as integer columns (no explode-join), one global "
+        "stats row (N, df per term, avgdl) broadcast-cross-joined, "
+        "score as an explicit left-associated term sum rounded 6dp "
+        "before ranking, deterministic doc_id tiebreak. The corpus "
+        "side of an LLM retrieval pipeline expressed as two scans and "
+        "a broadcast.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = bm25_scored(load_table(spark, sf_dir, "documents"))
     # orderBy+limit compiles to TakeOrderedAndProject — per-partition
     # top-k merged on the driver, never a single-partition sort of the
     # full match set; the rank window then runs over k rows only.

@@ -620,3 +620,131 @@ def emb_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_label",
         )
     )
+
+
+# ------------------------------------------------- hybrid retrieval
+# Reciprocal-rank fusion of the lexical (BM25) and vector (cosine)
+# legs — the standard hybrid-retrieval combiner (Cormack et al. 2009,
+# k=60). Ranks are integers, so the fused score is a rational of
+# integers; ONE shared SQL text quantizes it to integer nano-units
+# (rank 0 = "absent from this leg", contributing nothing).
+_RRF_SQL = (
+    "CAST(floor((CASE WHEN r_lex > 0 THEN 1.0 / (60.0 + r_lex) "
+    "ELSE 0.0 END + CASE WHEN r_vec > 0 THEN 1.0 / (60.0 + r_vec) "
+    "ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _hybrid_oracle() -> str:
+    from ibf_typhoon_data_pipeline_spark.plans.corpus import _BM25_CTES
+
+    return f"""
+    WITH {_BM25_CTES}, lex AS (
+      SELECT doc_id, rn AS r_lex FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_r DESC, doc_id) AS rn
+        FROM bm25_scored
+      ) WHERE rn <= 50
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ), vecr AS (
+      SELECT doc_id, rn AS r_vec FROM (
+        SELECT b.vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                 round(list_cosine_similarity(
+                   CAST(b.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                 b.vec_id) AS rn
+        FROM embeddings b CROSS JOIN q WHERE b.vec_id <> 0
+      ) WHERE rn <= 50
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(l.r_lex, 0) AS r_lex,
+             COALESCE(v.r_vec, 0) AS r_vec
+      FROM lex l FULL OUTER JOIN vecr v ON v.doc_id = l.doc_id
+    )
+    SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_vec AS BIGINT) AS r_vec, {_RRF_SQL} AS rrf_nano
+    FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "sim_hybrid_rrf_topk",
+    _hybrid_oracle,
+    doc="Hybrid retrieval: BM25 lexical top-50 (shared bm25_scored "
+        "formulation, plans/corpus.py) fused with cosine vector "
+        "top-50 against the vec_id-0 query embedding by reciprocal-"
+        "rank fusion (k=60), final top-10 with deterministic "
+        "tiebreaks. Both legs are TakeOrderedAndProject (per-"
+        "partition top-k, only 50 rows cross the wire) and the rank "
+        "windows run over those 50-row frames; the fuse join is "
+        "50x50 broadcast. The RAG-serving shape: each leg scales "
+        "independently, fusion cost is O(k).",
+)
+def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+    from ibf_typhoon_data_pipeline_spark.plans.corpus import bm25_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        bm25_scored(docs)
+        .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc()))
+        .alias("r_lex"),
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    vec_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(_as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos_r"),
+        )
+    )
+    vec_top = vec_scored.orderBy(
+        F.col("cos_r").desc(), F.col("doc_id").asc()
+    ).limit(50)
+    vec = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_r").desc(), F.col("doc_id").asc()))
+        .alias("r_vec"),
+    )
+
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(0)).alias("r_lex"),
+            F.coalesce("r_vec", F.lit(0)).alias("r_vec"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("r_lex").cast("long").alias("r_lex"),
+            F.col("r_vec").cast("long").alias("r_vec"),
+            F.expr(_RRF_SQL).alias("rrf_nano"),
+        )
+        .orderBy(F.col("rrf_nano").desc(), "doc_id")
+        .limit(10)
+    )
