@@ -298,3 +298,107 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         zkey.cast("long").alias("zkey"),
         F.shiftright(zkey, 22).cast("long").alias("ztile"),
     )
+
+
+# ------------------------------------------------- quantile histogram
+# Completes the sketch trio (linear-counting cardinality, count-min
+# frequency, histogram quantiles). Shared SQL texts for the bin
+# assignment and the estimate so both engines bin and interpolate
+# identical doubles; the cumulative walk runs over the <= 1024-row
+# histogram, never the fact table.
+_QH_BINS = 1024
+_QH_BIN_SQL = (
+    f"least(CAST(floor((l_extendedprice - lo) / (hi - lo) * {_QH_BINS}.0) "
+    f"AS BIGINT), {_QH_BINS - 1})"
+)
+_QH_EST_SQL = (
+    f"round(lo + (hi - lo) * (CAST(qbin AS DOUBLE) + 0.5) / {_QH_BINS}.0, 4)"
+)
+
+
+@register(
+    "sketch_quantile_histogram",
+    f"""
+    WITH bounds AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+             count(*) AS n
+      FROM lineitem
+    ), hist AS (
+      SELECT {_QH_BIN_SQL} AS bin, count(*) AS c
+      FROM lineitem CROSS JOIN bounds GROUP BY 1
+    ), cum AS (
+      SELECT bin, sum(c) OVER (ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM hist
+    ), qs AS (
+      SELECT unnest([50, 95, 99]) AS pct
+    ), hits AS (
+      SELECT q.pct, min(cum.bin) AS qbin
+      FROM qs q CROSS JOIN bounds b
+      JOIN cum ON cum.cc >= CAST(ceil(b.n * q.pct / 100.0) AS BIGINT)
+      GROUP BY q.pct
+    )
+    SELECT CAST(h.pct AS BIGINT) AS pct,
+           CAST(h.qbin AS BIGINT) AS bin_idx,
+           CAST(b.n AS BIGINT) AS n_rows,
+           {_QH_EST_SQL} AS est_value
+    FROM hits h CROSS JOIN bounds b
+    """,
+    doc="Histogram quantile sketch: one partial-agg pass bins "
+        "l_extendedprice into 1024 equi-width buckets (bounds from a "
+        "min/max agg), p50/p95/p99 read off the cumulative histogram "
+        "with midpoint interpolation. The cumulative window and the "
+        "rank probe run on the <= 1024-row histogram — bounded by "
+        "construction at any data volume; at 100 TB the histogram is "
+        "what crosses the wire (the t-digest trade: fixed memory, "
+        "bounded (hi-lo)/1024 error, deterministic in both engines "
+        "where approx_percentile is not).",
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    hist = (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(F.expr(_QH_BIN_SQL).alias("bin"))
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    # global-order window is safe here: the input is the <= 1024-row
+    # histogram, not the fact table (docs/SCALING.md global-order rule)
+    cum = hist.select(
+        "bin",
+        F.sum("c")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("pct")
+    )
+    hits = (
+        qs.crossJoin(F.broadcast(bounds))
+        .join(
+            F.broadcast(cum),
+            F.col("cc")
+            >= F.ceil(F.col("n") * F.col("pct") / 100.0).cast("long"),
+        )
+        .groupBy("pct")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("qbin").cast("long").alias("bin_idx"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.expr(_QH_EST_SQL).alias("est_value"),
+        )
+    )
