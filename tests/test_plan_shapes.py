@@ -210,3 +210,27 @@ def test_packing_running_sum_has_no_single_partition_window(spark):
         )
         assert "SinglePartition" not in plan, name
         assert "rangepartitioning" not in plan, name
+
+
+def test_count_min_probe_is_broadcast(spark):
+    plan = _plan(spark, "sketch_count_min")
+    # the 4096-integer sketch broadcasts to the candidate probe; the
+    # fact table is touched by partial-agg scans only
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retention_firsts_frame_broadcasts(spark):
+    plan = _plan(spark, "events_retention_cohorts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_entries_take_ordered_not_global_sort(spark):
+    # weighted sampling and both hybrid legs must compile to
+    # TakeOrderedAndProject (per-partition top-k, k rows cross the
+    # wire) — never a global Sort + Limit of the full frame
+    for name in ("corpus_weighted_sample", "sim_hybrid_rrf_topk"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
