@@ -68,6 +68,9 @@ HEADLINE = [
     "graph_pagerank",
     "corpus_sequence_pack",
     "dedup_containment",
+    # round-4 new families: hybrid retrieval fusion + sketch trio rep
+    "sim_hybrid_rrf_topk",
+    "sketch_quantile_histogram",
 ]
 
 
