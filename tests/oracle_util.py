@@ -51,6 +51,17 @@ def compare_query(spark, name, fn, sql, sf_dir: str = SF_ORACLE):
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     con = duck_con(sf_dir)
+    # fail fast on oracle columns whose DuckDB type exports differently
+    # from its Python value (HUGEINT/DECIMAL -> decimal128/float64):
+    # fetchall()'s Python ints masked exactly this for three rounds on
+    # a5_a6 (driver saw 1.0 vs 1). test_type_parity sweeps the whole
+    # catalog; this inline check pins each entry in its own test.
+    for col, dtype, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        up = dtype.upper()
+        assert "HUGEINT" not in up and "DECIMAL" not in up, (
+            f"{name}.{col}: oracle types it {dtype} — CAST it to "
+            f"BIGINT/DOUBLE in the oracle text"
+        )
     res = con.execute(sql)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
