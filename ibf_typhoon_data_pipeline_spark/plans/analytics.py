@@ -304,3 +304,67 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_exact").desc(), "user_id")
         .limit(20)
     )
+
+
+# ------------------------------------------------------ props JSON
+@register(
+    "events_props_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS k_mean,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured props extraction: the JSON payload column "
+        "parsed per row (Spark get_json_object ≡ DuckDB "
+        "json_extract_string, both JSONPath '$.k') and aggregated per "
+        "event type — the schema-on-read shape for event property "
+        "bags. Pure expression + one bounded-key partial agg; at "
+        "100 TB the JSON parse is codegen'd per row, nothing "
+        "materializes wide.",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("event_type", "props")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg(k), 6).alias("k_mean"),
+        F.min(k).cast("long").alias("k_min"),
+        F.max(k).cast("long").alias("k_max"),
+    )
+
+
+# ------------------------------------------- distribution-rank window
+@register(
+    "w9_percent_rank_cume",
+    """
+    SELECT c_custkey,
+           c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+    doc="Distribution-rank windows (percent_rank + cume_dist) per "
+        "nation partition — the W-family completion beyond "
+        "rank/ntile. Tie groups share ranks by definition, so the "
+        "result depends only on values, not physical order "
+        "(deterministic without an id tiebreaker); one shuffle on the "
+        "bounded partition key.",
+)
+def w9_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
