@@ -943,3 +943,56 @@ def a14b_native_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+@register(
+    "a18_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(round(sum(l_quantity) * 100.0) AS BIGINT) AS qty_centi
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS (the aggregation surface beyond "
+        "rollup/cube): the (flag,status) / (flag) / (status) marginals "
+        "in ONE partial-aggregated pass, with the grouping() bitmask "
+        "disambiguating real NULL-key rows from subtotal rows — the "
+        "reason coalesce('ALL') alone is not a correct marginal "
+        "marker. Same single-shuffle shape as a14b_native_rollup.",
+)
+def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [
+                [F.col("l_returnflag"), F.col("l_linestatus")],
+                [F.col("l_returnflag")],
+                [F.col("l_linestatus")],
+            ],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            )
+            .cast("long")
+            .alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity") * 100.0).cast("long").alias(
+                "qty_centi"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "qty_centi",
+        )
+    )
