@@ -779,3 +779,95 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_incremental_digest_ingest",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(text) AS digest,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS batch
+      FROM documents
+    ), firsts AS (
+      SELECT digest, min(batch) AS b FROM d GROUP BY digest
+    )
+    SELECT min(d.doc_id) AS doc_id, d.digest,
+           CAST(d.batch AS BIGINT) AS accepted_batch
+    FROM d JOIN firsts f ON f.digest = d.digest AND f.b = d.batch
+    GROUP BY d.digest, d.batch
+    """,
+    doc="Continuous-ingest dedup with STANDING state: two landed drops "
+        "(even then odd doc_ids) stream through foreachBatch; each "
+        "batch elects per-digest representatives (min doc_id), "
+        "anti-joins the digest table the previous batches wrote, "
+        "appends the survivors, and merges its new digests back — the "
+        "batch twin is dedup_incremental_ingest, this is the same "
+        "shape as a RUNNING pipeline where state lives in the sink "
+        "(at 100 TB: a bucketed digest table, the anti-join touches "
+        "32 bytes/doc). Oracle: first-batch-wins representative "
+        "election over the static corpus.",
+)
+def stream_incremental_digest_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="ibf_stream_digest_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    state = os.path.join(work, "digests")
+    ckpt = os.path.join(work, "ckpt")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    _time.sleep(1.1)  # file-source batch order follows modification time
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        s = batch.sparkSession
+        reps = (
+            batch.select(F.md5("text").alias("digest"), "doc_id")
+            .groupBy("digest")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        try:
+            known = s.read.parquet(state).select("digest").distinct()
+            fresh = reps.join(known, "digest", "left_anti")
+        except Exception:  # first batch: no standing state yet
+            fresh = reps
+        accepted = fresh.select(
+            "doc_id", "digest", F.lit(bid).cast("long").alias("accepted_batch")
+        )
+        accepted.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+        fresh.select("digest").write.mode("append").parquet(state)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = (
+        spark.read.parquet(os.path.join(out, "*"))
+        .select("doc_id", "digest", "accepted_batch")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
