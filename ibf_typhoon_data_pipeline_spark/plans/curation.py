@@ -870,3 +870,158 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("race_nano", "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------- mixture sampling
+# Domain-mixture resampling: keep rates COMPUTED from the data so the
+# surviving corpus matches target language proportions. Totals cancel:
+# r_l = t_l * min_k(n_k / t_k) / n_l  (the most underrepresented
+# language is the binding constraint and keeps 100%). Targets are
+# CAST(x AS DOUBLE) literals (bare decimals fold as DECIMAL in
+# DuckDB); the per-row uniform is the usual md5-prefix rational, so
+# the u < r comparison sees identical doubles in both engines.
+_MIX_TARGETS = (("en", "0.40"), ("zh", "0.15"), ("es", "0.15"),
+                ("de", "0.15"), ("fr", "0.15"))
+_MIX_VALUES_SQL = ", ".join(
+    f"('{lang}', CAST({w} AS DOUBLE))" for lang, w in _MIX_TARGETS
+)
+_MIX_RATE_SQL = "w * m / CAST(n_l AS DOUBLE)"
+_MIX_U_SQL = (
+    "CAST(('0x' || substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), "
+    "1, 5)) AS BIGINT) / CAST(1048576 AS DOUBLE)"
+)
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""
+    WITH tgt(lang, w) AS (VALUES {_MIX_VALUES_SQL}),
+    counts AS (
+      SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+    ), joined AS (
+      SELECT c.lang, c.n_l, t.w FROM counts c JOIN tgt t ON t.lang = c.lang
+    ), bind AS (
+      SELECT min(CAST(n_l AS DOUBLE) / w) AS m FROM joined
+    ), rates AS (
+      SELECT lang, n_l, w, {_MIX_RATE_SQL} AS r
+      FROM joined CROSS JOIN bind
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(floor(r.r * 1000000.0 + 0.5) AS BIGINT) AS rate_micro,
+           ({_MIX_U_SQL}) < r.r AS kept
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    """,
+    doc="Data-mixture resampling: per-language keep rates computed "
+        "from the corpus itself so the kept set matches target "
+        "proportions (en 40% / others 15%), binding language keeps "
+        "100%. One bounded-key count agg broadcast back as rates, one "
+        "per-row hash threshold — deterministic, stable under corpus "
+        "growth, zero extra shuffle. The domain-mixing step of "
+        "pretraining corpus assembly with the thresholds derived, not "
+        "hardcoded (corpus_sample_stratified is the fixed-rate twin).",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tgt = spark.createDataFrame(
+        [(lang, float(w)) for lang, w in _MIX_TARGETS], "lang string, w double"
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    joined = counts.join(tgt, "lang")
+    bind = joined.agg(
+        F.min(F.col("n_l").cast("double") / F.col("w")).alias("m")
+    )
+    rates = joined.crossJoin(F.broadcast(bind)).select(
+        "lang", "n_l", "w", F.expr(_MIX_RATE_SQL).alias("r")
+    )
+    # u mirrors _MIX_U_SQL with F functions (Spark's parser rejects
+    # CAST(AS VARCHAR)); same hash prefix / 2^20 rational either way
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1048576).cast("double")
+    )
+    return docs.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("r") * 1000000.0 + 0.5).cast("long").alias(
+            "rate_micro"
+        ),
+        (u < F.col("r")).alias("kept"),
+    )
+
+
+# ------------------------------------------------- length bucketing
+@register(
+    "corpus_length_batches",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens,
+             substr(md5(concat('shard:', CAST(doc_id AS VARCHAR))), 1, 1)
+               AS shard
+      FROM documents WHERE length(trim(text)) > 0
+    ), bucketed AS (
+      SELECT doc_id, n_tokens, shard,
+             CASE WHEN n_tokens < 16 THEN 3 WHEN n_tokens < 32 THEN 4
+                  WHEN n_tokens < 64 THEN 5 ELSE 6 END AS bucket
+      FROM sized
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY bucket, shard ORDER BY doc_id) - 1 AS rn
+      FROM bucketed
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bucket AS BIGINT) AS bucket, shard,
+           CAST(rn // 8 AS BIGINT) AS batch_in_shard,
+           CAST(rn % 8 AS BIGINT) AS pos_in_batch
+    FROM ranked
+    """,
+    doc="Length-bucketed batching (the dataloader step that minimizes "
+        "padding): docs binned by power-of-two token-length thresholds "
+        "(integer CASE ladder — no log2 ulps), sharded by an md5 "
+        "prefix, then batched 8-per-batch within (bucket, shard) by a "
+        "partitioned row_number. The window partitions are "
+        "(buckets x 16 shards) hash-sized slices — bounded sorts at "
+        "any corpus size (more hex chars = more shards at 100 TB), "
+        "the same shard-then-batch layout real dataloaders use.",
+)
+def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sized = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(dd.split_words(F.col("text"))).alias("n_tokens"),
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            ).alias("shard"),
+        )
+    )
+    bucketed = sized.withColumn(
+        "bucket",
+        F.when(F.col("n_tokens") < 16, 3)
+        .when(F.col("n_tokens") < 32, 4)
+        .when(F.col("n_tokens") < 64, 5)
+        .otherwise(6),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    ranked = bucketed.withColumn("rn", F.row_number().over(w) - 1)
+    return ranked.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "shard",
+        F.expr("rn div 8").cast("long").alias("batch_in_shard"),
+        (F.col("rn") % 8).cast("long").alias("pos_in_batch"),
+    )
