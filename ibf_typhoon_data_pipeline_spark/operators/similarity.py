@@ -396,9 +396,17 @@ def codebook_ivf_topk(
         )
         .withColumn("__n", l2_norm(F.col("__v")))
     )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
     if probe <= 1:
-        cells = base.selectExpr(
-            id_col, "__v", "__n", f"{cell_ladder_sql(n_cells)} AS __cell"
+        # both join sides project from `cells`; persist so the 64-dim
+        # scoring columns + norms compute once, not per side
+        cells = persist_tracked(
+            base.selectExpr(
+                id_col, "__v", "__n", f"{cell_ladder_sql(n_cells)} AS __cell"
+            )
         )
         a = cells.select(
             F.col(id_col).alias("query_id"),
@@ -407,7 +415,7 @@ def codebook_ivf_topk(
             "__cell",
         )
     else:
-        ranked = base.selectExpr(
+        ranked = persist_tracked(base.selectExpr(
             id_col,
             "__v",
             "__n",
@@ -417,7 +425,7 @@ def codebook_ivf_topk(
                 for i in range(n_cells)
             )
             + "), false) AS __ranked",
-        )
+        ))
         cells = ranked.selectExpr(
             id_col, "__v", "__n", "element_at(__ranked, 1).i AS __cell"
         )

@@ -2694,7 +2694,16 @@ def tc_track_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist_km")
         )
     )
-    pts = hourly.join(onland, ["ens_id", "h"]).join(dists, ["ens_id", "h"])
+    # pts (12.5k rows) feeds marks, closest, AND staged — persist so
+    # the onland/dists broadcast-cross-join legs (12.5M pair rows
+    # each) run once, not once per consumer
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    pts = persist_tracked(
+        hourly.join(onland, ["ens_id", "h"]).join(dists, ["ens_id", "h"])
+    )
     marks = pts.groupBy("ens_id").agg(
         F.min(F.when(F.col("on_land"), F.col("h"))).alias("first_land_h"),
         F.min("dist_km").alias("min_dist"),
