@@ -1,0 +1,35 @@
+"""No persist may outlive release_caches() (the repo's
+persist-in-builder / release-in-orchestration invariant). Round-3
+ADVICE found connected_components leaking its returned label frame;
+this sweep runs every persist-heavy builder family and asserts the
+JVM's persistent-RDD registry is empty afterwards — any future
+builder that bypasses persist_tracked/track fails here."""
+
+from __future__ import annotations
+
+from ibf_typhoon_data_pipeline_spark import plans
+from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
+
+SF = "/root/testdata/sf0.01"
+
+# one representative per persist-using family: inverted-index dedup,
+# containment, transitive clusters (iterative persists), PageRank
+# (edge+degree persists), codebook IVF (cells), packing cumsum
+# (local frame), track-json (pts)
+PERSIST_HEAVY = [
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "graph_pagerank",
+    "sim_ivf_codebook_topk",
+    "corpus_token_budget",
+    "tc_track_json",
+]
+
+
+def test_release_caches_leaves_no_persistent_rdds(spark):
+    for name in PERSIST_HEAVY:
+        plans.QUERIES[name].fn(spark, SF).count()
+        release_caches()
+        leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert leaked == 0, f"{name}: {leaked} persisted RDD(s) survive"
