@@ -11,6 +11,7 @@ from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
     corpus,
     curation,
     graphs,
+    linkage,
     mlops,
     relational,
     relational_ext,
