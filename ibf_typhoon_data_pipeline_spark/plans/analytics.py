@@ -368,3 +368,79 @@ def w9_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------- rolling time window
+@register(
+    "events_rolling_1h",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(round(value * 100.0) AS BIGINT) AS val_cents
+      FROM events
+    )
+    SELECT event_id, user_id, es,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(val_cents) OVER w AS BIGINT) AS sum_cents_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing 1-hour rolling aggregate per user (count + sum of "
+        "value over a RANGE window on epoch seconds). Values quantize "
+        "to integer cents BEFORE the rolling sum, so the window "
+        "arithmetic is exact integer math in both engines and "
+        "insensitive to peer-row order (RANGE frames include all "
+        "same-second peers by definition). One shuffle on user_id; "
+        "frame state is bounded by the hour span, the streaming-"
+        "telemetry rolling-metric shape.",
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _ev(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+        F.round(F.col("value") * 100.0).cast("long").alias("val_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "es",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum("val_cents").over(w).cast("long").alias("sum_cents_1h"),
+    )
+
+
+# ---------------------------------------------- exact quantile bands
+@register(
+    "a19_percentile_bands",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated quantile bands per event type: Spark's "
+        "percentile() and DuckDB's quantile_cont() share the "
+        "(n-1)*q linear-interpolation definition, so the doubles "
+        "agree to 6dp. Exact per-group quantiles sort each group — "
+        "fine on a bounded group count; at corpus scale the "
+        "sketch_quantile_histogram entry is the bounded-error, "
+        "single-pass path and this entry is its exact twin.",
+)
+def a19_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{n}")
+            for q, n in ((0.25, 25), (0.5, 50), (0.9, 90), (0.99, 99))
+        ]
+    )

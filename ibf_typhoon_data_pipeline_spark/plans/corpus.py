@@ -690,3 +690,145 @@ def corpus_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_tr").cast("long").alias("n_train_tokens"),
         F.max("t_te").cast("long").alias("n_test_tokens"),
     )
+
+
+# ------------------------------------------------------------- TF-IDF
+# Shared formula text (CLAUDE.md single-source rule): tf/df/n_docs are
+# integers in both engines, the ln() runs on identical doubles, and
+# the score is rounded to 6dp before the rank tiebreak (term asc) so
+# a libm ulp can't flip the ordering silently.
+_TFIDF_SQL = (
+    "round(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0)"
+    " / (CAST(df AS DOUBLE) + 1.0)), 6)"
+)
+_TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tk GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, {_TFIDF_SQL} AS tfidf_r
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(rk AS BIGINT) AS rk, tfidf_r FROM (
+      SELECT doc_id, term, tfidf_r, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf_r DESC, term ASC
+      ) AS rk FROM scored
+    ) WHERE rk <= {_TFIDF_TOPK}
+    """,
+    doc="Top-3 TF-IDF terms per document: explode tokens -> one "
+        "partial-agg (doc, term) count -> document frequencies "
+        "(vocab-bounded, broadcast back) -> smoothed-idf score -> "
+        "per-doc row_number with (score desc, term asc) tiebreak. "
+        "The keyword-extraction primitive of every retrieval/"
+        "curation stack; the only window runs per doc over its "
+        "distinct terms.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), " +")).alias("term"),
+    )
+    tf = tk.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", F.expr(_TFIDF_SQL).alias("tfidf_r"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_r").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "rk", "tfidf_r")
+    )
+
+
+# ---------------------------------------------------- vocab coverage
+_VOCAB_SIZE = 64
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM documents
+    ), freq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY term
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS rk
+        FROM freq
+      ) WHERE rk <= {_VOCAB_SIZE}
+    ), marked AS (
+      SELECT tk.doc_id,
+             CASE WHEN v.term IS NULL THEN 0 ELSE 1 END AS in_vocab
+      FROM tk LEFT JOIN vocab v ON v.term = tk.term
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(1 - in_vocab) AS BIGINT) AS n_oov,
+           round(CAST(sum(in_vocab) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS cov_r
+    FROM marked GROUP BY doc_id
+    """,
+    doc=f"Vocabulary induction + coverage: top-{_VOCAB_SIZE} terms by "
+        "global frequency (term-asc tiebreak) become the vocab; each "
+        "document reports its token count, OOV count, and coverage "
+        "ratio. The tokenizer-budget diagnostic run before any BPE "
+        "training. The global rank window runs over the vocab-sized "
+        "frequency frame (bounded), the vocab joins back as a "
+        "broadcast, and the per-doc agg is one partial-aggregated "
+        "shuffle on doc_id.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), " +")).alias("term"),
+    )
+    freq = tk.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    # global window over the vocab-sized term-frequency frame only
+    wv = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _VOCAB_SIZE)
+        .select("term")
+    )
+    marked = tk.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "term", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("in_v"), F.lit(0)).alias("in_vocab"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(1 - F.col("in_vocab")).cast("long").alias("n_oov"),
+        F.round(
+            F.sum("in_vocab").cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("cov_r"),
+    )

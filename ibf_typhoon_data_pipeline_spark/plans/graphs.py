@@ -402,3 +402,93 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_QH_EST_SQL).alias("est_value"),
         )
     )
+
+
+# ------------------------------------------------- triangle counting
+@register(
+    "graph_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*)
+                 FROM e e1 JOIN e e2 ON e2.a = e1.b
+                           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+                ) AS BIGINT) AS n_triangles
+    """,
+    doc="Triangle count over the part co-purchase graph (parts sharing "
+        "an order are adjacent). Spark side runs the degree-oriented "
+        "compact-forward algorithm: orient every edge from its lower "
+        "(degree, id) endpoint to the higher, join oriented edges "
+        "u->v with v->w into wedges, then semi-join u->w — wedge work "
+        "is bounded by O(m^1.5) regardless of skew (a hub of degree d "
+        "contributes min(d, sqrt(2m))^2, not d^2), THE published "
+        "scale recipe for triangle enumeration. The oracle counts the "
+        "same triangles from the canonical a<b<c form — orientation-"
+        "invariant, so equality validates the oriented decomposition "
+        "itself.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b")
+    )
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    und = persist_tracked(und)
+    # degree per node over the undirected edge set
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("deg").alias("deg_b")
+    )
+    # orient low (deg, id) -> high (deg, id): out-degree <= sqrt(2m)
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | (
+                    (F.col("deg_a") == F.col("deg_b"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    )
+    oriented = persist_tracked(oriented)
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "w")
+    closing = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    n_e = und.agg(F.count("*").cast("long").alias("n_edges"))
+    n_t = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    return n_e.crossJoin(n_t)
