@@ -234,3 +234,59 @@ def test_topk_entries_take_ordered_not_global_sort(spark):
     for name in ("corpus_weighted_sample", "sim_hybrid_rrf_topk"):
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_fuzzy_blocking_is_equi_join_with_residual(spark):
+    plan = _plan(spark, "link_fuzzy_blocked")
+    # the block key must drive a HASH join (levenshtein as residual),
+    # never an all-pairs nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_cdc_merge_is_partial_agg_keep_last(spark):
+    plan = _plan(spark, "cdc_merge_upsert")
+    # both keep-lasts are max(struct) aggs, not windows over the fact
+    assert "Window" not in plan
+    assert plan.count("Aggregate(") >= 2
+
+
+def test_scd2_pointintime_is_single_shuffle_carry(spark):
+    plan = _plan(spark, "j15_scd2_pointintime")
+    # union + carry window — no interval join, so no nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_rolling_window_is_partitioned_by_user(spark):
+    df = plans.QUERIES["events_rolling_1h"].fn(
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the RANGE frame must be keyed on user_id — a global rolling
+    # window would single-partition the fact table
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_tfidf_df_join_broadcasts_vocab(spark):
+    plan = _plan(spark, "text_tfidf_topk")
+    # document frequencies are vocab-bounded — they must come back as
+    # a broadcast, not a shuffle of the exploded token table
+    assert "BroadcastHashJoin" in plan
+    # the only window runs per doc (partitioned), never globally over
+    # the token table
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_triangle_count_wedges_are_equi_joins(spark):
+    plan = _plan(spark, "graph_triangle_count")
+    # wedge formation and closure are equi-joins on node keys — a
+    # nested-loop pair enumeration would be quadratic in the corpus
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the final merge of the two
+    # single-row count frames
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
