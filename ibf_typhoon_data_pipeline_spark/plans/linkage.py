@@ -65,7 +65,11 @@ def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("blk"),
         F.substring("text", 1, _HEAD_LEN).alias("head"),
     )
-    a = d.select(
+    from ibf_typhoon_data_pipeline_spark.operators.skew import spread
+
+    # the probe side carries the per-pair DP work after the broadcast
+    # join — a single-file scan would run it on one core
+    a = spread(d).select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
         F.col("blk").alias("blk_a"),
@@ -84,12 +88,26 @@ def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("blk_a") == F.col("blk_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .withColumn(
-            "edit_dist",
-            F.levenshtein("head_a", "head_b").cast("long"),
+        .select(
+            "id_a",
+            "id_b",
+            # banded DP (threshold arg): O(len * k) per pair with an
+            # early exit instead of the full O(len^2) matrix; returns
+            # -1 above the threshold and the exact distance within it,
+            # so the value matches the oracle's plain levenshtein().
+            # The explode(array(..)) generator fences the distance
+            # from being alias-substituted into the join residual —
+            # without it the DP runs twice per pair (join condition +
+            # projection).
+            F.explode(
+                F.array(
+                    F.levenshtein(
+                        F.col("head_a"), F.col("head_b"), _LEV_MAX
+                    ).cast("long")
+                )
+            ).alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= _LEV_MAX)
-        .select("id_a", "id_b", "edit_dist")
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
