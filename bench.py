@@ -71,6 +71,12 @@ HEADLINE = [
     # round-4 new families: hybrid retrieval fusion + sketch trio rep
     "sim_hybrid_rrf_topk",
     "sketch_quantile_histogram",
+    # round-4 session-2 families: keyword extraction (TF-IDF), blocked
+    # fuzzy linkage (banded levenshtein), CDC merge, rolling RANGE window
+    "text_tfidf_topk",
+    "link_fuzzy_blocked",
+    "cdc_merge_upsert",
+    "events_rolling_1h",
 ]
 
 

@@ -871,3 +871,75 @@ def stream_incremental_digest_ingest(
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ), w AS (
+      SELECT event_type, (es // 1800) * 1800 - k * 1800 AS ws
+      FROM e, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(k)
+    )
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """,
+    doc="§2.10 sliding (hopping) windows: events stream through "
+        "readStream → withWatermark(2h) → window(ts, 1h, 30min) "
+        "counts → AvailableNow sink; every event lands in exactly "
+        "TWO overlapping windows. The oracle derives both window "
+        "starts per event arithmetically (floor to the 30-min grid, "
+        "minus k·1800 for k in {0,1}) and aggregates — the batch "
+        "statement of hopping-window semantics.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ibf_typhoon_data_pipeline_spark.streaming.micro_batch import (
+        sliding_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_slide_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    ev.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    counts = sliding_event_counts(stream)
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(out)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -142,3 +142,33 @@ def session_event_rollups(
             "duration_s",
         )
     )
+
+
+def sliding_event_counts(
+    stream: DataFrame,
+    time_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Event-time SLIDING-window counts with a watermark: each event
+    lands in window_duration/slide_duration overlapping windows (2
+    here), the hopping-window smoothing every monitoring pipeline
+    ships. State is bounded by the watermark exactly as in the
+    tumbling case — only windows newer than (max event time - delay)
+    stay open. Emits (window_start, event_type, n)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(time_col, watermark_delay)
+        .groupBy(
+            F.window(time_col, window_duration, slide_duration).alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
