@@ -656,3 +656,19 @@ def pca_project_sqls(comps, mean, vec: str, idx0: int) -> list[str]:
             f" - CAST('{offset!r}' AS DOUBLE), 6)"
         )
     return out
+
+
+def pq_codebooks(vecs, m: int = 4, k: int = 8, iters: int = 5):
+    """Product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and run the SAME deterministic Lloyd fit per
+    subspace (Jégou et al. 2011's PQ construction). Returns a list of
+    ``m`` (k × dim/m) centroid arrays, each rounded to 6dp — the
+    literals both engines assign codes with."""
+    import numpy as np
+
+    v = np.asarray(vecs, dtype=np.float64)
+    sub = v.shape[1] // m
+    return [
+        kmeans_codebook(v[:, s * sub : (s + 1) * sub], k=k, iters=iters)
+        for s in range(m)
+    ]

@@ -748,3 +748,183 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_nano").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------- product quantization
+# PQ (Jégou et al. 2011): m contiguous subspaces, an independent
+# deterministic k-means codebook per subspace, each vector stored as m
+# small codes. Follows the codebook-IVF oracle recipe exactly: bounded
+# id-ordered 6dp sample -> per-subspace Lloyd fit -> centroids inlined
+# as quoted-literal SQL -> scores rounded 6dp BEFORE the argmax so an
+# ulp can't flip a code. Zero shuffle: the whole assignment is
+# expression-only over the scan.
+_PQ_M = 4
+_PQ_K = 8
+_PQ_SUB = 16  # 64 dims / 4 subspaces
+
+
+def _pq_fit(rows):
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    return pq_codebooks(rows, m=_PQ_M, k=_PQ_K)
+
+
+def _duck_pq():
+    path = _oracle_emb_path()
+    key = f"duckpq:{path}"
+    if key not in _CODEBOOK_MEMO:
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM '{path}'"
+            " ORDER BY vec_id LIMIT 512"
+        ).fetchall()
+        _CODEBOOK_MEMO[key] = _pq_fit([r[0] for r in rows])
+    return _CODEBOOK_MEMO[key]
+
+
+def _spark_pq(spark, sf_dir: str):
+    key = f"sparkpq:{sf_dir}"
+    if key not in _CODEBOOK_MEMO:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(512)
+            .select(F.col("embedding").cast("array<double>").alias("__v"))
+            .collect()
+        )
+        _CODEBOOK_MEMO[key] = _pq_fit([r["__v"] for r in rows])
+    return _CODEBOOK_MEMO[key]
+
+
+def _pq_score_sqls(codebooks, vec: str, idx0: int):
+    """Score expressions per (subspace, cell): round(v_s·c − ‖c‖²/2, 6)
+    with global vector indices (subspace s covers dims s·16..s·16+15).
+    Shared text for both engines modulo the array base."""
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        codebook_score_sqls,
+    )
+
+    return [
+        codebook_score_sqls(cb, vec, idx0 + s * _PQ_SUB)
+        for s, cb in enumerate(codebooks)
+    ]
+
+
+def _pq_code_sql(s: int) -> str:
+    """argmax over the materialized score columns s{s}_0..s{s}_{k-1};
+    ties keep the lowest code."""
+    all_s = ", ".join(f"s{s}_{i}" for i in range(_PQ_K))
+    whens = " ".join(
+        f"WHEN s{s}_{i} = greatest({all_s}) THEN {i}"
+        for i in range(_PQ_K - 1)
+    )
+    return f"CAST(CASE {whens} ELSE {_PQ_K - 1} END AS INT)"
+
+
+def _pq_ssq_sql(vec: str, s: int, idx0: int) -> str:
+    """‖v_s‖² as an explicit left-associated term sum (identical
+    doubles in both engines — same products, same fold order)."""
+    return " + ".join(
+        f"{vec}[{idx0 + s * _PQ_SUB + d}] * {vec}[{idx0 + s * _PQ_SUB + d}]"
+        for d in range(_PQ_SUB)
+    )
+
+
+def _pq_err_sql(s: int) -> str:
+    """Per-subspace reconstruction error ‖v_s − c_code‖² =
+    ‖v_s‖² − 2·score_code (score already includes the −‖c‖²/2 term),
+    read back from the materialized columns."""
+    best = " ".join(
+        f"WHEN code_{s} = {i} THEN s{s}_{i}" for i in range(_PQ_K)
+    )
+    return f"round(ssq_{s} - 2.0 * (CASE {best} END), 6)"
+
+
+def _pq_oracle() -> str:
+    cbs = _duck_pq()
+    score_cols = ", ".join(
+        f"{sql} AS s{s}_{i}"
+        for s, sqls in enumerate(_pq_score_sqls(cbs, "__v", 1))
+        for i, sql in enumerate(sqls)
+    )
+    ssq_cols = ", ".join(
+        f"{_pq_ssq_sql('__v', s, 1)} AS ssq_{s}" for s in range(_PQ_M)
+    )
+    code_cols = ", ".join(
+        f"{_pq_code_sql(s)} AS code_{s}" for s in range(_PQ_M)
+    )
+    err_sum = " + ".join(f"err_{s}" for s in range(_PQ_M))
+    err_cols = ", ".join(
+        f"{_pq_err_sql(s)} AS err_{s}" for s in range(_PQ_M)
+    )
+    code_names = ", ".join(f"code_{s}" for s in range(_PQ_M))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __v FROM embeddings
+    ), scored AS (
+      SELECT vec_id, {score_cols}, {ssq_cols} FROM v
+    ), coded AS (
+      SELECT vec_id, {code_cols},
+             {', '.join(f's{s}_{i}' for s in range(_PQ_M) for i in range(_PQ_K))},
+             {', '.join(f'ssq_{s}' for s in range(_PQ_M))}
+      FROM scored
+    ), errs AS (
+      SELECT vec_id, {code_names}, {err_cols} FROM coded
+    )
+    SELECT vec_id, {code_names}, round({err_sum}, 6) AS recon_err
+    FROM errs
+    """
+
+
+@register(
+    "emb_product_quantize",
+    _pq_oracle,
+    doc=f"Product quantization (PQ, Jégou 2011): {_PQ_M} subspaces x "
+        f"{_PQ_K}-centroid deterministic per-subspace codebooks fit "
+        "on the bounded id-ordered 512-sample; every vector becomes "
+        f"{_PQ_M} small codes + its reconstruction error "
+        "(‖v_s‖² − 2·score, scores rounded 6dp before the argmax). "
+        "Assignment is expression-only over the scan — zero shuffle, "
+        "the m·k score columns are materialized one step per column "
+        "per the unrolled-iteration invariant.",
+)
+def emb_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cbs = _spark_pq(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    scored = v.select(
+        "vec_id",
+        "__v",
+        *[
+            F.expr(sql).alias(f"s{s}_{i}")
+            for s, sqls in enumerate(_pq_score_sqls(cbs, "__v", 0))
+            for i, sql in enumerate(sqls)
+        ],
+        *[
+            F.expr(_pq_ssq_sql("__v", s, 0)).alias(f"ssq_{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    coded = scored.select(
+        "vec_id",
+        *[F.expr(_pq_code_sql(s)).alias(f"code_{s}") for s in range(_PQ_M)],
+        *[f"s{s}_{i}" for s in range(_PQ_M) for i in range(_PQ_K)],
+        *[f"ssq_{s}" for s in range(_PQ_M)],
+    )
+    errs = coded.select(
+        "vec_id",
+        *[f"code_{s}" for s in range(_PQ_M)],
+        *[F.expr(_pq_err_sql(s)).alias(f"err_{s}") for s in range(_PQ_M)],
+    )
+    return errs.select(
+        "vec_id",
+        *[f"code_{s}" for s in range(_PQ_M)],
+        F.round(
+            sum(F.col(f"err_{s}") for s in range(_PQ_M)), 6
+        ).alias("recon_err"),
+    )
