@@ -928,3 +928,164 @@ def emb_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum(F.col(f"err_{s}") for s in range(_PQ_M)), 6
         ).alias("recon_err"),
     )
+
+
+# ------------------------------------------------------ PQ ADC search
+# Asymmetric distance computation (the PQ search half): the corpus is
+# stored ONLY as m codes; each query precomputes an m x k table of
+# exact subspace distances to every centroid, and a candidate's
+# distance is m CASE lookups + a sum — no full-dimension arithmetic
+# against the corpus. Queries are a bounded set (vec_id < 8) carried
+# as a broadcast; the corpus side never reshuffles.
+_ADC_NQ = 8
+_ADC_K = 5
+
+
+def _adc_lookup_sqls(s: int) -> str:
+    """‖q_s − c_i‖² from the materialized score column:
+    ssqq_s − 2·score (score already folds in −‖c‖²/2), rounded 6dp."""
+    return ", ".join(
+        f"round(ssqq_{s} - 2.0 * qs{s}_{i}, 6) AS dq{s}_{i}"
+        for i in range(_PQ_K)
+    )
+
+
+def _adc_dist_sql() -> str:
+    terms = []
+    for s in range(_PQ_M):
+        whens = " ".join(
+            f"WHEN code_{s} = {i} THEN dq{s}_{i}" for i in range(_PQ_K)
+        )
+        terms.append(f"(CASE {whens} END)")
+    return f"round({' + '.join(terms)}, 4)"
+
+
+def _pq_coded_cte(idx0: int) -> str:
+    """codes CTE fragment (vec_id, code_0..code_{m-1}) shared by the
+    PQ entries' oracles."""
+    cbs = _duck_pq()
+    score_cols = ", ".join(
+        f"{sql} AS s{s}_{i}"
+        for s, sqls in enumerate(_pq_score_sqls(cbs, "__v", idx0))
+        for i, sql in enumerate(sqls)
+    )
+    code_cols = ", ".join(
+        f"{_pq_code_sql(s)} AS code_{s}" for s in range(_PQ_M)
+    )
+    return f"""v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __v FROM embeddings
+    ), cscored AS (
+      SELECT vec_id, {score_cols} FROM v
+    ), coded AS (
+      SELECT vec_id, {code_cols} FROM cscored
+    )"""
+
+
+def _adc_oracle() -> str:
+    cbs = _duck_pq()
+    qscore_cols = ", ".join(
+        f"{sql} AS qs{s}_{i}"
+        for s, sqls in enumerate(_pq_score_sqls(cbs, "__v", 1))
+        for i, sql in enumerate(sqls)
+    )
+    qssq_cols = ", ".join(
+        f"{_pq_ssq_sql('__v', s, 1)} AS ssqq_{s}" for s in range(_PQ_M)
+    )
+    lut_cols = ", ".join(_adc_lookup_sqls(s) for s in range(_PQ_M))
+    return f"""
+    WITH {_pq_coded_cte(1)}, q AS (
+      SELECT vec_id AS query_id, {qscore_cols}, {qssq_cols}
+      FROM v WHERE vec_id < {_ADC_NQ}
+    ), lut AS (
+      SELECT query_id, {lut_cols} FROM q
+    ), pairs AS (
+      SELECT lut.query_id, coded.vec_id AS neighbor_id,
+             {_adc_dist_sql()} AS adc_dist
+      FROM lut JOIN coded ON coded.vec_id <> lut.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+      ) AS rn FROM pairs
+    ) WHERE rn <= {_ADC_K}
+    """
+
+
+@register(
+    "sim_pq_adc_topk",
+    _adc_oracle,
+    doc=f"PQ asymmetric-distance search (ADC): top-{_ADC_K} neighbors "
+        f"for {_ADC_NQ} query vectors against the PQ-coded corpus. "
+        "Each query precomputes its m x k subspace-distance table "
+        "(exact q-to-centroid distances from the same literal "
+        "centroids), candidates cost m CASE lookups + a sum — the "
+        "corpus is touched only through its codes. Queries broadcast; "
+        "one window ranks per query. The compressed-domain search "
+        "shape that makes billion-vector scans affordable.",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cbs = _spark_pq(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    coded = (
+        v.select(
+            "vec_id",
+            *[
+                F.expr(sql).alias(f"s{s}_{i}")
+                for s, sqls in enumerate(_pq_score_sqls(cbs, "__v", 0))
+                for i, sql in enumerate(sqls)
+            ],
+        )
+        .select(
+            "vec_id",
+            *[
+                F.expr(_pq_code_sql(s)).alias(f"code_{s}")
+                for s in range(_PQ_M)
+            ],
+        )
+    )
+    q = (
+        v.filter(F.col("vec_id") < _ADC_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            *[
+                F.expr(sql).alias(f"qs{s}_{i}")
+                for s, sqls in enumerate(_pq_score_sqls(cbs, "__v", 0))
+                for i, sql in enumerate(sqls)
+            ],
+            *[
+                F.expr(_pq_ssq_sql("__v", s, 0)).alias(f"ssqq_{s}")
+                for s in range(_PQ_M)
+            ],
+        )
+    )
+    lut = q.select(
+        "query_id",
+        *[
+            F.expr(f"round(ssqq_{s} - 2.0 * qs{s}_{i}, 6)").alias(
+                f"dq{s}_{i}"
+            )
+            for s in range(_PQ_M)
+            for i in range(_PQ_K)
+        ],
+    )
+    pairs = coded.join(
+        F.broadcast(lut), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_adc_dist_sql()).alias("adc_dist"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
