@@ -758,9 +758,9 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as quoted-literal SQL -> scores rounded 6dp BEFORE the argmax so an
 # ulp can't flip a code. Zero shuffle: the whole assignment is
 # expression-only over the scan.
-_PQ_M = 4
+_PQ_M = 8
 _PQ_K = 8
-_PQ_SUB = 16  # 64 dims / 4 subspaces
+_PQ_SUB = 8  # 64 dims / 8 subspaces
 
 
 def _pq_fit(rows):
@@ -957,7 +957,12 @@ def _adc_dist_sql() -> str:
             f"WHEN code_{s} = {i} THEN dq{s}_{i}" for i in range(_PQ_K)
         )
         terms.append(f"(CASE {whens} END)")
-    return f"round({' + '.join(terms)}, 4)"
+    # 6dp, NOT the house 4dp distance rounding: the terms are already
+    # 6dp-rounded decimals, so their sum is an exact 6dp decimal and
+    # round(x, 6) is unambiguous in both engines — but such sums can
+    # land EXACTLY on a 4dp midpoint (observed: 0.89175), where Spark
+    # and DuckDB round differently
+    return f"round({' + '.join(terms)}, 6)"
 
 
 def _pq_coded_cte(idx0: int) -> str:
