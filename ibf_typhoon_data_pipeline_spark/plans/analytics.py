@@ -444,3 +444,176 @@ def a19_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q, n in ((0.25, 25), (0.5, 50), (0.9, 90), (0.99, 99))
         ]
     )
+
+
+# ------------------------------------------------- truncated EWMA
+# Exponential moving average as an 8-lag truncated kernel: the exact
+# EWMA recurrence is a running product (not expressible as one window
+# expression without per-row recursion), but (1-a)^8 ≈ 0.1 means the
+# truncated kernel carries >= 90% of the mass. Weights are quoted
+# literals, the weighted sum is ONE shared left-associated expression
+# over integer-cent lags, so both engines produce the same double.
+_EWMA_ALPHA = 0.25
+_EWMA_LAGS = 8
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"(CASE WHEN l{k} IS NOT NULL THEN "
+        f"CAST('{_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k!r}' AS DOUBLE)"
+        f" * l{k} ELSE 0.0 END)"
+        for k in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{k} IS NOT NULL THEN "
+        f"CAST('{_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k!r}' AS DOUBLE)"
+        f" ELSE 0.0 END)"
+        for k in range(_EWMA_LAGS)
+    )
+    return f"round(({num}) / ({den}), 6)"
+
+
+@register(
+    "events_ewma",
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100.0) AS BIGINT) AS cents
+      FROM events
+    ), lagged AS (
+      SELECT event_id, user_id,
+             {', '.join(f'lag(cents, {k}) OVER w AS l{k}'
+                        for k in range(_EWMA_LAGS))}
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, {_ewma_sql()} AS ewma_r FROM lagged
+    """,
+    doc=f"Truncated EWMA (alpha={_EWMA_ALPHA}, {_EWMA_LAGS} lags, "
+        ">=90% kernel mass) of event values per user: one sort per "
+        "user materializes the lag columns, the renormalized weighted "
+        "sum is a single shared expression over integer cents — "
+        "identical doubles in both engines. The smoothing feature "
+        "every telemetry/feature-store pipeline derives; the exact "
+        "recurrence would need per-row recursion, the truncated "
+        "kernel is the distributed-friendly form.",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _ev(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = c.select(
+        "event_id",
+        "user_id",
+        *[
+            F.lag("cents", k).over(w).alias(f"l{k}")
+            for k in range(_EWMA_LAGS)
+        ],
+    )
+    return lagged.select(
+        "event_id", "user_id", F.expr(_ewma_sql()).alias("ewma_r")
+    )
+
+
+# --------------------------------------------- market-basket lift
+_MB_TOPK = 20
+
+
+@register(
+    "basket_pair_lift",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM li
+    ), item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM li GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, support, lift_micro FROM (
+      SELECT id_a, id_b, support,
+             (support * n_orders * 1000000) // (ia.n_item * ib.n_item)
+               AS lift_micro,
+             row_number() OVER (
+               ORDER BY support DESC, id_a ASC, id_b ASC
+             ) AS rk
+      FROM pair
+      JOIN item ia ON ia.l_partkey = id_a
+      JOIN item ib ON ib.l_partkey = id_b
+      CROSS JOIN n
+    ) WHERE rk <= {_MB_TOPK}
+    """,
+    doc=f"Market-basket association mining: top-{_MB_TOPK} co-ordered "
+        "part pairs by support, with lift = P(a,b)/(P(a)P(b)) in "
+        "exact integer micro-units (pure BIGINT division — no double "
+        "ever formed, so no rounding boundary exists). Pair "
+        "generation is the standard self-join on the basket key "
+        "(bounded per order by basket size); item counts broadcast "
+        "back; the final rank is TakeOrdered over the top slice, not "
+        "a global sort.",
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    li = persist_tracked(li)
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_item")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_b")
+    )
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("id_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("id_b"), F.col("n_item").alias("n_b")
+    )
+    scored = (
+        pair.join(F.broadcast(ia), "id_a")
+        .join(F.broadcast(ib), "id_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id_a",
+            "id_b",
+            "support",
+            F.expr(
+                "(support * n_orders * 1000000) div (n_a * n_b)"
+            ).alias("lift_micro"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("support").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(_MB_TOPK)
+    return top.select("id_a", "id_b", "support", "lift_micro")
