@@ -996,3 +996,143 @@ def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_centi",
         )
     )
+
+
+# ------------------------------------------- TPC-H Q3/Q5 adaptations
+# Multi-join aggregate plans on the house tables (columns adapted to
+# the generated schema: no o_shippriority / partsupp here). They pin
+# the bread-and-butter warehouse shape q1 doesn't cover: selective
+# dimension filters reaching the fact scan through 3- and 6-table
+# join trees, with every dimension broadcast.
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0)
+                AS BIGINT) AS revenue_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 (shipping priority, adapted): BUILDING-segment "
+        "orders placed before the cut with lines shipped after it, "
+        "top-10 by revenue. Customer filter broadcasts into the "
+        "orders join, both date filters push to the scans, revenue "
+        "partial-aggregates per order key, and the top-10 is "
+        "TakeOrdered — no global sort.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100.0
+        )
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    return (
+        agg.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0)
+                AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue_cents DESC, n_name ASC
+    """,
+    doc="TPC-H Q5 (local supplier volume): revenue from lines where "
+        "the supplier shares the customer's nation, per ASIA nation, "
+        "one year of orders. The 6-table join tree keeps every "
+        "dimension (customer-nation spine, supplier, nation, region) "
+        "broadcast; only the lineitem->orders equi-join shuffles, and "
+        "the final agg is nation-cardinality.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100.0
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name").asc())
+    )
