@@ -290,3 +290,19 @@ def test_triangle_count_wedges_are_equi_joins(spark):
     # single-row count frames
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_q3_filters_push_and_top10_takeordered(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    # the three dimension/date filters must reach their parquet scans
+    assert "(l_shipdate" in plan and "(o_orderdate" in plan
+    assert "c_mktsegment" in plan and "BUILDING" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_join_tree_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # customer/supplier/nation/region all broadcast; no cartesian
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
