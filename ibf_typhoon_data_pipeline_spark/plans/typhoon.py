@@ -2823,3 +2823,83 @@ def s9_gdacs_active_typhoons(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat",
         "lon",
     )
+
+
+# ----------------------------------------------- polygon metrics (J1 kin)
+# Shoelace area / perimeter / area-weighted centroid per municipality
+# hexagon — the vector-geometry reductions every admin-boundary load
+# computes (the reference reads them precomputed from the shapefile;
+# here they are derived IN-ENGINE from the same edge table J1 uses).
+# Every per-edge term quantizes to integer micro-units BEFORE the
+# per-polygon sum, so the aggregation is order-free in both engines
+# (double SUM() order is partition-dependent in Spark).
+_POLY_TERM_SQLS = [
+    "CAST(round(1000000.0 * (x1 * y2 - x2 * y1)) AS BIGINT)"
+    " AS cr_micro",
+    "CAST(round(1000000.0 * sqrt((x2 - x1) * (x2 - x1)"
+    " + (y2 - y1) * (y2 - y1))) AS BIGINT) AS len_micro",
+    "CAST(round(1000000.0 * (x1 + x2) * (x1 * y2 - x2 * y1))"
+    " AS BIGINT) AS cx_micro",
+    "CAST(round(1000000.0 * (y1 + y2) * (x1 * y2 - x2 * y1))"
+    " AS BIGINT) AS cy_micro",
+]
+_POLY_OUT_SQLS = [
+    "round(0.5 * CAST(s_cr AS DOUBLE) / 1000000.0, 6) AS area_r",
+    "round(CAST(s_len AS DOUBLE) / 1000000.0, 6) AS perim_r",
+    "round(CAST(s_cx AS DOUBLE) / (3.0 * CAST(s_cr AS DOUBLE)), 6)"
+    " AS cx_r",
+    "round(CAST(s_cy AS DOUBLE) / (3.0 * CAST(s_cr AS DOUBLE)), 6)"
+    " AS cy_r",
+]
+
+
+@register(
+    "geo_polygon_metrics",
+    f"""
+    WITH munis AS ({MUNIS_SQL}),
+    ks AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k),
+    edges AS (
+      SELECT m.adm3_pcode,
+        m.m_lon + 0.3 * cos(pi() * k / 3.0) AS x1,
+        m.m_lat + 0.3 * sin(pi() * k / 3.0) AS y1,
+        m.m_lon + 0.3 * cos(pi() * (k + 1) / 3.0) AS x2,
+        m.m_lat + 0.3 * sin(pi() * (k + 1) / 3.0) AS y2
+      FROM munis m CROSS JOIN ks
+    ), terms AS (
+      SELECT adm3_pcode, {', '.join(_POLY_TERM_SQLS)} FROM edges
+    ), sums AS (
+      SELECT adm3_pcode,
+             CAST(sum(cr_micro) AS BIGINT) AS s_cr,
+             CAST(sum(len_micro) AS BIGINT) AS s_len,
+             CAST(sum(cx_micro) AS BIGINT) AS s_cx,
+             CAST(sum(cy_micro) AS BIGINT) AS s_cy
+      FROM terms GROUP BY adm3_pcode
+    )
+    SELECT adm3_pcode, {', '.join(_POLY_OUT_SQLS)} FROM sums
+    """,
+    doc="Polygon reductions over the J1 edge table: shoelace area "
+        "(0.5·Σ cross), perimeter (Σ edge lengths), and the exact "
+        "polygon centroid (Σ (v1+v2)·cross / 6A — stated as /(3·Σcr) "
+        "since Σcr = 2A). Per-edge terms quantize to integer "
+        "micro-units before the per-polygon sum, making the "
+        "aggregation order-free; one partial-agg groupBy on the "
+        "polygon key is the whole plan.",
+)
+def geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    munis = gen_munis(spark).select("adm3_pcode", "m_lat", "m_lon")
+    ks = spark.range(6).select(F.col("id").cast("int").alias("k"))
+    edges = munis.crossJoin(F.broadcast(ks)).selectExpr(
+        "adm3_pcode",
+        "m_lon + 0.3 * cos(pi() * k / 3.0) AS x1",
+        "m_lat + 0.3 * sin(pi() * k / 3.0) AS y1",
+        "m_lon + 0.3 * cos(pi() * (k + 1) / 3.0) AS x2",
+        "m_lat + 0.3 * sin(pi() * (k + 1) / 3.0) AS y2",
+    )
+    terms = edges.selectExpr("adm3_pcode", *_POLY_TERM_SQLS)
+    sums = terms.groupBy("adm3_pcode").agg(
+        F.sum("cr_micro").cast("long").alias("s_cr"),
+        F.sum("len_micro").cast("long").alias("s_len"),
+        F.sum("cx_micro").cast("long").alias("s_cx"),
+        F.sum("cy_micro").cast("long").alias("s_cy"),
+    )
+    return sums.selectExpr("adm3_pcode", *_POLY_OUT_SQLS)
