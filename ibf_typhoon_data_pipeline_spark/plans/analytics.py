@@ -617,3 +617,55 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("support").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(_MB_TOPK)
     return top.select("id_a", "id_b", "support", "lift_micro")
+
+
+# ------------------------------------------------ date-spine gap fill
+@register(
+    "events_date_spine_gaps",
+    """
+    WITH span AS (
+      SELECT user_id,
+             CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+      FROM events GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1,
+               INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS missing_day
+    FROM spine s ANTI JOIN active a
+      ON a.user_id = s.user_id AND a.day = s.day
+    """,
+    doc="Date-spine gap fill: per user, generate the calendar spine "
+        "between their first and last active day (sequence + explode) "
+        "and anti-join the observed days — emitting the silent days "
+        "every retention/telemetry load must materialize. The spine "
+        "is generated per key (bounded by the span, no global "
+        "calendar broadcast) and the anti-join shuffles once on "
+        "(user, day).",
+)
+def events_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    active = ev.distinct()
+    return (
+        spine.join(active, ["user_id", "day"], "left_anti")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("missing_day"),
+        )
+    )

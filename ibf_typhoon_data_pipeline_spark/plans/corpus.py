@@ -832,3 +832,98 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cov_r"),
     )
+
+
+# ------------------------------------------------- PMI co-occurrence
+# Pointwise mutual information over within-document term pairs — the
+# collocation/phrase-mining primitive (word2vec's SGNS objective is
+# shifted PMI). Counts are document frequencies (distinct terms per
+# doc), so a term repeated in one doc counts once; integer inputs make
+# the single ln() the only double op, quantized to micro-nats.
+_PMI_MIN_SUPPORT = 25
+_PMI_TOPK = 20
+_PMI_SQL = (
+    "CAST(floor(1000000.0 * ln((CAST(c_ab AS DOUBLE)"
+    " * CAST(n_docs AS DOUBLE))"
+    " / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "text_pmi_pairs",
+    f"""
+    WITH tk AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM documents
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tk
+    ), cnt AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY term
+    ), pair AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM tk a JOIN tk b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN_SUPPORT}
+    )
+    SELECT term_a, term_b, c_ab, pmi_micro FROM (
+      SELECT term_a, term_b, c_ab, {_PMI_SQL} AS pmi_micro,
+             row_number() OVER (
+               ORDER BY {_PMI_SQL} DESC, term_a ASC, term_b ASC
+             ) AS rk
+      FROM pair
+      JOIN cnt ca ON ca.term = term_a
+      JOIN cnt cb ON cb.term = term_b
+      CROSS JOIN n, LATERAL (SELECT ca.c AS c_a, cb.c AS c_b) x
+    ) WHERE rk <= {_PMI_TOPK}
+    """,
+    doc=f"PMI collocations: top-{_PMI_TOPK} within-document term pairs "
+        f"by pointwise mutual information (support >= "
+        f"{_PMI_MIN_SUPPORT}, micro-nat quantized). Pair generation "
+        "is the inverted-index self-join on doc_id over DISTINCT "
+        "(doc, term) rows — bounded per doc by distinct-term count; "
+        "term totals broadcast back; the rank runs over the "
+        "support-filtered pair set only.",
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), " +")).alias("term"),
+    ).distinct()
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    tk = persist_tracked(tk)
+    n = tk.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    cnt = tk.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    a = tk.select(F.col("doc_id").alias("d"), F.col("term").alias("term_a"))
+    b = tk.select(F.col("doc_id").alias("d"), F.col("term").alias("term_b"))
+    pair = (
+        a.join(b, "d")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_SUPPORT)
+    )
+    ca = cnt.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    scored = (
+        pair.join(F.broadcast(ca), "term_a")
+        .join(F.broadcast(cb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a", "term_b", "c_ab",
+            F.expr(_PMI_SQL).alias("pmi_micro"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("term_a").asc(),
+        F.col("term_b").asc(),
+    ).limit(_PMI_TOPK)
+    return top.select("term_a", "term_b", "c_ab", "pmi_micro")
