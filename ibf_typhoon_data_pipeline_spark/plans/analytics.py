@@ -669,3 +669,119 @@ def events_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("missing_day"),
         )
     )
+
+
+# ------------------------------------------- gaps-and-islands streaks
+@register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), anchored AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS INTEGER) AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, anchor,
+             CAST(count(*) AS BIGINT) AS streak_days,
+             strftime(min(day), '%Y-%m-%d') AS streak_start
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_days, streak_start FROM (
+      SELECT user_id, streak_days, streak_start,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_days DESC, streak_start ASC
+             ) AS rk
+      FROM islands
+    ) WHERE rk = 1
+    """,
+    doc="Gaps-and-islands: longest consecutive-active-day streak per "
+        "user via the day-minus-row_number anchor (consecutive days "
+        "share an anchor date). One sort per user over DISTINCT "
+        "(user, day) rows — bounded by the calendar span, not the "
+        "event count; ties on length break to the earliest streak.",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = _ev(spark, sf_dir).select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("long").alias("streak_days"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start").asc()
+    )
+    return (
+        islands.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )
+
+
+# -------------------------------------- running distinct-count window
+@register(
+    "events_running_distinct_types",
+    """
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS n_types_seen
+    FROM flagged
+    """,
+    doc="Running COUNT(DISTINCT) over an ordered window — not "
+        "expressible directly in either engine — re-stated as the "
+        "first-occurrence-flag + running-sum identity: a row "
+        "contributes iff it is its (user, type)'s first event. Two "
+        "windows share the per-user sort; both are keyed (no global "
+        "window), and the flag is integer so the running sum is "
+        "order-exact with the (ts, event_id) tiebreak.",
+)
+def events_running_distinct_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w1 = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w2).cast("long").alias("n_types_seen"),
+    )
