@@ -128,3 +128,35 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
     return media.mapInPandas(
         compute, schema="media_id long, frame_offset int, frame_byte int"
     )
+
+
+def audio_windows(
+    media: DataFrame, win: int = 8, hop: int = 4
+) -> DataFrame:
+    """Audio framing stub: treat the payload as PCM samples (a real
+    pipeline would decode the codec first — same gate as
+    ``decode_image``) and emit fixed-size windows at a hop, with the
+    per-window energy Σ sample². The spectrogram-framing stage of any
+    audio featurizer: 1 input row → ⌊(n−win)/hop⌋+1 window rows, all
+    integer arithmetic so the oracle is exact."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for start in range(0, len(content) - win + 1, hop):
+                    chunk = content[start : start + win]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "win_start": start,
+                            "energy": sum(b * b for b in chunk),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "win_start", "energy"]
+            )
+
+    return media.mapInPandas(
+        compute, schema="media_id long, win_start int, energy long"
+    )

@@ -943,3 +943,49 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+_AUDIO_WIN = 8
+_AUDIO_HOP = 4
+
+
+def _audio_energy_sql(start: int) -> str:
+    """Σ byte² over the window starting at byte ``start`` — explicit
+    integer term sum from the hex encoding."""
+    return " + ".join(
+        f"{_sql_hex_byte('content_hex', start + i)}"
+        f" * {_sql_hex_byte('content_hex', start + i)}"
+        for i in range(_AUDIO_WIN)
+    )
+
+
+@register(
+    "media_audio_windows",
+    f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, CAST(s AS INTEGER) AS win_start,
+           CAST(CASE s
+             {' '.join(f'WHEN {s} THEN {_audio_energy_sql(s)}'
+                       for s in range(0, 16 - _AUDIO_WIN + 1, _AUDIO_HOP))}
+           END AS BIGINT) AS energy
+    FROM media CROSS JOIN unnest([{', '.join(
+        str(s) for s in range(0, 16 - _AUDIO_WIN + 1, _AUDIO_HOP))}])
+      AS t(s)
+    """,
+    doc=f"§2.11 audio framing: mapInPandas windows the (stub-decoded) "
+        f"PCM payload into {_AUDIO_WIN}-sample frames at hop "
+        f"{_AUDIO_HOP} with integer Σ sample² energies — the "
+        "spectrogram front-end shape (1 row → k frame rows, Arrow "
+        "batches, real codec behind the same NotImplementedError "
+        "gate as image decode). The oracle recomputes every window "
+        "from the hex payload.",
+)
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.multimodal import (
+        audio_windows,
+        gen_media,
+    )
+
+    return audio_windows(
+        gen_media(spark, 256), win=_AUDIO_WIN, hop=_AUDIO_HOP
+    )
