@@ -989,3 +989,133 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_windows(
         gen_media(spark, 256), win=_AUDIO_WIN, hop=_AUDIO_HOP
     )
+
+
+@register(
+    "stream_cdc_upsert",
+    """
+    WITH snap AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      ) WHERE rn = 1
+    ), batch AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      ) WHERE rn = 1
+    ), state0 AS (
+      SELECT * FROM snap WHERE status <> 'F'
+    )
+    SELECT o_custkey, o_orderkey, status, price_cents
+    FROM batch WHERE status <> 'F'
+    UNION ALL
+    SELECT s.o_custkey, s.o_orderkey, s.status, s.price_cents
+    FROM state0 s ANTI JOIN batch b ON b.o_custkey = s.o_custkey
+    """,
+    doc="Streaming CDC MERGE: two landed change drops (orders before/"
+        "after the cutoff) stream through foreachBatch; every batch "
+        "applies the SAME merge rule against the standing snapshot — "
+        "keep-last per customer within the batch, status 'F' deletes "
+        "the key, anything else upserts, untouched keys carry over — "
+        "writing a versioned snapshot per batch (at scale: MERGE INTO "
+        "a keyed table format instead of a rewrite). The batch twin "
+        "is cdc_merge_upsert; the oracle folds both drops through "
+        "the same rule.",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    cutoff = F.lit("1999-01-01").cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100.0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_cdc_")
+    landing = os.path.join(work, "landing")
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    orders.filter(F.col("o_orderdate") < cutoff).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    _time.sleep(1.1)  # file-source batch order follows modification time
+    orders.filter(F.col("o_orderdate") >= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    last_bid = {"v": -1}
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        s = batch.sparkSession
+        latest = (
+            batch.groupBy("o_custkey")
+            .agg(
+                F.max(
+                    F.struct(
+                        "o_orderdate", "o_orderkey", "status", "price_cents"
+                    )
+                ).alias("s")
+            )
+            .select(
+                "o_custkey",
+                F.col("s.o_orderkey").alias("o_orderkey"),
+                F.col("s.status").alias("status"),
+                F.col("s.price_cents").alias("price_cents"),
+            )
+        )
+        upserts = latest.filter(F.col("status") != "F")
+        prev = os.path.join(state, f"b{bid - 1}")
+        if os.path.isdir(prev):
+            standing = s.read.parquet(prev)
+            carried = standing.join(
+                latest.select("o_custkey"), "o_custkey", "left_anti"
+            )
+            merged = upserts.unionByName(carried)
+        else:  # first batch: empty standing snapshot
+            merged = upserts
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state, f"b{bid}")
+        )
+        last_bid["v"] = bid
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = (
+        spark.read.parquet(os.path.join(state, f"b{last_bid['v']}"))
+        .select("o_custkey", "o_orderkey", "status", "price_cents")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
