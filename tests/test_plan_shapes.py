@@ -306,3 +306,22 @@ def test_q5_join_tree_broadcasts_dimensions(spark):
     # customer/supplier/nation/region all broadcast; no cartesian
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_basket_lift_is_takeordered_with_broadcast_counts(spark):
+    plan = _plan(spark, "basket_pair_lift")
+    # item totals and the 1-row order count broadcast onto the pair
+    # aggregate; the top-20 never global-sorts the pair table
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_pairs_shape(spark):
+    plan = _plan(spark, "text_pmi_pairs")
+    # pair generation is the doc_id inverted-index equi-join; term
+    # totals broadcast; top-k is TakeOrdered
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested loop is the 1-row corpus-total broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
