@@ -785,3 +785,117 @@ def events_running_distinct_types(
         "user_id",
         F.sum("first_seen").over(w2).cast("long").alias("n_types_seen"),
     )
+
+
+# ---------------------------------------------- bloom-filter sketch
+# Deterministic Bloom filter: k=3 positions per key, each the value of
+# 3 hex chars (12 bits -> exactly the 4096-slot space, no modulo) of a
+# salted md5 — reproducible in any engine, like the linear-counting
+# and count-min sketches. The filter itself is the <=4096-row distinct
+# position set, which is what broadcasts as a pre-join filter at scale.
+_BLOOM_HEX = "0123456789abcdef"
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(key: str, j: str) -> str:
+    """12-bit position: value of md5('b'||j||':'||key) hex chars 1-3."""
+    h = f"md5(concat('b', CAST({j} AS STRING), ':', {key}))"
+    return (
+        f"((instr('{_BLOOM_HEX}', substr({h}, 1, 1)) - 1) * 256"
+        f" + (instr('{_BLOOM_HEX}', substr({h}, 2, 1)) - 1) * 16"
+        f" + (instr('{_BLOOM_HEX}', substr({h}, 3, 1)) - 1))"
+    )
+
+
+@register(
+    "sketch_bloom_membership",
+    f"""
+    WITH members AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ), ks AS (SELECT unnest([0, 1, 2]) AS j),
+    bloom AS (
+      SELECT DISTINCT {_bloom_pos_sql('key', 'j')} AS pos
+      FROM members CROSS JOIN ks
+    ), probe AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS is_member
+      FROM customer
+    ), probed AS (
+      SELECT p.key, p.is_member,
+             CASE WHEN count(b.pos) = {_BLOOM_K} THEN 1 ELSE 0 END
+               AS bloom_hit
+      FROM probe p CROSS JOIN ks
+      LEFT JOIN bloom b ON b.pos = {_bloom_pos_sql('p.key', 'j')}
+      GROUP BY p.key, p.is_member
+    )
+    SELECT CAST(sum(is_member) AS BIGINT) AS n_members,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_positive,
+           CAST(sum(CASE WHEN bloom_hit = 1 AND is_member = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(sum(CASE WHEN bloom_hit = 0 AND is_member = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+    FROM probed
+    """,
+    doc="Deterministic Bloom membership sketch: 3 salted-md5 12-bit "
+        "positions per key into a 4096-slot space; the filter is the "
+        "distinct position set of the member side (<= 4096 rows — "
+        "broadcastable, which is exactly how a Bloom pre-filter rides "
+        "a join at scale). Probing every customer reports true "
+        "members, Bloom positives, false positives (expected from "
+        "fill ratio) and the structurally-impossible false negatives "
+        "(must be 0 — the Bloom guarantee, asserted by the oracle "
+        "equality).",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("is_member"),
+    )
+    ks = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+    bloom = (
+        cust.filter(F.col("is_member") == 1)
+        .crossJoin(F.broadcast(ks))
+        .select(F.expr(_bloom_pos_sql("key", "j")).alias("pos"))
+        .distinct()
+    )
+    probed = (
+        cust.crossJoin(F.broadcast(ks))
+        .select(
+            "key",
+            "is_member",
+            F.expr(_bloom_pos_sql("key", "j")).alias("pos"),
+        )
+        .join(
+            F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("key", "is_member")
+        .agg(
+            F.when(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) == _BLOOM_K, 1
+            )
+            .otherwise(0)
+            .alias("bloom_hit")
+        )
+    )
+    return probed.agg(
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("bloom_hit").cast("long").alias("n_bloom_positive"),
+        F.sum(
+            F.when(
+                (F.col("bloom_hit") == 1) & (F.col("is_member") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(
+            F.when(
+                (F.col("bloom_hit") == 0) & (F.col("is_member") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_negative"),
+    )

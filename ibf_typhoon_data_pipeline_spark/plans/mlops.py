@@ -1119,3 +1119,65 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(e.value) * 100.0) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="§2.10 stream-static enrichment: the event stream joins the "
+        "static customer dimension INSIDE the streaming query (Spark "
+        "re-plans the static side per micro-batch; the dimension "
+        "rides as a broadcast), then aggregates per (segment, type) "
+        "— the canonical streaming-enrichment shape. AvailableNow "
+        "drains the backlog; the oracle is the batch join+aggregate.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_enrich_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    ev.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    enriched = (
+        stream.join(
+            F.broadcast(cust), stream.user_id == cust.c_custkey
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value") * 100.0)
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out).cache()
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
