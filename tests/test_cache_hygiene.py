@@ -24,6 +24,13 @@ PERSIST_HEAVY = [
     "sim_ivf_codebook_topk",
     "corpus_token_budget",
     "tc_track_json",
+    # round-4 session additions that persist: triangle counting
+    # (edges + oriented), entity clusters (CC labels), basket lift
+    # (distinct basket rows), PMI (distinct token rows)
+    "graph_triangle_count",
+    "link_entity_clusters",
+    "basket_pair_lift",
+    "text_pmi_pairs",
 ]
 
 
