@@ -1094,3 +1094,49 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------- per-label centroids
+@register(
+    "emb_label_centroids",
+    """
+    WITH e AS (
+      SELECT label, ve, generate_subscripts(ve, 1) AS dim_idx,
+             unnest(ve) AS x
+      FROM (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+      )
+    )
+    SELECT label, CAST(dim_idx - 1 AS INTEGER) AS dim_idx,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(x * 1000000.0) AS BIGINT))
+                      AS DOUBLE) / (1000000.0 * count(*)), 6) AS mean_r
+    FROM e GROUP BY label, dim_idx
+    """,
+    doc="Per-class embedding centroids (the nearest-class-mean /"
+        "prototype-classifier fit): posexplode the vectors, one "
+        "partial-agg groupBy on (label, dim). Components quantize to "
+        "integer micro-units BEFORE the sum so the reduction is "
+        "order-free, then the mean divides exact integers — identical "
+        "doubles both engines. Output is the long (label, dim) form; "
+        "k x 64 rows, broadcastable back as literals for assignment.",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    e = emb.select(
+        "label", F.posexplode("ve").alias("dim_idx", "x")
+    ).select(
+        "label",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round(F.col("x") * 1000000.0).cast("long").alias("x_micro"),
+    )
+    return e.groupBy("label", "dim_idx").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum("x_micro").cast("double")
+            / (F.lit(1000000.0) * F.count("*")),
+            6,
+        ).alias("mean_r"),
+    )
