@@ -1181,3 +1181,86 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_dlq_split",
+    """
+    WITH routed AS (
+      SELECT event_id,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       BETWEEN 10 AND 90
+                  THEN 'ok' ELSE 'dlq' END AS route,
+             CAST(round(value * 100.0) AS BIGINT) AS value_cents
+      FROM events
+    )
+    SELECT route, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value_cents) AS BIGINT) AS value_cents
+    FROM routed GROUP BY route
+    """,
+    doc="§2.10 dead-letter routing: every micro-batch validates the "
+        "JSON property contract (k in [10, 90]) and writes accepted "
+        "rows and violations to SEPARATE sinks inside one "
+        "foreachBatch — the two-sink quarantine shape that keeps bad "
+        "records out of the pipeline without dropping them. The "
+        "oracle folds the same rule over the batch table.",
+)
+def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "props", "value"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_dlq_")
+    landing = os.path.join(work, "landing")
+    ok_dir = os.path.join(work, "ok")
+    dlq_dir = os.path.join(work, "dlq")
+    ckpt = os.path.join(work, "ckpt")
+    ev.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        routed = batch.select(
+            "event_id",
+            F.get_json_object("props", "$.k")
+            .cast("long")
+            .alias("k"),
+            F.round(F.col("value") * 100.0)
+            .cast("long")
+            .alias("value_cents"),
+        ).persist()
+        try:
+            good = routed.filter(F.col("k").between(10, 90))
+            bad = routed.filter(
+                ~F.col("k").between(10, 90) | F.col("k").isNull()
+            )
+            good.write.mode("append").parquet(ok_dir)
+            bad.write.mode("append").parquet(dlq_dir)
+        finally:
+            routed.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _summarize(path: str, route: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("value_cents").cast("long").alias("value_cents"),
+            )
+            .select(F.lit(route).alias("route"), "n", "value_cents")
+        )
+
+    result = (
+        _summarize(ok_dir, "ok").unionByName(_summarize(dlq_dir, "dlq"))
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
