@@ -899,3 +899,92 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_negative"),
     )
+
+
+# ---------------------------------------------------- mode per group
+@register(
+    "a21_mode_per_user",
+    """
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC
+             ) AS rk
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """,
+    doc="Mode (most frequent value) per group with a deterministic "
+        "lexicographic tiebreak — neither engine's native mode() "
+        "defines tie order, so both sides state it as count + "
+        "keep-max: one partial-agg groupBy, then a rank over the "
+        "(user x type) frame only (bounded by the type domain).",
+)
+def a21_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _ev(spark, sf_dir).groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("mode_type"), "n"
+        )
+    )
+
+
+# --------------------------------------------- Markov transition matrix
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS from_type
+      FROM events
+    ), cnt AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ), tot AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM cnt
+      GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           CAST((c.n * 1000000) // t.row_n AS BIGINT) AS p_micro
+    FROM cnt c JOIN tot t ON t.from_type = c.from_type
+    """,
+    doc="Behavioral Markov chain: event-type transition counts from "
+        "per-user lag pairs ((ts, event_id) order), row-normalized to "
+        "exact integer micro-probabilities (pure BIGINT division — no "
+        "double, no rounding boundary). One sort per user feeds the "
+        "lag; the matrix is |types|² rows, its row totals broadcast "
+        "back. The session-flow model behind funnel diagnostics and "
+        "next-event prediction baselines.",
+)
+def events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div row_n").cast("long").alias("p_micro"),
+    )
