@@ -325,3 +325,18 @@ def test_pmi_pairs_shape(spark):
     assert "CartesianProduct" not in plan
     # the only nested loop is the 1-row corpus-total broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pq_assignment_is_expression_only(spark):
+    plan = _plan(spark, "emb_product_quantize")
+    # code assignment + reconstruction error are pure expressions over
+    # the scan — any Exchange here means the codes shuffled for nothing
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_broadcasts_query_tables(spark):
+    plan = _plan(spark, "sim_pq_adc_topk")
+    # the per-query lookup tables ride as a (tiny) broadcast against
+    # the coded corpus; no cartesian pair enumeration
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
