@@ -374,3 +374,54 @@ def j15_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp("valid_from")
         ).cast("long").alias("age_s"),
     )
+
+
+# ------------------------------------------- incremental view maintenance
+@register(
+    "ivm_incremental_agg",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Incremental view maintenance: the per-customer revenue "
+        "materialized view is kept as partial aggregates (count + "
+        "integer-cent sum) over the standing base, and a change batch "
+        "folds in by AGGREGATING THE UNION OF PARTIALS — never "
+        "rescanning the base. Because count/sum are commutative "
+        "monoids over integers, merge(base_partials, delta_partials) "
+        "is algebraically the full recompute — which is exactly what "
+        "the oracle computes, so parity PROVES the maintenance "
+        "identity. The IVM shape every incremental warehouse load "
+        "relies on; both aggs partial-combine map-side and the merge "
+        "shuffles only MV-sized rows.",
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100.0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp_ntz")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    # the maintenance step: merge partials, never rescan the base
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
