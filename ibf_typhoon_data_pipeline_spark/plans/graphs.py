@@ -492,3 +492,206 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_e = und.agg(F.count("*").cast("long").alias("n_edges"))
     n_t = tri.agg(F.count("*").cast("long").alias("n_triangles"))
     return n_e.crossJoin(n_t)
+
+
+# --------------------------------------------- personalized PageRank
+# Same Pregel iteration as graph_pagerank, but the teleport mass
+# returns to a SOURCE SET instead of spreading uniformly — the seeded
+# relevance propagation behind graph-based retrieval ("find suppliers
+# relevant to these customers"). Sources: the customers of nation 0.
+_PPR_ITERS = 4
+
+
+def _ppr_update_sql(sum_expr: str, is_src: str) -> str:
+    """Teleport mass lands only on sources; the damped spread term is
+    the same exact-integer formulation as graph_pagerank."""
+    return (
+        f"CAST(CASE WHEN {is_src} = 1 THEN {_PR_BASE_MICRO} ELSE 0 END"
+        f" + floor({_PR_DAMP} * CAST({sum_expr} AS DOUBLE) + 0.5)"
+        " AS BIGINT)"
+    )
+
+
+def _ppr_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, _PPR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT n.node, n.is_src,
+             {_ppr_update_sql('coalesce(s.s, 0)', 'n.is_src')} AS rank_micro
+      FROM n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum({prev}.rank_micro // deg.deg) AS BIGINT) AS s
+        FROM e JOIN {prev} ON {prev}.node = e.src
+               JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ", ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+      SELECT concat('c', CAST(c AS VARCHAR)) AS src,
+             concat('s', CAST(sp AS VARCHAR)) AS dst FROM pairs
+      UNION ALL
+      SELECT concat('s', CAST(sp AS VARCHAR)) AS src,
+             concat('c', CAST(c AS VARCHAR)) AS dst FROM pairs
+    ), srcs AS (
+      SELECT concat('c', CAST(c_custkey AS VARCHAR)) AS node
+      FROM customer WHERE c_nationkey = 0
+    ), n AS (
+      SELECT DISTINCT e.src AS node,
+             CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_src
+      FROM e LEFT JOIN srcs s ON s.node = e.src
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, is_src,
+             CAST(CASE WHEN is_src = 1 THEN {_PR_INIT_MICRO} ELSE 0 END
+                  AS BIGINT) AS rank_micro
+      FROM n
+    ), {chain}
+    SELECT node, rank_micro FROM {prev} WHERE rank_micro > 0
+    """
+
+
+@register(
+    "graph_personalized_pagerank",
+    _ppr_oracle(),
+    doc="Personalized PageRank: teleport mass returns ONLY to the "
+        "seed set (nation-0 customers), ranks start at zero off-seed "
+        "— after 4 damped supersteps the rank field measures "
+        "proximity to the seeds through the purchase graph (seeded "
+        "relevance propagation, the graph-retrieval primitive). Same "
+        "exact-integer Pregel iteration and unrolled-CTE oracle as "
+        "graph_pagerank; zero-rank nodes are filtered so the output "
+        "is the reachable relevance set.",
+)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    srcs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(
+                F.lit("c"), F.col("c_custkey").cast("string")
+            ).alias("node")
+        )
+    )
+    nodes = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"))
+        .join(
+            F.broadcast(srcs.withColumn("is_src", F.lit(1))),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("is_src", F.lit(0)).alias("is_src")
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = persist_tracked(edges.join(deg, "src"))
+    nodes = persist_tracked(nodes)
+    rank = nodes.select(
+        "node",
+        "is_src",
+        F.expr(
+            f"CAST(CASE WHEN is_src = 1 THEN {_PR_INIT_MICRO}"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("rank_micro"),
+    )
+    for _ in range(_PPR_ITERS):
+        sums = (
+            e.join(rank, e.src == rank.node)
+            .select("dst", F.expr("rank_micro div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        rank = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                "is_src",
+                F.expr(
+                    _ppr_update_sql("coalesce(s, 0)", "is_src")
+                ).alias("rank_micro"),
+            )
+        )
+    return rank.filter(F.col("rank_micro") > 0).select(
+        "node", "rank_micro"
+    )
+
+
+@register(
+    "sketch_distinct_by_group",
+    f"""
+    WITH hits AS (
+      SELECT event_type,
+             count(DISTINCT substr(md5(concat('lcg:',
+               CAST(user_id AS VARCHAR))), 1, 5)) AS n_hit,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_hit AS BIGINT) AS n_buckets_hit,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           {_LC_EST_SQL} AS estimated_distinct
+    FROM hits
+    """,
+    doc="Per-group linear counting: distinct users per event type via "
+        "the same 2^20-bucket md5 sketch, alongside the exact count "
+        "as yardstick. The GROUPED form is the one dashboards ship "
+        "(distinct visitors per page/day): one partial-agg pass where "
+        "only (group, bucket) pairs cross the wire — sketch accuracy "
+        "and memory are per group, so hot groups don't degrade cold "
+        "ones.",
+)
+def sketch_distinct_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    hits = ev.groupBy("event_type").agg(
+        F.countDistinct(
+            F.substring(
+                F.md5(F.concat(F.lit("lcg:"), F.col("user_id").cast("string"))),
+                1,
+                5,
+            )
+        ).alias("n_hit"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return hits.select(
+        "event_type",
+        F.col("n_hit").cast("long").alias("n_buckets_hit"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.expr(_LC_EST_SQL).alias("estimated_distinct"),
+    )
