@@ -988,3 +988,54 @@ def events_markov_transitions(
         "n",
         F.expr("(n * 1000000) div row_n").cast("long").alias("p_micro"),
     )
+
+
+# ------------------------------------------------- top session paths
+@register(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e3,
+             lag(event_type, 1) OVER w AS e2,
+             lag(event_type, 2) OVER w AS e1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, n FROM (
+      SELECT concat(e1, '>', e2, '>', e3) AS path,
+             CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (
+               ORDER BY count(*) DESC, concat(e1, '>', e2, '>', e3) ASC
+             ) AS rk
+      FROM seq WHERE e1 IS NOT NULL
+      GROUP BY e1, e2, e3
+    ) WHERE rk <= 10
+    """,
+    doc="Top-10 behavioral trigram paths (e1>e2>e3 across each user's "
+        "ordered stream): two lags share one per-user sort, the "
+        "global count groups on the |types|³-bounded path domain, and "
+        "the top-10 ranks that bounded frame only — the "
+        "path-analysis/funnel-discovery primitive.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e3"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.lag("event_type", 2).over(w).alias("e1"),
+    ).filter(F.col("e1").isNotNull())
+    counts = (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"), "n"
+        )
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+        .select("path", "n")
+    )
