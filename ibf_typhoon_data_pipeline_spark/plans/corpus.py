@@ -927,3 +927,89 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term_b").asc(),
     ).limit(_PMI_TOPK)
     return top.select("term_a", "term_b", "c_ab", "pmi_micro")
+
+
+# ------------------------------------------- simhash Hamming pairing
+# The Manku/Jain/Sarma (WWW'07) completion of the SimHash entry: band
+# the 32-bit fingerprint into 4 bytes; by pigeonhole, any pair within
+# Hamming distance 3 shares at least one band — so the band equi-join
+# is a LOSSLESS candidate generator for d <= 3, and the Hamming check
+# is its residual. XOR is spelled (a|b) - (a&b): Spark's `^` is xor
+# but DuckDB's is POWER, while `|`/`&`/bit_count agree — the identity
+# keeps the text shared.
+_SH_HAM_MAX = 1
+_SH_BANDS = 4
+_SH_HAMMING_SQL = (
+    "bit_count((sh_a | sh_b) - (sh_a & sh_b))"
+)
+
+
+@register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH sig AS ({_simhash_sql().strip()}),
+    banded AS (
+      SELECT doc_id, simhash,
+             CAST((simhash // CAST(power(256, k) AS BIGINT)) % 256
+                  AS INTEGER) AS band_val,
+             k AS band_k
+      FROM sig CROSS JOIN unnest([0, 1, 2, 3]) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band_k = b.band_k AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST({_SH_HAMMING_SQL} AS INTEGER) AS hamming
+    FROM cand
+    WHERE {_SH_HAMMING_SQL} <= {_SH_HAM_MAX}
+    """,
+    doc=f"SimHash near-dup pairing (Manku et al. WWW'07): 32-bit "
+        f"fingerprints banded into {_SH_BANDS} bytes; pairs sharing a "
+        "band are the candidates (pigeonhole: LOSSLESS for Hamming "
+        f"<= {_SH_HAM_MAX}), the popcount check rides as the join "
+        "residual. Pair space is Σ band-bucket², never n²; the "
+        "fingerprint computation is shared with dedup_simhash.",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dd.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    ks = sig.sparkSession.range(_SH_BANDS).select(
+        F.col("id").cast("int").alias("band_k")
+    )
+    banded = sig.crossJoin(F.broadcast(ks)).select(
+        "doc_id",
+        "simhash",
+        "band_k",
+        F.expr(
+            "CAST((simhash div CAST(power(256, band_k) AS BIGINT)) % 256"
+            " AS INT)"
+        ).alias("band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_k",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_k",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_k", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr(_SH_HAMMING_SQL).cast("int")
+        )
+        .filter(F.col("hamming") <= _SH_HAM_MAX)
+        .select("id_a", "id_b", "hamming")
+    )
