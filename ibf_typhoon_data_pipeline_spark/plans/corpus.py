@@ -1013,3 +1013,72 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SH_HAM_MAX)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------- per-doc entropy gate
+# Unigram self-entropy: H = ln(n) - (1/n)·Σ c_t·ln(c_t) over the
+# document's own token counts — algebraically -Σ p·ln p but with every
+# input an integer, so the only doubles are ln() of identical
+# integers. Low entropy = repetitive/templated text; the quality gate
+# complements the Gopher repetition signals with an information-
+# theoretic one.
+_ENTROPY_SQL = (
+    "CAST(floor(1000000.0 * (ln(CAST(n_tokens AS DOUBLE))"
+    " - CAST(sum_clnc_micro AS DOUBLE) / (1000000.0"
+    " * CAST(n_tokens AS DOUBLE))) + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "text_unigram_entropy",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      FROM tk GROUP BY doc_id, term
+    ), agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(floor(1000000.0 * CAST(c AS DOUBLE)
+                    * ln(CAST(c AS DOUBLE)) + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_clnc_micro
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, {_ENTROPY_SQL} AS entropy_micro_nats
+    FROM agg
+    """,
+    doc="Per-document unigram entropy in integer micro-nats: "
+        "H = ln n − (Σ c·ln c)/n from the doc's own token counts — "
+        "every c·ln c term quantizes to integer micro-units BEFORE "
+        "the per-doc sum (order-free), the outer expression is one "
+        "shared text. Low entropy flags templated/repetitive docs — "
+        "the information-theoretic quality gate next to the Gopher "
+        "repetition ratios; one exploded partial-agg per doc.",
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), " +")).alias("term"),
+    )
+    tf = tk.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(c AS DOUBLE)"
+                " * ln(CAST(c AS DOUBLE)) + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("sum_clnc_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(_ENTROPY_SQL).alias("entropy_micro_nats"),
+    )
