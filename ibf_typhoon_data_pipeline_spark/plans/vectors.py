@@ -1140,3 +1140,81 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_r"),
     )
+
+
+# ------------------------------------------------------- whitening
+# Per-dimension standardization (the feature-scaling step before any
+# distance-based model): dimension stats come from ONE posexplode
+# groupBy as integer micro-sums (order-free), broadcast back as a
+# 64-row frame, and each component's z-score squared quantizes to
+# integer micro-units before the per-vector sum — the output is each
+# vector's whitened squared norm (expected ~ dim for unit-variance
+# data), exact in both engines.
+_WH_MEAN_SQL = (
+    "(CAST(s1_micro AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)))"
+)
+_WH_STD_SQL = (
+    "sqrt(CAST(s2_pico AS DOUBLE) / (1000000000000.0 * CAST(n AS DOUBLE))"
+    f" - {_WH_MEAN_SQL} * {_WH_MEAN_SQL})"
+)
+_WH_Z2_SQL = (
+    f"CAST(floor(1000000.0 * ((x - {_WH_MEAN_SQL}) / {_WH_STD_SQL})"
+    f" * ((x - {_WH_MEAN_SQL}) / {_WH_STD_SQL}) + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "emb_whiten_norm",
+    f"""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(ve, 1) - 1 AS dim_idx,
+             unnest(ve) AS x
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+      )
+    ), stats AS (
+      SELECT dim_idx, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS s1_micro,
+             CAST(sum(CAST(round(x * x * 1000000000000.0) AS BIGINT))
+                  AS BIGINT) AS s2_pico
+      FROM e GROUP BY dim_idx
+    )
+    SELECT e.vec_id,
+           CAST(sum({_WH_Z2_SQL}) AS BIGINT) AS znorm2_micro
+    FROM e JOIN stats ON stats.dim_idx = e.dim_idx
+    GROUP BY e.vec_id
+    """,
+    doc="Whitening / per-dimension standardization: dim means and "
+        "stds from one posexplode partial-agg of integer micro-sums "
+        "(population variance, order-free), broadcast back as a "
+        "64-row stats frame; each vector reports its whitened squared "
+        "norm with per-component z² quantized to integer micro-units "
+        "before the sum. The feature-scaling pass every distance-"
+        "based model needs; nothing driver-side, stats frame is "
+        "dim-bounded at any SF.",
+)
+def emb_whiten_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    e = emb.select("vec_id", F.posexplode("ve").alias("dim_idx", "x"))
+    stats = e.groupBy("dim_idx").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("x") * 1000000.0).cast("long"))
+        .cast("long")
+        .alias("s1_micro"),
+        F.sum(
+            F.round(F.col("x") * F.col("x") * 1000000000000.0).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("s2_pico"),
+    )
+    return (
+        e.join(F.broadcast(stats), "dim_idx")
+        .select("vec_id", F.expr(_WH_Z2_SQL).alias("z2_micro"))
+        .groupBy("vec_id")
+        .agg(F.sum("z2_micro").cast("long").alias("znorm2_micro"))
+    )
