@@ -775,3 +775,65 @@ def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") * _TRI_SCALE).cast("long").alias("n_triangles_est"),
     )
     return n_e.crossJoin(n_t)
+
+
+@register(
+    "sketch_distinct_mergeable",
+    f"""
+    WITH buckets AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS half,
+             substr(md5(concat('lcm:', CAST(user_id AS STRING))), 1, 5)
+               AS bucket
+      FROM events
+    ), merged AS (
+      SELECT count(DISTINCT bucket) AS n_hit FROM buckets
+    ), halves AS (
+      SELECT half, count(DISTINCT bucket) AS n_hit_half
+      FROM buckets GROUP BY half
+    )
+    SELECT CAST((SELECT n_hit FROM merged) AS BIGINT) AS n_buckets_union,
+           CAST((SELECT sum(n_hit_half) FROM halves) AS BIGINT)
+             AS n_buckets_summed,
+           {_LC_EST_SQL.replace('n_hit', '(SELECT n_hit FROM merged)')}
+             AS estimated_distinct
+    FROM merged
+    """,
+    doc="Sketch mergeability: the linear-counting bitmap of a UNION "
+        "is the union of the per-shard bitmaps (bucket sets OR "
+        "together losslessly), so two shards sketched independently "
+        "merge into exactly the sketch of the whole — the algebraic "
+        "property that lets 1000 executors sketch locally and merge "
+        "one bitmap each. The entry computes the merged estimate from "
+        "per-half bucket sets and exposes the naive sum of per-half "
+        "hits as the overcount yardstick; the oracle computes the "
+        "same identity directly.",
+)
+def sketch_distinct_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    buckets = ev.select(
+        (F.col("event_id") % 2 == 0).cast("int").alias("half_is_even"),
+        F.substring(
+            F.md5(F.concat(F.lit("lcm:"), F.col("user_id").cast("string"))),
+            1,
+            5,
+        ).alias("bucket"),
+    )
+    # per-shard sketches (the distributed step)...
+    halves = buckets.groupBy("half_is_even").agg(
+        F.countDistinct("bucket").alias("n_hit_half")
+    )
+    # ...merge = distinct over the union of bucket sets
+    merged = buckets.select("bucket").distinct().agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    summed = halves.agg(
+        F.sum("n_hit_half").cast("long").alias("n_buckets_summed")
+    )
+    return (
+        merged.crossJoin(summed)
+        .select(
+            F.col("n_hit").cast("long").alias("n_buckets_union"),
+            "n_buckets_summed",
+            F.expr(_LC_EST_SQL).alias("estimated_distinct"),
+        )
+    )
