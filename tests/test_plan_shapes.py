@@ -178,10 +178,12 @@ def test_range_join_is_bucketed_hash_join(spark):
 
 
 def test_pagerank_supersteps_are_equi_joins(spark):
-    plan = _plan(spark, "graph_pagerank")
-    # every superstep is rank⋈edges by key — never a pair enumeration
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for name in ("graph_pagerank", "graph_personalized_pagerank"):
+        plan = _plan(spark, name)
+        # every superstep is rank⋈edges by key — never a pair
+        # enumeration
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_zorder_key_is_shuffle_free_codegen(spark):
