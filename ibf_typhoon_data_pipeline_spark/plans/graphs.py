@@ -837,3 +837,60 @@ def sketch_distinct_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_LC_EST_SQL).alias("estimated_distinct"),
         )
     )
+
+
+# --------------------------------------------- zone-map layout stats
+@register(
+    "layout_zone_maps",
+    """
+    WITH keyed AS (
+      SELECT CAST((instr('0123456789abcdef',
+               substr(md5(concat('zm:', CAST(l_orderkey AS STRING))),
+                      1, 1)) - 1) AS INTEGER) AS file_bucket,
+             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+             l_shipdate
+      FROM lineitem
+    )
+    SELECT file_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(max(price_cents) AS BIGINT) AS max_price_cents,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
+    FROM keyed GROUP BY file_bucket
+    """,
+    doc="Zone maps (file-skipping manifest stats): per write-bucket "
+        "min/max/count for the pruning columns — the metadata a "
+        "lakehouse manifest keeps so scans can skip whole files on "
+        "range predicates. Buckets are a deterministic md5 nibble of "
+        "the write key (16 'files'); one partial-agg pass produces "
+        "the manifest, the same shuffle shape the real writer's "
+        "per-file statistics collection has. Companion to "
+        "layout_zorder_key, whose test proves the skipping pays off.",
+)
+def layout_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    keyed = li.select(
+        F.expr(
+            "CAST((instr('0123456789abcdef',"
+            " substr(md5(concat('zm:', CAST(l_orderkey AS STRING))),"
+            " 1, 1)) - 1) AS INT)"
+        ).alias("file_bucket"),
+        F.round(F.col("l_extendedprice") * 100.0)
+        .cast("long")
+        .alias("price_cents"),
+        "l_shipdate",
+    )
+    return keyed.groupBy("file_bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("price_cents").cast("long").alias("min_price_cents"),
+        F.max("price_cents").cast("long").alias("max_price_cents"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias(
+            "min_shipdate"
+        ),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias(
+            "max_shipdate"
+        ),
+    )

@@ -1136,3 +1136,42 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue_cents").desc(), F.col("n_name").asc())
     )
+
+
+# ------------------------------------------------- salted skew join
+@register(
+    "j16_salted_skew_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Skew-robust equi-join as a catalog entry: the fact side "
+        "carries a deterministic xxhash64 row salt, the dimension "
+        "side explodes once per salt value, and the join key becomes "
+        "(key, salt) — a hot order key's rows spread over n_salts "
+        "shuffle partitions instead of one straggler "
+        "(operators/skew.salted_join, n_salts=8). Values are "
+        "provably identical to the plain join — which is exactly "
+        "what the oracle computes.",
+)
+def j16_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"),
+        F.round(F.col("l_extendedprice") * 100.0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("price_cents").cast("long").alias("revenue_cents"),
+    )
