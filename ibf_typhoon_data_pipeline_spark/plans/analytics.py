@@ -1039,3 +1039,52 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("path", "n")
     )
+
+
+# ------------------------------------------ equi-depth histogram
+_ED_BINS = 8
+
+
+@register(
+    "sketch_equidepth_bounds",
+    f"""
+    WITH q AS (
+      SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+               [{", ".join(f"CAST({i} AS DOUBLE) / {_ED_BINS}.0"
+                           for i in range(_ED_BINS + 1))}]) AS edges
+      FROM lineitem
+    )
+    SELECT bin_idx,
+           round(edges[bin_idx + 1], 6) AS lo,
+           round(edges[bin_idx + 2], 6) AS hi
+    FROM q CROSS JOIN
+      unnest([{", ".join(str(i) for i in range(_ED_BINS))}]) AS t(bin_idx)
+    """,
+    doc=f"Equi-depth histogram bounds: the {_ED_BINS} quantile-spaced "
+        "bin edges of l_extendedprice (exact interpolated "
+        "percentiles, 6dp) — the statistics a range partitioner or "
+        "CBO histogram needs, where the equi-WIDTH "
+        "sketch_quantile_histogram answers the inverse question. "
+        "Exact per-group quantiles sort once; at corpus scale the "
+        "histogram sketch feeds approximate bounds instead, this "
+        "entry is the exact yardstick.",
+)
+def sketch_equidepth_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price")
+    )
+    # Spark's percentile() needs FOLDABLE percentages: one agg over a
+    # literal array of the bin-edge fractions, then the tiny edge
+    # array fans out over the literal bin ids
+    qs = ", ".join(
+        f"CAST({i} AS DOUBLE) / {_ED_BINS}.0" for i in range(_ED_BINS + 1)
+    )
+    edges = li.agg(F.expr(f"percentile(price, array({qs}))").alias("q"))
+    bins = spark.range(_ED_BINS).select(
+        F.col("id").cast("int").alias("bin_idx")
+    )
+    return edges.crossJoin(F.broadcast(bins)).select(
+        "bin_idx",
+        F.round(F.element_at("q", F.col("bin_idx") + 1), 6).alias("lo"),
+        F.round(F.element_at("q", F.col("bin_idx") + 2), 6).alias("hi"),
+    )

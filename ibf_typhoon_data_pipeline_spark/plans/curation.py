@@ -1025,3 +1025,43 @@ def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("rn div 8").cast("long").alias("batch_in_shard"),
         (F.col("rn") % 8).cast("long").alias("pos_in_batch"),
     )
+
+
+# ---------------------------------------- cross-source dup matrix
+@register(
+    "corpus_cross_source_dups",
+    """
+    WITH d AS (
+      SELECT source, md5(text) AS digest FROM documents
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(DISTINCT a.digest) AS BIGINT) AS n_shared
+      FROM d a JOIN d b
+        ON a.digest = b.digest AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_shared FROM pairs
+    """,
+    doc="Cross-source duplication matrix: for every source pair, how "
+        "many distinct document digests appear in both — the "
+        "provenance diagnostic that decides which feeds to "
+        "deduplicate against which (and surfaces wholesale mirror "
+        "feeds). The digest equi-join is the same inverted-index "
+        "shape as exact dedup; the matrix is |sources|²-bounded.",
+)
+def corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("digest")
+    )
+    a = d.select(
+        F.col("source").alias("source_a"), F.col("digest")
+    )
+    b = d.select(
+        F.col("source").alias("source_b"), F.col("digest")
+    )
+    return (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("digest").cast("long").alias("n_shared"))
+    )
