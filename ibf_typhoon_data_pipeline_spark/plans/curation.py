@@ -1032,7 +1032,11 @@ def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_cross_source_dups",
     """
     WITH d AS (
-      SELECT source, md5(text) AS digest FROM documents
+      SELECT source,
+             md5(array_to_string(
+               (string_split_regex(trim(text), ' +'))[1:3], ' '))
+               AS digest
+      FROM documents
     ), pairs AS (
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(count(DISTINCT a.digest) AS BIGINT) AS n_shared
@@ -1043,15 +1047,21 @@ def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source_a, source_b, n_shared FROM pairs
     """,
     doc="Cross-source duplication matrix: for every source pair, how "
-        "many distinct document digests appear in both — the "
-        "provenance diagnostic that decides which feeds to "
-        "deduplicate against which (and surfaces wholesale mirror "
-        "feeds). The digest equi-join is the same inverted-index "
+        "many distinct head fingerprints (md5 of the first 3 tokens "
+        "— the template/boilerplate key; swap in the full-text "
+        "digest for exact mirrors) appear in both — the provenance "
+        "diagnostic that decides which feeds to deduplicate against "
+        "which. The fingerprint equi-join is the same inverted-index "
         "shape as exact dedup; the matrix is |sources|²-bounded.",
 )
 def corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
-        "source", F.md5("text").alias("digest")
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.trim("text"), " +"), 1, 3), " "
+            )
+        ).alias("digest"),
     )
     a = d.select(
         F.col("source").alias("source_a"), F.col("digest")
