@@ -1218,3 +1218,106 @@ def emb_whiten_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("z2_micro").cast("long").alias("znorm2_micro"))
     )
+
+
+# ------------------------------------------------- kNN classification
+_KNN_NQ = 32
+_KNN_K = 5
+
+
+@register(
+    "ml_knn_classify",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             n.vec_id AS neighbor_id, n.label AS n_label,
+             round(list_cosine_similarity(q.ve, n.ve), 6) AS cos_r
+      FROM v q JOIN v n ON n.vec_id <> q.vec_id
+      WHERE q.vec_id < {_KNN_NQ}
+    ), topk AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id ASC
+        ) AS rn FROM pairs
+      ) WHERE rn <= {_KNN_K}
+    ), votes AS (
+      SELECT query_id, true_label, n_label AS pred_label,
+             CAST(count(*) AS BIGINT) AS votes
+      FROM topk GROUP BY query_id, true_label, n_label
+    )
+    SELECT query_id, true_label, pred_label, votes FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, pred_label ASC
+      ) AS rk FROM votes
+    ) WHERE rk = 1
+    """,
+    doc=f"k-NN classification (k={_KNN_K}, cosine): each of "
+        f"{_KNN_NQ} query vectors takes the majority label of its "
+        "nearest neighbors (ties: smallest label), reported next to "
+        "the true label — the leave-one-out eval loop of every "
+        "embedding-quality check. Queries ride as a broadcast "
+        "against the corpus scan; the vote is a bounded groupBy over "
+        "k rows per query.",
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    base = v.select(
+        "vec_id", "label", "__v", l2_norm(F.col("__v")).alias("__n")
+    )
+    q = base.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    pairs = base.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.round(
+            dot(F.col("__qv"), F.col("__v"))
+            / (F.col("__qn") * F.col("__n")),
+            6,
+        ).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "true_label", "n_label")
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "votes",
+        )
+    )
