@@ -1075,3 +1075,108 @@ def corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.countDistinct("digest").cast("long").alias("n_shared"))
     )
+
+
+# -------------------------------------------- training-data flagship
+@register(
+    "pipeline_training_manifest",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SPLIT_SQL} AS split FROM documents
+    ), q AS (
+      SELECT doc_id,
+        (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END) >= 10
+              THEN 1 ELSE 0 END
+         + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / greatest(length(text), 1) < 0.2
+                THEN 1 ELSE 0 END) >= 2 AS quality_keep
+      FROM documents
+    ), reps AS (
+      SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+    ), tr AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle
+      FROM base WHERE split = 'train'
+    ), te AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle
+      FROM base WHERE split = 'test'
+    ), contaminated AS (
+      SELECT DISTINCT train_id AS doc_id FROM (
+        SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+               count(*) AS n_shared
+        FROM tr JOIN te ON tr.shingle = te.shingle
+        GROUP BY 1, 2
+      ) WHERE n_shared >= 4
+    ), kept AS (
+      SELECT b.doc_id, b.text FROM base b
+      JOIN q ON q.doc_id = b.doc_id
+      LEFT JOIN reps ON reps.keep_id = b.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = b.doc_id
+      WHERE b.split = 'train' AND q.quality_keep
+        AND reps.keep_id IS NOT NULL AND c.doc_id IS NULL
+    ), sized AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens,
+             md5(concat('shuf:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+      FROM kept WHERE length(trim(text)) > 0
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM sized
+    )
+    SELECT CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY 1
+    """,
+    doc="The training-data flagship: curation funnel (split + quality "
+        "+ exact-dup election + decontamination, the same fragments "
+        "as corpus_curation_funnel) keeps the clean TRAIN documents, "
+        "which then pack into fixed 2048-token sequences (the same "
+        "deterministic shuffle + range-bucketed running sum as "
+        "corpus_sequence_pack) — emitting the per-sequence manifest "
+        "(docs started, tokens) a dataloader shards by. The LLM "
+        "analog of pipeline_triggers: every stage is an "
+        "independently-oracled catalog entry composed into ONE "
+        "declarative plan.",
+)
+def pipeline_training_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    funnel = corpus_curation_funnel(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = (
+        funnel.filter(
+            (F.col("split") == "train") & F.col("final_keep")
+        )
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(dd.split_words(F.col("text"))).alias("n_tokens"),
+            F.md5(
+                F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+            ).alias("shuffle_key"),
+        )
+    )
+    packed = global_running_sum(
+        kept,
+        ["shuffle_key", "doc_id"],
+        "n_tokens",
+        "cum_tokens",
+        bucket=_md5_prefix_bucket("shuffle_key"),
+    ).withColumn("start_offset", F.col("cum_tokens") - F.col("n_tokens"))
+    return (
+        packed.select(
+            F.expr("start_offset div 2048").cast("long").alias("seq_id"),
+            "n_tokens",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
