@@ -87,3 +87,28 @@ def test_funnel_bits_equal_standalone_verdicts(spark):
     assert agg["n"] == n_docs  # the joins lost/duplicated nobody
     for c in ("split_ok", "dedup_ok", "contam_ok", "quality_ok", "final_ok"):
         assert agg[c] == n_docs, f"{c}: {agg[c]}/{n_docs} rows agree"
+
+
+def test_training_manifest_totals_match_funnel_kept_docs(spark):
+    """The flagship's packed token total must equal the token count of
+    exactly the funnel's kept train docs — guards drift between the
+    composed plan and its stages."""
+    from pyspark.sql import functions as F
+
+    from ibf_typhoon_data_pipeline_spark import plans
+    from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    manifest = plans.QUERIES["pipeline_training_manifest"].fn(spark, sf)
+    total_packed = manifest.agg(F.sum("n_tokens")).first()[0]
+
+    funnel = plans.QUERIES["corpus_curation_funnel"].fn(spark, sf)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    kept_tokens = (
+        funnel.filter((F.col("split") == "train") & F.col("final_keep"))
+        .join(docs, "doc_id")
+        .filter(F.length(F.trim("text")) > 0)
+        .agg(F.sum(F.size(F.split(F.trim("text"), " +"))))
+        .first()[0]
+    )
+    assert total_packed == kept_tokens and total_packed > 0
