@@ -77,6 +77,8 @@ HEADLINE = [
     "link_fuzzy_blocked",
     "cdc_merge_upsert",
     "events_rolling_1h",
+    # the LLM flagship: funnel -> packing manifest in one plan
+    "pipeline_training_manifest",
 ]
 
 
