@@ -1264,3 +1264,80 @@ def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "scan_jsonl_badrecords",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS is_bad,
+             CAST(round(value * 100.0) AS BIGINT) AS value_cents
+      FROM events
+    )
+    SELECT CASE WHEN is_bad = 1 THEN 'corrupt' ELSE 'parsed' END
+             AS record_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN is_bad = 0 THEN value_cents
+                         ELSE 0 END) AS BIGINT) AS value_cents
+    FROM lines GROUP BY 1
+    """,
+    doc="S6 schema-on-read resilience: events re-landed as JSONL with "
+        "every 10th line deliberately truncated mid-record; the scan "
+        "reads with an EXPLICIT schema in PERMISSIVE mode and a "
+        "columnNameOfCorruptRecord quarantine column, so malformed "
+        "lines surface as rows instead of failing the job — the "
+        "ingest contract every semi-structured feed needs. Output is "
+        "the per-class count + the value total over parsed rows; the "
+        "oracle classifies by the same corruption rule.",
+)
+def scan_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_jsonl_")
+    path = os.path.join(work, "events.jsonl")
+    # land as JSONL with every 10th line truncated mid-record — the
+    # corruption is applied IN-ENGINE (text-format write, no driver
+    # materialization of the fact table)
+    j = F.to_json(F.struct("event_id", "value"))
+    ev.select(
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.substring(j, 1, 20),
+        )
+        .otherwise(j)
+        .alias("value")
+    ).write.mode("overwrite").text(path)
+
+    schema = (
+        "event_id LONG, value DOUBLE, _corrupt_record STRING"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    out = (
+        parsed.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("parsed")
+            .alias("record_class"),
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.round(F.col("value") * 100.0).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("value_cents"),
+        )
+        .groupBy("record_class")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+        .cache()
+    )
+    out.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
