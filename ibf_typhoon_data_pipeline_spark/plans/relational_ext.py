@@ -1175,3 +1175,49 @@ def j16_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.sum("price_cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ------------------------------------------------- safe-cast ladder
+@register(
+    "f21_try_cast_ladder",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(TRY_CAST(split_part(o_orderpriority, '-', 1)
+                    AS BIGINT)) AS BIGINT) AS priority_rank,
+           CAST(sum(CASE WHEN TRY_CAST(split_part(o_orderpriority, '-', 2)
+                              AS BIGINT) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsable_suffix
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Safe-cast semantics (F-family completion): TRY_CAST parses "
+        "the numeric prefix of '1-URGENT'-style codes and returns "
+        "NULL (never an error) on the alphabetic suffix — the "
+        "malformed-value accounting both engines share token-for-"
+        "token. The dirty-data sibling of the corrupt-record scan: "
+        "bad VALUES quarantine as NULLs where bad RECORDS quarantine "
+        "as rows.",
+)
+def f21_try_cast_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(
+            F.expr(
+                "TRY_CAST(split_part(o_orderpriority, '-', 1) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("priority_rank"),
+        F.sum(
+            F.when(
+                F.expr(
+                    "TRY_CAST(split_part(o_orderpriority, '-', 2)"
+                    " AS BIGINT)"
+                ).isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_unparsable_suffix"),
+    )
