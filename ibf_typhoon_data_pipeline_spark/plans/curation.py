@@ -1180,3 +1180,178 @@ def pipeline_training_manifest(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------- naive Bayes classifier
+# Multinomial naive Bayes over the documents table: fit on the md5
+# train split (class = lang), score the held-out docs fully in-plan.
+# The fit IS two groupBy count tables — per-(class, token) counts and
+# per-class doc counts — i.e. integer sufficient statistics, so both
+# engines derive bitwise-identical models with nothing collected to
+# the driver. Per-token add-1-smoothed log-likelihoods quantize to
+# integer micro-nats BEFORE the per-(doc, class) sum (order-free exact
+# reduction, the text_lm_logprob invariant); argmax uses a
+# deterministic (score DESC, lang ASC) tiebreak.
+_NB_LP_MICRO_SQL = (
+    "CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(t_l + v AS DOUBLE)) "
+    "* 1000000.0) AS BIGINT)"
+)
+_NB_PRIOR_MICRO_SQL = (
+    "CAST(round(ln(CAST(d_l AS DOUBLE) / CAST(d_all AS DOUBLE)) "
+    "* 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "ml_naive_bayes",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text, {_SPLIT_SQL} AS split
+      FROM documents WHERE length(trim(text)) > 0
+    ), tok_tr AS (
+      SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM docs WHERE split = 'train'
+    ), cls_tok AS (
+      SELECT lang, tok, count(*) AS c FROM tok_tr GROUP BY lang, tok
+    ), cls_tot AS (
+      SELECT lang, sum(c) AS t_l FROM cls_tok GROUP BY lang
+    ), vocab AS (
+      SELECT count(DISTINCT tok) AS v FROM tok_tr
+    ), prior AS (
+      SELECT lang, count(*) AS d_l FROM docs WHERE split = 'train'
+      GROUP BY lang
+    ), prior_tot AS (
+      SELECT sum(d_l) AS d_all FROM prior
+    ), tok_te AS (
+      SELECT doc_id, lang AS actual_lang,
+             unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM docs WHERE split <> 'train'
+    ), scored2 AS (
+      SELECT t.doc_id, t.actual_lang, ct.lang AS cand_lang,
+             coalesce(k.c, 0) AS c, ct.t_l, vocab.v
+      FROM tok_te t
+      CROSS JOIN cls_tot ct
+      CROSS JOIN vocab
+      LEFT JOIN cls_tok k
+        ON k.lang = ct.lang AND k.tok = t.tok
+    ), doc_scores AS (
+      SELECT s.doc_id, s.actual_lang, s.cand_lang,
+             CAST(sum({_NB_LP_MICRO_SQL}) AS BIGINT)
+               + max(pm.prior_micro) AS score_micro
+      FROM scored2 s
+      JOIN (
+        SELECT p.lang, {_NB_PRIOR_MICRO_SQL} AS prior_micro
+        FROM prior p CROSS JOIN prior_tot
+      ) pm ON pm.lang = s.cand_lang
+      GROUP BY s.doc_id, s.actual_lang, s.cand_lang
+    ), ranked AS (
+      SELECT doc_id, actual_lang, cand_lang AS pred_lang, score_micro,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micro DESC, cand_lang ASC
+             ) AS rn
+      FROM doc_scores
+    )
+    SELECT doc_id, actual_lang, pred_lang, score_micro,
+           CAST(CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END
+                AS BIGINT) AS is_correct
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Multinomial naive Bayes (add-1 smoothing): class-conditional "
+        "token counts + class priors are TWO partial-agg groupBys — "
+        "integer sufficient statistics, vocabulary×classes-sized, "
+        "broadcast to the scoring join at any corpus scale. Scoring "
+        "expands the held-out token stream by |classes| (bounded "
+        "factor), sums micro-nat-quantized log-likelihoods exactly, "
+        "and argmaxes with a deterministic tiebreak. No driver-side "
+        "model state; the 'model' is a DataFrame.",
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", "text", _split_col().alias("split"))
+    )
+    train = docs.filter(F.col("split") == "train")
+    tok_tr = train.select(
+        "lang", F.explode(dd.split_words(F.col("text"))).alias("tok")
+    )
+    cls_tok = tok_tr.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    cls_tot = cls_tok.groupBy("lang").agg(F.sum("c").alias("t_l"))
+    vocab = tok_tr.select("tok").distinct().agg(
+        F.count("*").alias("v")
+    )
+    prior = train.groupBy("lang").agg(F.count("*").alias("d_l"))
+    prior_tot = prior.agg(F.sum("d_l").alias("d_all"))
+    prior_micro = (
+        prior.crossJoin(F.broadcast(prior_tot))
+        .select("lang", F.expr(_NB_PRIOR_MICRO_SQL).alias("prior_micro"))
+    )
+
+    tok_te = docs.filter(F.col("split") != "train").select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.explode(dd.split_words(F.col("text"))).alias("tok"),
+    )
+    cand = cls_tot.select(
+        F.col("lang").alias("cand_lang"), "t_l"
+    )
+    scored = (
+        tok_te.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(
+                cls_tok.select(
+                    F.col("lang").alias("cand_lang"),
+                    F.col("tok").alias("tok"),
+                    "c",
+                )
+            ),
+            ["cand_lang", "tok"],
+            "left",
+        )
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .select(
+            "doc_id",
+            "actual_lang",
+            "cand_lang",
+            F.expr(_NB_LP_MICRO_SQL).alias("lp_micro"),
+        )
+    )
+    doc_scores = (
+        scored.groupBy("doc_id", "actual_lang", "cand_lang")
+        .agg(F.sum("lp_micro").cast("long").alias("ll_micro"))
+        .join(
+            F.broadcast(
+                prior_micro.select(
+                    F.col("lang").alias("cand_lang"), "prior_micro"
+                )
+            ),
+            "cand_lang",
+        )
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("cand_lang").alias("pred_lang"),
+            (F.col("ll_micro") + F.col("prior_micro")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("pred_lang").asc()
+    )
+    return (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual_lang",
+            "pred_lang",
+            "score_micro",
+            F.when(F.col("pred_lang") == F.col("actual_lang"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_correct"),
+        )
+    )
