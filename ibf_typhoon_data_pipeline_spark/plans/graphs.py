@@ -894,3 +894,144 @@ def layout_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_shipdate"
         ),
     )
+
+
+# ------------------------------------------------- multi-source BFS
+# Shortest hop count from a seed set, the frontier-expansion primitive
+# (reachability, influence radius, taint propagation). Pregel min-plus
+# shape: each superstep is ONE dist⋈edge equi-join + a partial-agg min
+# by destination + a left join back onto the node set — exact integer
+# hop counts, so both engines agree bitwise and the oracle unrolls the
+# supersteps as CTEs (the repo's unrolled-iteration invariant). Nodes
+# not reached within the superstep budget report hop = -1.
+_BFS_ITERS = 4
+# NULL-aware min(dist, candidate): spelled explicitly because Spark and
+# DuckDB `least` differ on NULL handling across versions.
+_BFS_MIN_SQL = (
+    "CASE WHEN d IS NULL THEN nd WHEN nd IS NULL THEN d "
+    "WHEN nd < d THEN nd ELSE d END"
+)
+
+
+def _bfs_oracle() -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, _BFS_ITERS + 1):
+        steps.append(
+            f"""d{i} AS (
+      SELECT n.node,
+             CASE WHEN {prev}.hop IS NULL THEN u.nd
+                  WHEN u.nd IS NULL THEN {prev}.hop
+                  WHEN u.nd < {prev}.hop THEN u.nd
+                  ELSE {prev}.hop END AS hop
+      FROM n JOIN {prev} ON {prev}.node = n.node
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(min(p.hop + 1) AS BIGINT) AS nd
+        FROM e JOIN {prev} p ON p.node = e.src
+        WHERE p.hop IS NOT NULL
+        GROUP BY e.dst
+      ) u ON u.node = n.node
+    )"""
+        )
+        prev = f"d{i}"
+    chain = ", ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+      SELECT concat('c', CAST(c AS VARCHAR)) AS src,
+             concat('s', CAST(sp AS VARCHAR)) AS dst FROM pairs
+      UNION ALL
+      SELECT concat('s', CAST(sp AS VARCHAR)) AS src,
+             concat('c', CAST(c AS VARCHAR)) AS dst FROM pairs
+    ), n AS (
+      SELECT DISTINCT src AS node FROM e
+    ), seeds AS (
+      SELECT DISTINCT concat('s', CAST(s_suppkey AS VARCHAR)) AS node
+      FROM supplier WHERE s_nationkey < 3
+    ), d0 AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN CAST(0 AS BIGINT) END
+               AS hop
+      FROM n LEFT JOIN seeds s ON s.node = n.node
+    ), {chain}
+    SELECT node, CAST(coalesce(hop, -1) AS BIGINT) AS hop FROM {prev}
+    """
+
+
+@register(
+    "graph_bfs_hops",
+    _bfs_oracle(),
+    doc=f"Multi-source BFS ({_BFS_ITERS} supersteps) on the "
+        "symmetrized customer-supplier purchase graph, seeded by "
+        "suppliers in nations 0-2: per superstep one frontier⋈edge "
+        "equi-join + partial-agg min by destination — the Pregel "
+        "min-plus shape with edges persisted once, nothing on the "
+        "driver. Hop counts are exact integers; unreached nodes "
+        "report -1. Oracle unrolls the supersteps as CTEs.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = persist_tracked(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+    )
+    nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 3)
+        .select(
+            F.concat(
+                F.lit("s"), F.col("s_suppkey").cast("string")
+            ).alias("node")
+        )
+        .distinct()
+        .withColumn("is_seed", F.lit(1))
+    )
+    dist = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node",
+        F.when(F.col("is_seed").isNotNull(), F.lit(0))
+        .cast("long")
+        .alias("hop"),
+    )
+    for _ in range(_BFS_ITERS):
+        frontier = dist.filter(F.col("hop").isNotNull()).select(
+            F.col("node").alias("src"), F.col("hop")
+        )
+        upd = (
+            edges.join(frontier, "src")
+            .groupBy("dst")
+            .agg((F.min("hop") + 1).cast("long").alias("nd"))
+        )
+        dist = (
+            dist.join(upd, dist.node == upd.dst, "left")
+            .select(
+                "node",
+                F.col("hop").alias("d"),
+                "nd",
+            )
+            .select("node", F.expr(_BFS_MIN_SQL).cast("long").alias("hop"))
+        )
+    return dist.select(
+        "node", F.coalesce("hop", F.lit(-1)).cast("long").alias("hop")
+    )
