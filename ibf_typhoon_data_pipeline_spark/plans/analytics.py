@@ -1088,3 +1088,109 @@ def sketch_equidepth_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("q", F.col("bin_idx") + 1), 6).alias("lo"),
         F.round(F.element_at("q", F.col("bin_idx") + 2), 6).alias("hi"),
     )
+
+
+# --------------------------------------------------- A/B test z-score
+# Experiment analysis: users hash-assigned to variants (the same
+# deterministic md5 assignment a production experimentation layer
+# uses), per-user conversion = any 'purchase' event, then a two-sample
+# pooled-proportion z-statistic. The per-variant counts are exact
+# BIGINTs from one partial-agg groupBy (HUGEINT-cast guarded per the
+# round-4 rule); the z formula is shared SQL text evaluated on those
+# identical integers, rounded 6dp.
+_AB_POOL_SQL = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+_AB_Z_SQL = (
+    "round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) "
+    "- CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) "
+    f"/ sqrt({_AB_POOL_SQL} * (1.0 - {_AB_POOL_SQL}) "
+    "* (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "events_ab_ztest",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 180
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), counts AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_b
+      FROM per_user
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+             AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+             AS rate_b,
+           {_AB_Z_SQL} AS z_score
+    FROM counts
+    """,
+    doc="A/B experiment readout: deterministic md5 variant assignment, "
+        "per-user conversion collapse (one user-keyed partial agg — "
+        "the only shuffle), then a 1-row exact-integer count frame "
+        "feeding the pooled two-proportion z-statistic as shared SQL "
+        "text. At 100 TB the user collapse is the standard "
+        "high-cardinality groupBy (AQE-handled); everything after is "
+        "one row.",
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _ev(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 180),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    counts = per_user.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(
+            F.col("conv_a").cast("double") / F.col("n_a").cast("double"), 6
+        ).alias("rate_a"),
+        F.round(
+            F.col("conv_b").cast("double") / F.col("n_b").cast("double"), 6
+        ).alias("rate_b"),
+        F.expr(_AB_Z_SQL).alias("z_score"),
+    )

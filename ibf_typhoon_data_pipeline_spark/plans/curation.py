@@ -1355,3 +1355,130 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_correct"),
         )
     )
+
+
+# ------------------------------------------- passage-level dedup
+# CCNet-shape sub-document dedup: docs are chunked into consecutive
+# 8-token blocks, blocks whose hash appears in >= 2 DISTINCT docs are
+# boilerplate and removed, and the surviving blocks reassemble into a
+# cleaned document (ordered reduction — DuckDB's ORDER BY string_agg
+# vs Spark's array_sort(collect_list(struct(pos, ...))) are the same
+# deterministic fold). Output reports the cleaned digest, not the
+# text, so the row stays bounded.
+_PD_BLOCK = 8
+
+
+@register(
+    "corpus_passage_dedup",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS tok,
+             generate_subscripts(
+               string_split_regex(trim(text), ' +'), 1) AS pos
+      FROM documents WHERE length(trim(text)) > 0
+    ), blocks AS (
+      SELECT doc_id, (pos - 1) // {_PD_BLOCK} AS block_id,
+             string_agg(tok, ' ' ORDER BY pos) AS block_text,
+             CAST(count(*) AS BIGINT) AS n_toks
+      FROM tok GROUP BY doc_id, (pos - 1) // {_PD_BLOCK}
+    ), hb AS (
+      SELECT doc_id, block_id, block_text, n_toks, md5(block_text) AS h
+      FROM blocks
+    ), boiler AS (
+      SELECT h FROM hb GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT * FROM hb WHERE h NOT IN (SELECT h FROM boiler)
+    ), stats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept_blocks,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens_kept,
+             md5(string_agg(block_text, ' ' ORDER BY block_id))
+               AS clean_digest
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM hb
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_blocks,
+           CAST(t.n_blocks - coalesce(s.n_kept_blocks, 0) AS BIGINT)
+             AS n_removed,
+           CAST(coalesce(s.n_tokens_kept, 0) AS BIGINT)
+             AS n_tokens_kept,
+           coalesce(s.clean_digest, md5('')) AS clean_digest
+    FROM tot t LEFT JOIN stats s ON s.doc_id = t.doc_id
+    """,
+    doc="Passage-level (sub-document) dedup, the CCNet/C4 boilerplate "
+        "remover: 8-token blocks hashed, blocks shared by >=2 distinct "
+        "docs dropped, survivors reassembled in block order. Two "
+        "digest-keyed partial-agg groupBys + one anti join on the "
+        "boilerplate digest set — every shuffle key is a bounded "
+        "md5; no cross join, no window. The ordered reassembly is a "
+        "per-doc fold over that doc's blocks only.",
+)
+def corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", dd.split_words(F.col("text")).alias("__words"))
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("__words").alias("pos0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / _PD_BLOCK).cast("long").alias("block_id"),
+        "tok",
+    )
+    blocks = (
+        tok.groupBy("doc_id", "block_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda x: x.tok,
+                ),
+                " ",
+            ).alias("block_text"),
+            F.count("*").cast("long").alias("n_toks"),
+        )
+        .withColumn("h", F.md5("block_text"))
+    )
+    boiler = (
+        blocks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    kept = blocks.join(boiler, "h", "left_anti")
+    stats = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept_blocks"),
+        F.sum("n_toks").cast("long").alias("n_tokens_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("block_id", "block_text"))
+                    ),
+                    lambda x: x.block_text,
+                ),
+                " ",
+            )
+        ).alias("clean_digest"),
+    )
+    tot = blocks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks")
+    )
+    return tot.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        (F.col("n_blocks") - F.coalesce("n_kept_blocks", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("n_tokens_kept", F.lit(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"),
+    )
