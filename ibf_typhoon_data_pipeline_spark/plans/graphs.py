@@ -1035,3 +1035,120 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         "node", F.coalesce("hop", F.lit(-1)).cast("long").alias("hop")
     )
+
+
+# ------------------------------------------------- HyperLogLog proper
+# Flajolet et al. 2007 with p=8 (256 registers), the algorithm behind
+# approx_count_distinct — but deterministic and oracle-checkable: the
+# hash is md5, the register maxima are exact integers, and the
+# harmonic sum is computed in scaled-integer space (each register
+# contributes 2^(40 - M_j), an exact BIGINT since M_j <= 33), so both
+# engines reduce identical integers in any order. Registers never hit
+# contribute 2^40 each via the (m - n_hit) closed form — no register
+# dimension table needed. The small-range linear-counting correction
+# branch is kept for algorithmic fidelity (exercised identically on
+# identical integers).
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers: the 2-hex-char md5 prefix
+_HLL_ALPHA = "0.7182725932495458"  # 0.7213/(1+1.079/256), 17 sig digits
+# rho (first-1-bit position) of the 8-hex-char (32-bit) suffix w:
+# 4 * (leading zero hex chars) + nibble contribution + 1.
+_HLL_RHO_SQL = (
+    "CAST(4 * (length(w) - length(trim(LEADING '0' FROM w))) "
+    "+ (CASE substr(trim(LEADING '0' FROM w) || 'f', 1, 1) "
+    "   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+    "   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 "
+    "   WHEN '7' THEN 1 ELSE 0 END) + 1 AS BIGINT)"
+)
+_HLL_TERM_SQL = "CAST(power(2.0, CAST(40 - mj AS DOUBLE)) AS BIGINT)"
+# raw estimate from the scaled-integer harmonic sum (sum_term is
+# Σ 2^(40-M_j) over all m registers, an exact BIGINT)
+_HLL_RAW_SQL = (
+    f"CAST('{_HLL_ALPHA}' AS DOUBLE) * {_HLL_M}.0 * {_HLL_M}.0 "
+    f"/ (CAST(sum_term AS DOUBLE) / 1099511627776.0)"
+)
+_HLL_EST_SQL = (
+    f"CAST(floor(CASE WHEN n_zero > 0 AND {_HLL_RAW_SQL} <= 2.5 * {_HLL_M} "
+    f"THEN -{_HLL_M}.0 * ln(CAST(n_zero AS DOUBLE) / {_HLL_M}.0) "
+    f"ELSE {_HLL_RAW_SQL} END + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "sketch_hyperloglog",
+    f"""
+    WITH keyed AS (
+      SELECT md5(concat('hll:', CAST(user_id AS VARCHAR), ':',
+                        CAST(event_id AS VARCHAR))) AS h,
+             concat(CAST(user_id AS VARCHAR), ':',
+                    CAST(event_id AS VARCHAR)) AS k
+      FROM events
+    ), rho AS (
+      SELECT substr(h, 1, 2) AS reg, {_HLL_RHO_SQL} AS rho
+      FROM (SELECT h, substr(h, 3, 8) AS w FROM keyed) t
+    ), regs AS (
+      SELECT reg, CAST(max(rho) AS BIGINT) AS mj FROM rho GROUP BY reg
+    ), summed AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum({_HLL_TERM_SQL}) AS BIGINT) AS hit_term
+      FROM regs
+    ), exact AS (
+      SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+      FROM keyed
+    )
+    SELECT n_hit AS n_regs_hit,
+           CAST({_HLL_M} - n_hit AS BIGINT) AS n_zero,
+           CAST(hit_term
+                + ({_HLL_M} - n_hit) * 1099511627776 AS BIGINT)
+             AS sum_term,
+           exact_distinct,
+           {_HLL_EST_SQL.replace('n_zero', f'({_HLL_M} - n_hit)').replace('sum_term', f'(hit_term + ({_HLL_M} - n_hit) * 1099511627776)')}
+             AS estimated_distinct
+    FROM summed CROSS JOIN exact
+    """,
+    doc="HyperLogLog (p=8) as published: md5 2-hex-char register "
+        "index, first-1-bit rank of the 32-bit suffix via TRIM-based "
+        "leading-zero counting (backslash-free, both parsers), "
+        "register maxima from one partial-agg groupBy, harmonic mean "
+        "in scaled-integer space (Σ 2^(40-M_j) is an exact BIGINT — "
+        "order-free reduction), empty registers folded in closed form. "
+        "At 100 TB only 256 (register, max) pairs cross the wire per "
+        "partition — the mergeable-sketch property "
+        "approx_count_distinct uses, here reproducible cross-engine.",
+)
+def sketch_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    k = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("event_id").cast("string"),
+    )
+    keyed = ev.select(
+        F.md5(F.concat(F.lit("hll:"), k)).alias("h"), k.alias("k")
+    )
+    rho = keyed.select(
+        F.substring("h", 1, 2).alias("reg"),
+        F.substring("h", 3, 8).alias("w"),
+    ).select("reg", F.expr(_HLL_RHO_SQL).alias("rho"))
+    regs = rho.groupBy("reg").agg(F.max("rho").cast("long").alias("mj"))
+    summed = regs.agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(F.expr(_HLL_TERM_SQL)).cast("long").alias("hit_term"),
+    )
+    exact = keyed.agg(
+        F.countDistinct("k").cast("long").alias("exact_distinct")
+    )
+    est_sql = _HLL_EST_SQL.replace(
+        "n_zero", f"({_HLL_M} - n_hit)"
+    ).replace("sum_term", f"(hit_term + ({_HLL_M} - n_hit) * 1099511627776)")
+    return (
+        summed.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            "n_hit AS n_regs_hit",
+            f"CAST({_HLL_M} - n_hit AS BIGINT) AS n_zero",
+            f"CAST(hit_term + ({_HLL_M} - n_hit) * 1099511627776 AS BIGINT)"
+            " AS sum_term",
+            "exact_distinct",
+            f"{est_sql} AS estimated_distinct",
+        )
+    )

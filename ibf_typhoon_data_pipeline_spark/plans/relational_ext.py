@@ -1221,3 +1221,66 @@ def f21_try_cast_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unparsable_suffix"),
     )
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 280
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+           CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+           total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY price_cents DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 (large-volume customers): the HAVING-subquery "
+        "shape — a fact-side partial aggregate filters to a tiny key "
+        "set which then drives the orders/customer joins. The big-qty "
+        "key set is orders-of-magnitude smaller than lineitem, so "
+        "Spark broadcasts it into the orders probe (AQE does this "
+        "automatically from the runtime size); top-100 is "
+        "TakeOrderedAndProject, never a global sort. Integer cents "
+        "and epoch keep the hash exact.",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 280)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias(
+                "order_epoch"
+            ),
+            F.round(F.col("o_totalprice") * 100.0)
+            .cast("long")
+            .alias("price_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

@@ -251,3 +251,113 @@ def w8_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_timestamp("ts")
         ).cast("long").alias("duration_s"),
     )
+
+
+# -------------------------------------------- interval overlap join
+# Variable-length interval overlap (the [start,end] x [start,end]
+# self-join) — the third time-join primitive after as-of and banded
+# range: here "concurrent shipments per supplier" over lineitem's
+# shipment transit windows (ship date + a deterministic
+# 1-20 day transit; the table carries no receipt date). Same grid
+# decomposition as j14 but the
+# intervals themselves are exploded to every epoch-week they touch
+# (sequence(); bounded by interval length / bucket width), the
+# (supplier, week) hash join bounds the pair space to Σ per-bucket
+# products, the true overlap predicate is the residual, and pairs
+# seen in several shared weeks dedup with one DISTINCT before the
+# per-supplier rollup.
+_WEEK = 604800
+
+
+@register(
+    "j17_interval_overlap",
+    f"""
+    WITH iv AS (
+      SELECT l_suppkey AS supp,
+             l_orderkey * 8 + l_linenumber AS iv_id,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) AS s,
+             CAST(floor(epoch(l_shipdate))
+                  + (1 + l_orderkey % 20) * 86400 AS BIGINT) AS e
+      FROM lineitem
+    ), bucketed AS (
+      SELECT supp, iv_id, s, e,
+             unnest(generate_series(s // {_WEEK}, e // {_WEEK})) AS wk
+      FROM iv
+    ), pairs AS (
+      SELECT DISTINCT a.supp, a.iv_id AS id_a, b.iv_id AS id_b,
+             least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+      FROM bucketed a JOIN bucketed b
+        ON a.supp = b.supp AND a.wk = b.wk AND a.iv_id < b.iv_id
+      WHERE a.s <= b.e AND b.s <= a.e
+    )
+    SELECT supp AS s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_overlap_pairs,
+           CAST(sum(overlap_s) AS BIGINT) AS total_overlap_s,
+           CAST(max(overlap_s) AS BIGINT) AS max_overlap_s
+    FROM pairs
+    GROUP BY supp ORDER BY s_suppkey
+    """,
+    doc="Interval-overlap self-join (concurrent shipments per "
+        "supplier): transit windows exploded to the epoch-weeks "
+        "they span, pair candidates from a (supplier, week) equi-join "
+        "with the exact overlap test as residual, DISTINCT collapses "
+        "multi-week duplicates, then a supplier-keyed rollup. "
+        "Pair space is Σ per-(supplier, week) products — never "
+        "|A|×|B|; integer epoch seconds keep overlap arithmetic "
+        "exact in both engines.",
+)
+def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supp"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("iv_id"),
+        F.unix_timestamp("l_shipdate").cast("long").alias("s"),
+        (
+            F.unix_timestamp("l_shipdate")
+            + (1 + F.col("l_orderkey") % 20) * 86400
+        ).cast("long").alias("e"),
+    )
+    bucketed = iv.withColumn(
+        "wk",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_WEEK}"), F.expr(f"e div {_WEEK}")
+            )
+        ),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.supp") == F.col("b.supp"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.iv_id") < F.col("b.iv_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.supp").alias("supp"),
+            F.col("a.iv_id").alias("id_a"),
+            F.col("b.iv_id").alias("id_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_s"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("supp")
+        .agg(
+            F.count("*").cast("long").alias("n_overlap_pairs"),
+            F.sum("overlap_s").cast("long").alias("total_overlap_s"),
+            F.max("overlap_s").cast("long").alias("max_overlap_s"),
+        )
+        .select(
+            F.col("supp").alias("s_suppkey"),
+            "n_overlap_pairs",
+            "total_overlap_s",
+            "max_overlap_s",
+        )
+        .orderBy("s_suppkey")
+    )
