@@ -1194,3 +1194,159 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate_b"),
         F.expr(_AB_Z_SQL).alias("z_score"),
     )
+
+
+# ------------------------------------------------- CUPED adjustment
+# Variance-reduced experiment analysis (Deng et al. WSDM'13): the
+# post-period metric is adjusted by theta x the pre-period covariate,
+# theta = cov(pre, post) / var(pre). Per-user pre/post sums quantize
+# to integer cents (exact, order-free); theta and the adjusted
+# variant means are shared-SQL-text double arithmetic on those
+# identical integers. Same md5 variant assignment as events_ab_ztest.
+_CUPED_THETA_SQL = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+# adjusted variant mean: mean(y_v) - theta * (mean(x_v) - mean(x))
+_CUPED_ADJ_SQL = (
+    "round(CAST(vy AS DOUBLE) / CAST(vn AS DOUBLE) "
+    f"- {_CUPED_THETA_SQL} "
+    "* (CAST(vx AS DOUBLE) / CAST(vn AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "events_cuped",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS variant,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100.0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS pre_cents,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100.0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS post_cents
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_cents) AS BIGINT) AS sx,
+             CAST(sum(post_cents) AS BIGINT) AS sy,
+             CAST(sum(pre_cents * pre_cents) AS BIGINT) AS sxx,
+             CAST(sum(pre_cents * post_cents) AS BIGINT) AS sxy
+      FROM per_user
+    ), v AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS vn,
+             CAST(sum(pre_cents) AS BIGINT) AS vx,
+             CAST(sum(post_cents) AS BIGINT) AS vy
+      FROM per_user GROUP BY variant
+    )
+    SELECT variant, vn AS n_users,
+           round(CAST(vy AS DOUBLE) / CAST(vn AS DOUBLE), 6)
+             AS mean_post_cents,
+           {_CUPED_ADJ_SQL} AS mean_adj_cents,
+           round({_CUPED_THETA_SQL}, 6) AS theta
+    FROM v CROSS JOIN g
+    ORDER BY variant
+    """,
+    doc="CUPED variance reduction (Deng et al. WSDM'13): pre-period "
+        "spend is the covariate, theta = cov/var from one exact "
+        "integer-cents moment pass over users, adjusted variant means "
+        "as shared-text double arithmetic. ONE user-keyed shuffle "
+        "total; the 1-row global moments broadcast-cross-join onto "
+        "the 2-row variant frame.",
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = (
+        _ev(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+            .cast("long")
+            .alias("pre_cents"),
+            F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+            .cast("long")
+            .alias("post_cents"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    g = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pre_cents").cast("long").alias("sx"),
+        F.sum("post_cents").cast("long").alias("sy"),
+        F.sum(F.col("pre_cents") * F.col("pre_cents"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("pre_cents") * F.col("post_cents"))
+        .cast("long")
+        .alias("sxy"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("vn"),
+        F.sum("pre_cents").cast("long").alias("vx"),
+        F.sum("post_cents").cast("long").alias("vy"),
+    )
+    return (
+        v.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "variant",
+            "vn AS n_users",
+            "round(CAST(vy AS DOUBLE) / CAST(vn AS DOUBLE), 6)"
+            " AS mean_post_cents",
+            f"{_CUPED_ADJ_SQL} AS mean_adj_cents",
+            f"round({_CUPED_THETA_SQL}, 6) AS theta",
+        )
+        .orderBy("variant")
+    )
+
+
+# --------------------------------------------------- rolling median
+# Windowed HOLISTIC aggregate — unlike sum/avg, a median cannot
+# partial-aggregate, so engines buffer the frame; the 7-row ROWS
+# frame bounds that buffer to O(1) per row. Deterministic total order
+# (ts, event_id) makes the frame identical in both engines; Spark
+# `percentile(x, 0.5)` and DuckDB `quantile_cont(x, 0.5)` both
+# interpolate at (n-1)q (verified round-4 parity fact), rounded 6dp.
+@register(
+    "events_rolling_median",
+    """
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ), 6) AS med7
+    FROM events
+    """,
+    doc="7-point rolling median per user: a holistic window aggregate "
+        "over a deterministic (ts, event_id) total order. The ROWS "
+        "frame caps the per-row buffer at 7 values; the shuffle is "
+        "the standard user-keyed window exchange. Spark percentile == "
+        "DuckDB quantile_cont at 6dp (both (n-1)q interpolation).",
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "med7"
+        ),
+    )

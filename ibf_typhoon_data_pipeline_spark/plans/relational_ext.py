@@ -1284,3 +1284,96 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price_cents").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# ------------------------------------------- closed-form regression
+# Simple linear regression fit ENTIRELY in-plan from exact integer
+# sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy as BIGINTs — one
+# partial-agg pass, order-free), with the closed-form slope/intercept/
+# R² evaluated as shared SQL text on those identical integers. No
+# driver fit at all — the whole model is one row. Integer-overflow
+# bound: y quantized to whole dollars keeps Σy² < 2^63 through ~sf100;
+# past that, switch the moment pass to centered doubles (documented
+# trade: exactness for range).
+_LR_B_RAW = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_LR_SLOPE_SQL = f"round({_LR_B_RAW}, 6)"
+_LR_ICEPT_SQL = (
+    f"round((CAST(sy AS DOUBLE) - {_LR_B_RAW} * CAST(sx AS DOUBLE)) "
+    "/ CAST(n AS DOUBLE), 6)"
+)
+_LR_R2_SQL = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "* (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "ml_linreg_closed_form",
+    f"""
+    WITH xy AS (
+      SELECT o.o_orderkey,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(round(any_value(o.o_totalprice)) AS BIGINT) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM xy
+    )
+    SELECT n, sx, sy, sxx, syy, sxy,
+           {_LR_SLOPE_SQL} AS slope,
+           {_LR_ICEPT_SQL} AS intercept,
+           {_LR_R2_SQL} AS r2
+    FROM s
+    """,
+    doc="In-engine closed-form linear regression (order total vs line "
+        "count): one groupBy builds (x, y) per order, one partial-agg "
+        "pass reduces the six integer moments, and the model "
+        "(slope, intercept, R²) is shared-SQL-text arithmetic on one "
+        "row. The fully distributed no-driver-fit counterpart to "
+        "ml_ols_inference; at 100 TB the only shuffles are the "
+        "order-key agg and a 6-number reduce.",
+)
+def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    xy = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.round(F.any_value("o_totalprice")).cast("long").alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.selectExpr(
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        f"{_LR_SLOPE_SQL} AS slope",
+        f"{_LR_ICEPT_SQL} AS intercept",
+        f"{_LR_R2_SQL} AS r2",
+    )
