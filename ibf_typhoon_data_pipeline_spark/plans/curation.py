@@ -1482,3 +1482,133 @@ def corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens_kept"),
         F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"),
     )
+
+
+# ------------------------------------------- BPE tokenizer training
+# In-engine tokenizer training (Sennrich et al. 2016): BPE merge
+# rules are fit from the word-frequency table — ONE corpus-scale
+# groupBy, capped to the top-4096 words by (count DESC, word ASC) —
+# by a deterministic pure-Python fold shared by both engines (the
+# hist-GBT sufficient-statistic pattern: the engine never collects a
+# fact table, only the bounded vocab frame). The learned merges embed
+# as a chain of plain replace() calls over the space-separated
+# character representation (leftmost replace-all is identical in
+# Spark, DuckDB, and the fit itself), so fit-time and apply-time
+# tokenizations agree bitwise.
+_BPE_MEMO: dict[str, list] = {}
+
+
+def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> list:
+    from ibf_typhoon_data_pipeline_spark.operators.bpe import (
+        bpe_stats_sql,
+        fit_bpe_merges,
+    )
+
+    if sf_dir not in _BPE_MEMO:
+        tok = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.length(F.trim("text")) > 0)
+            .select(F.explode(dd.split_words(F.col("text"))).alias("word"))
+        )
+        tok.createOrReplaceTempView("bpe_tok")
+        rows = spark.sql(bpe_stats_sql("bpe_tok")).collect()
+        _BPE_MEMO[sf_dir] = fit_bpe_merges([(r[0], r[1]) for r in rows])
+    return _BPE_MEMO[sf_dir]
+
+
+def _bpe_oracle() -> str:
+    """Lazy oracle: refit the SAME merges from the SAME bounded
+    word-frequency statistics in DuckDB, then apply the identical
+    replace chain (shared SQL text) to count per-doc BPE tokens."""
+    import duckdb
+
+    from ibf_typhoon_data_pipeline_spark.operators.bpe import (
+        BPE_TOKCOUNT_SQL,
+        bpe_merge_sql,
+        bpe_stats_sql,
+        fit_bpe_merges,
+    )
+    import os
+
+    # the driver's oracle comparison always runs at sf0.01
+    SF_ORACLE = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_ORACLE}/documents.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW bpe_tok AS SELECT unnest(string_split_regex("
+        "trim(text), ' +')) AS word FROM documents "
+        "WHERE length(trim(text)) > 0"
+    )
+    merges = fit_bpe_merges(
+        [tuple(r) for r in con.execute(bpe_stats_sql("bpe_tok")).fetchall()]
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), sp AS (
+      SELECT doc_id, word,
+             array_to_string(string_split(word, ''), ' ') AS spaced
+      FROM tok
+    ), merged_t AS (
+      SELECT doc_id, word, {bpe_merge_sql(merges)} AS merged FROM sp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(replace(merged, ' ', ''))) AS BIGINT)
+             AS n_chars,
+           CAST(sum({BPE_TOKCOUNT_SQL}) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(length(replace(merged, ' ', ''))) AS DOUBLE)
+                 / CAST(sum({BPE_TOKCOUNT_SQL}) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM merged_t GROUP BY doc_id
+    """
+
+
+@register(
+    "corpus_bpe_tokenize",
+    _bpe_oracle,  # lazy: DuckDB refits the identical merges on demand
+    doc="BPE tokenizer training + application (Sennrich 2016): merge "
+        "rules fit from the top-4096 word-frequency rows (one corpus "
+        "groupBy — the bounded integer sufficient statistic; real "
+        "BPE trains on exactly this table), applied as a pure "
+        "replace-chain expression — whole-stage-codegen string ops, "
+        "no UDF, no driver-side fact data. Per-doc token counts and "
+        "chars-per-token compression; at 100 TB the vocab frame is "
+        "KBs and the apply pass is map-side only.",
+)
+def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.bpe import (
+        BPE_TOKCOUNT_SQL,
+        bpe_merge_sql,
+    )
+
+    merges = _bpe_merges_spark(spark, sf_dir)
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", F.explode(dd.split_words(F.col("text"))).alias("word")
+        )
+    )
+    sp = tok.withColumn(
+        "spaced", F.expr("array_join(split(word, ''), ' ')")
+    )
+    merged = sp.withColumn("merged", F.expr(bpe_merge_sql(merges)))
+    return merged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.expr("length(replace(merged, ' ', ''))"))
+        .cast("long")
+        .alias("n_chars"),
+        F.sum(F.expr(BPE_TOKCOUNT_SQL)).cast("long").alias("n_bpe_tokens"),
+        F.expr(
+            "round(CAST(sum(length(replace(merged, ' ', ''))) AS DOUBLE)"
+            f" / CAST(sum({BPE_TOKCOUNT_SQL}) AS DOUBLE), 6)"
+        ).alias("chars_per_token"),
+    )
