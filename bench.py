@@ -79,6 +79,13 @@ HEADLINE = [
     "events_rolling_1h",
     # the LLM flagship: funnel -> packing manifest in one plan
     "pipeline_training_manifest",
+    # round-4 session-3 families: tokenizer training (replace-chain
+    # apply), interval-overlap grid join, BFS supersteps, naive Bayes
+    # broadcast-model scoring
+    "corpus_bpe_tokenize",
+    "j17_interval_overlap",
+    "graph_bfs_hops",
+    "ml_naive_bayes",
 ]
 
 

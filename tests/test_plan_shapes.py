@@ -342,3 +342,64 @@ def test_pq_adc_broadcasts_query_tables(spark):
     # the coded corpus; no cartesian pair enumeration
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_naive_bayes_model_joins_broadcast(spark):
+    plan = _plan(spark, "ml_naive_bayes")
+    # the vocabulary×classes model table and the class dims must ride
+    # as broadcasts against the held-out token stream — a sort-merge
+    # join here would shuffle the corpus by token
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_passage_dedup_is_digest_anti_join(spark):
+    plan = _plan(spark, "corpus_passage_dedup")
+    # boilerplate removal is an anti join on the block digest —
+    # never a pair enumeration
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bfs_supersteps_are_equi_joins(spark):
+    plan = _plan(spark, "graph_bfs_hops")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark):
+    plan = _plan(spark, "j17_interval_overlap")
+    # pair space comes from the (supplier, week) hash join with the
+    # exact overlap predicate as residual — no nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hyperloglog_is_two_agg_passes(spark):
+    plan = _plan(spark, "sketch_hyperloglog")
+    # register maxima partial-aggregate before the exchange; the only
+    # nested loop is the 1-row exact-count broadcast
+    assert "partial_max" in plan or "HashAggregate" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bpe_apply_is_expression_only(spark):
+    plan = _plan(spark, "corpus_bpe_tokenize")
+    # the merge chain is string expressions over the token stream; the
+    # only exchange is the per-doc count agg — no joins at all
+    assert "Join" not in plan
+
+
+def test_linreg_moments_partial_aggregate(spark):
+    plan = _plan(spark, "ml_linreg_closed_form")
+    # six integer moments reduce map-side before one single-row agg
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cuped_single_user_shuffle(spark):
+    plan = _plan(spark, "events_cuped")
+    # one user-keyed exchange feeds BOTH the global moment pass and
+    # the variant rollup; the 1-row moments broadcast back
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
