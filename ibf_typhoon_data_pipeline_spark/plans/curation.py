@@ -1612,3 +1612,127 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / CAST(sum({BPE_TOKCOUNT_SQL}) AS DOUBLE), 6)"
         ).alias("chars_per_token"),
     )
+
+
+# ------------------------------------------- logistic regression
+# Newton-Raphson logistic fit ENTIRELY in-plan: each Newton step is
+# one partial-agg pass whose per-row contributions (w, wx, wx²,
+# residual, residual·x) quantize to integer micro-units BEFORE the
+# sum — order-free exact reductions — and the 2×2 Hessian solve is
+# shared-SQL-text double arithmetic on those identical integers (the
+# micro scale cancels in the ratio). Three steps unroll as chained
+# 1-row broadcast frames per the repo's unrolled-Newton invariant
+# (each step a materialized frame, never nested expressions).
+_LOGIT_P = "(1.0 / (1.0 + exp(-(b0 + b1 * x))))"
+_LOGIT_ROW_EXPRS = [
+    f"CAST(round({_LOGIT_P} * (1.0 - {_LOGIT_P}) * 1000000.0) AS BIGINT)"
+    " AS w_micro",
+    f"CAST(round({_LOGIT_P} * (1.0 - {_LOGIT_P}) * x * 1000000.0)"
+    " AS BIGINT) AS wx_micro",
+    f"CAST(round({_LOGIT_P} * (1.0 - {_LOGIT_P}) * x * x * 1000000.0)"
+    " AS BIGINT) AS wxx_micro",
+    f"CAST(round((CAST(y AS DOUBLE) - {_LOGIT_P}) * 1000000.0) AS BIGINT)"
+    " AS r_micro",
+    f"CAST(round((CAST(y AS DOUBLE) - {_LOGIT_P}) * x * 1000000.0)"
+    " AS BIGINT) AS rx_micro",
+]
+_LOGIT_SUM_EXPRS = [
+    "CAST(sum(w_micro) AS BIGINT) AS sw",
+    "CAST(sum(wx_micro) AS BIGINT) AS swx",
+    "CAST(sum(wxx_micro) AS BIGINT) AS swxx",
+    "CAST(sum(r_micro) AS BIGINT) AS g0",
+    "CAST(sum(rx_micro) AS BIGINT) AS g1",
+    "max(b0) AS b0",
+    "max(b1) AS b1",
+]
+_LOGIT_DET = (
+    "(CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE) "
+    "- CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))"
+)
+_LOGIT_UPDATE_EXPRS = [
+    "(b0 + (CAST(swxx AS DOUBLE) * CAST(g0 AS DOUBLE) "
+    "- CAST(swx AS DOUBLE) * CAST(g1 AS DOUBLE)) "
+    f"/ {_LOGIT_DET}) AS b0",
+    "(b1 + (CAST(sw AS DOUBLE) * CAST(g1 AS DOUBLE) "
+    "- CAST(swx AS DOUBLE) * CAST(g0 AS DOUBLE)) "
+    f"/ {_LOGIT_DET}) AS b1",
+]
+_LOGIT_STEPS = 3
+_LOGIT_OUT_EXPRS = [
+    "CAST(count(*) AS BIGINT) AS n",
+    "round(max(b0), 6) AS beta0",
+    "round(max(b1), 6) AS beta1",
+    f"CAST(sum(CASE WHEN {_LOGIT_P} > 0.5 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_pred_pos",
+    f"CAST(sum(CASE WHEN (CASE WHEN {_LOGIT_P} > 0.5 THEN 1 ELSE 0 END)"
+    " = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct",
+]
+
+
+def _logistic_oracle() -> str:
+    rows = ", ".join(_LOGIT_ROW_EXPRS)
+    sums = ", ".join(_LOGIT_SUM_EXPRS)
+    upd = ", ".join(_LOGIT_UPDATE_EXPRS)
+    steps = []
+    prev = "beta0_f"
+    for i in range(1, _LOGIT_STEPS + 1):
+        steps.append(
+            f"""s{i} AS (
+      SELECT {sums} FROM (
+        SELECT f.y, f.x, {prev}.b0, {prev}.b1, {rows}
+        FROM facts f CROSS JOIN {prev}
+      ) t
+    ), beta{i}_f AS (
+      SELECT {upd} FROM s{i}
+    )"""
+        )
+        prev = f"beta{i}_f"
+    chain = ", ".join(steps)
+    return f"""
+    WITH facts AS (
+      SELECT CAST(n_chars AS DOUBLE) / 100.0 AS x,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), beta0_f AS (
+      SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1
+    ), {chain}
+    SELECT {', '.join(_LOGIT_OUT_EXPRS)}
+    FROM facts f CROSS JOIN {prev}
+    """
+
+
+@register(
+    "ml_logistic_newton",
+    _logistic_oracle(),
+    doc="Logistic regression (is-English vs doc length) fit by three "
+        "unrolled Newton steps, fully distributed: each step is ONE "
+        "map-side-quantized partial-agg pass (integer micro-unit "
+        "Hessian/gradient sums — exact, order-free), the 2x2 solve is "
+        "a 1-row broadcast, and the scoring pass reuses the same "
+        "shared sigmoid text. No driver fit, no collected data; "
+        "at 100 TB each step costs one scan + a 7-number reduce.",
+)
+def ml_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    facts = persist_tracked(
+        load_table(spark, sf_dir, "documents").selectExpr(
+            "CAST(n_chars AS DOUBLE) / 100.0 AS x",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        )
+    )
+    beta = spark.range(1).selectExpr(
+        "CAST(0.0 AS DOUBLE) AS b0", "CAST(0.0 AS DOUBLE) AS b1"
+    )
+    for _ in range(_LOGIT_STEPS):
+        stats = (
+            facts.crossJoin(F.broadcast(beta))
+            .selectExpr("y", "x", "b0", "b1", *_LOGIT_ROW_EXPRS)
+            .agg(*[F.expr(e) for e in _LOGIT_SUM_EXPRS])
+        )
+        beta = stats.selectExpr(*_LOGIT_UPDATE_EXPRS)
+    return facts.crossJoin(F.broadcast(beta)).agg(
+        *[F.expr(e) for e in _LOGIT_OUT_EXPRS]
+    )

@@ -1341,3 +1341,81 @@ def scan_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "scan_parquet_schema_merge",
+    """
+    WITH rows AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS priority
+      FROM orders
+    )
+    SELECT CASE WHEN priority IS NULL THEN 'legacy' ELSE 'evolved' END
+             AS generation,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(price_cents) AS BIGINT) AS price_cents,
+           CAST(count(DISTINCT priority) AS BIGINT) AS n_priorities
+    FROM rows GROUP BY 1 ORDER BY generation
+    """,
+    doc="S6 schema evolution: two parquet generations landed "
+        "in-engine — gen1 without the priority column, gen2 with it — "
+        "read back through ONE mergeSchema scan whose unified schema "
+        "null-fills the legacy files (Spark's schema-evolution "
+        "contract; Delta/Iceberg do the same resolution from "
+        "metadata, where the per-file footer merge this option pays "
+        "disappears). Summary proves the old rows survive with NULL "
+        "priority while new rows keep theirs; the oracle rebuilds "
+        "both generations from the parity rule.",
+)
+def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_schemamerge_")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    # generation 1: the pre-evolution schema (no priority column)
+    base.filter(F.col("o_orderkey") % 2 == 0).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "gen=1"))
+    # generation 2: the evolved schema adds a string column
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("o_orderpriority").alias("priority"),
+    ).write.mode("overwrite").parquet(os.path.join(work, "gen=2"))
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(work)
+    )
+    out = (
+        merged.select(
+            F.when(F.col("priority").isNull(), "legacy")
+            .otherwise("evolved")
+            .alias("generation"),
+            "price_cents",
+            "priority",
+        )
+        .groupBy("generation")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("price_cents"),
+            F.countDistinct("priority").cast("long").alias("n_priorities"),
+        )
+        .orderBy("generation")
+        .cache()
+    )
+    out.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
