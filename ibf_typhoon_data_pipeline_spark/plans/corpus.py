@@ -77,7 +77,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
         {', '.join(
             "list_min(list_transform(" + _sql_shingles(3)
-            + f", s -> md5(concat('{i}:', s)))) AS mh_{i}"
+            + f", s -> substr(md5(concat('{i // 4}:', s)), "
+            + f"{1 + 8 * (i % 4)}, 8))) AS mh_{i}"
             for i in range(8)
         )}
       FROM documents
