@@ -672,3 +672,73 @@ def pq_codebooks(vecs, m: int = 4, k: int = 8, iters: int = 5):
         kmeans_codebook(v[:, s * sub : (s + 1) * sub], k=k, iters=iters)
         for s in range(m)
     ]
+
+
+def semdedup_canonical(
+    df: DataFrame,
+    cents,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embeddings, then mark as semantic duplicates any pair INSIDE a
+    cluster whose cosine exceeds ``threshold``; keep-first canonical =
+    the lowest matched id. The cluster key bounds the pair space at
+    Sigma cluster_size^2 (the paper's point: never compare across
+    clusters), and the codebook is a bounded-sample driver fit, so the
+    only corpus-sized shuffles are the cell-key pair join and one
+    per-id min — the 100 TB shape."""
+    n_cells = len(cents)
+    s_sqls = codebook_score_sqls(cents, "__v", 0)
+    base = (
+        spread(df)
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+        .selectExpr(
+            id_col, "__v", *[f"{s} AS s{i}" for i, s in enumerate(s_sqls)]
+        )
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    cells = persist_tracked(
+        base.selectExpr(
+            id_col, "__v", f"{cell_ladder_sql(n_cells)} AS __cell"
+        )
+    )
+    a = cells.select(
+        F.col(id_col).alias("__aid"),
+        F.col("__v").alias("__av"),
+        "__cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("__bid"),
+        F.col("__v").alias("__bv"),
+        "__cell",
+    )
+    matched = (
+        a.join(b, "__cell")
+        .filter(F.col("__bid") < F.col("__aid"))
+        .filter(
+            F.round(
+                dot(F.col("__av"), F.col("__bv"))
+                / (l2_norm(F.col("__av")) * l2_norm(F.col("__bv"))),
+                6,
+            )
+            >= F.lit(threshold).cast("double")
+        )
+        .groupBy("__aid")
+        .agg(F.min("__bid").alias("__canon"))
+    )
+    return (
+        cells.join(matched, cells[id_col] == matched["__aid"], "left")
+        .select(
+            F.col(id_col),
+            F.col("__cell").alias("cluster_id"),
+            F.coalesce(F.col("__canon"), F.col(id_col)).alias(
+                "canonical_id"
+            ),
+            F.col("__canon").isNotNull().alias("is_semantic_dup"),
+        )
+    )

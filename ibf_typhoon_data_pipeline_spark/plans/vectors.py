@@ -1321,3 +1321,59 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "votes",
         )
     )
+
+
+# --------------------------------------------------- SemDeDup
+# Abbas et al. 2023 (arXiv:2303.09540): semantic dedup = k-means
+# cluster, then drop within-cluster pairs above a cosine threshold.
+# Same trained codebook (and memoized fits) as the IVF entries; the
+# cluster id doubles as the pair-join shuffle key, so the pair space
+# is Sigma cluster^2 — the paper's scaling argument, verbatim.
+from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    semdedup_canonical,
+)
+
+_SEMDEDUP_T = 0.3  # synthetic embeddings top out near cos 0.55 — 0.3
+# exercises real dup pairs; production SemDeDup uses 0.95+
+
+
+def _semdedup_oracle() -> str:
+    cents = _duck_codebook()
+    s_sqls = codebook_score_sqls(cents, "ve", 1)
+    scores = ", ".join(f"{s} AS s{i}" for i, s in enumerate(s_sqls))
+    ladder = cell_ladder_sql(len(cents)).replace("AS INT", "AS INTEGER")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), scores AS (SELECT vec_id, ve, {scores} FROM v),
+    cells AS (SELECT vec_id, ve, {ladder} AS cell FROM scores),
+    matched AS (
+      SELECT a.vec_id AS aid, min(b.vec_id) AS canon
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round(list_cosine_similarity(a.ve, b.ve), 6)
+            >= CAST({_SEMDEDUP_T} AS DOUBLE)
+      GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, c.cell AS cluster_id,
+           coalesce(m.canon, c.vec_id) AS canonical_id,
+           m.canon IS NOT NULL AS is_semantic_dup
+    FROM cells c LEFT JOIN matched m ON c.vec_id = m.aid
+    """
+
+
+@register(
+    "dedup_semdedup",
+    _semdedup_oracle,
+    doc="SemDeDup semantic dedup (Abbas et al. 2023): trained k-means "
+        "cluster id as the blocking key, within-cluster cosine >= t "
+        "marks dups, keep-first canonical by lowest id. Cluster key = "
+        "shuffle key (pair space Sigma cluster^2, never cross-cluster); "
+        "codebook is the same bounded-sample deterministic Lloyd fit "
+        "as the IVF entries, centroids inlined as quoted-literal SQL.",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_canonical(
+        emb, _spark_codebook(spark, sf_dir), threshold=_SEMDEDUP_T
+    )
