@@ -1736,3 +1736,102 @@ def ml_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facts.crossJoin(F.broadcast(beta)).agg(
         *[F.expr(e) for e in _LOGIT_OUT_EXPRS]
     )
+
+
+# --------------------------------------------- DSIR importance weights
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling", arXiv:2302.03169): score every raw document by the
+# log-likelihood ratio of a target distribution vs the raw
+# distribution over HASHED n-gram buckets. Here: target = lang='en'
+# docs, features = unigrams hashed into 256 md5-prefix buckets.
+# Per-bucket smoothed log ratios are quantized to integer micro-nats
+# (the text_lm_logprob recipe) so the per-doc reduction is exact
+# integer math; the bucket-stat frame is 256 rows — broadcast at any
+# corpus scale — and the only fact-sized shuffles are the token
+# groupBy(bucket) partial agg and the per-doc sum.
+_DSIR_B = 256  # 2 md5 hex chars
+_DSIR_LAMBDA_SQL = (
+    "CAST(round(ln(((CAST(ct AS DOUBLE) + 1.0) "
+    "/ (CAST(t_tot AS DOUBLE) + 256.0)) "
+    "/ ((CAST(cr AS DOUBLE) + 1.0) "
+    "/ (CAST(r_tot AS DOUBLE) + 256.0))) * 1000000.0) AS BIGINT)"
+)
+_DSIR_AVG_SQL = (
+    "round(CAST(sum(lam_micro) AS DOUBLE) "
+    "/ (1000000.0 * CAST(count(*) AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "corpus_dsir_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             substr(md5(unnest(string_split_regex(trim(text), ' +'))), 1, 2)
+               AS bucket
+      FROM documents WHERE length(trim(text)) > 0
+    ), stats AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ct
+      FROM tok GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
+             CAST(sum(ct) AS BIGINT) AS t_tot FROM stats
+    ), lam AS (
+      SELECT bucket, {_DSIR_LAMBDA_SQL} AS lam_micro
+      FROM stats CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lam_micro) AS BIGINT) AS logw_micro,
+           {_DSIR_AVG_SQL} AS avg_logw
+    FROM tok t JOIN lam USING (bucket)
+    GROUP BY t.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): hashed-unigram "
+        "(256 md5-prefix buckets) log-likelihood ratio of the "
+        "target (lang='en') vs raw corpus, +1-smoothed, per-bucket "
+        "ratio quantized to integer micro-nats before the per-doc "
+        "sum. Bucket stats = 256-row broadcast frame; resampling "
+        "keeps docs ~ exp(logw) downstream.",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", "lang", dd.split_words(F.col("text")).alias("__words")
+        )
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode("__words").alias("__tok")
+    ).select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("__tok")), 1, 2).alias("bucket"),
+    )
+    stats = tok.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+    )
+    tot = stats.agg(
+        F.sum("cr").cast("long").alias("r_tot"),
+        F.sum("ct").cast("long").alias("t_tot"),
+    )
+    lam = (
+        stats.crossJoin(F.broadcast(tot))
+        .select("bucket", F.expr(_DSIR_LAMBDA_SQL).alias("lam_micro"))
+    )
+    return (
+        tok.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lam_micro").cast("long").alias("logw_micro"),
+            F.expr(_DSIR_AVG_SQL).alias("avg_logw"),
+        )
+    )
