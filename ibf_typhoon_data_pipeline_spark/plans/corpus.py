@@ -1083,3 +1083,58 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(_ENTROPY_SQL).alias("entropy_micro_nats"),
     )
+
+
+# ------------------------------------------ prefix-filtered Jaccard
+# PPJoin-style prefix filtering (Chaudhuri et al. 2006; Xiao et al.
+# 2008): candidates come only from each doc's rarest
+# |d| - ceil(t*|d|) + 1 shingles, which is LOSSLESS at Jaccard >= t
+# yet keeps stopword-grade mega-buckets out of the inverted-index
+# join entirely — the published fix for the Sigma bucket^2 blowup the
+# plain entry's docstring flags. A pytest contract pins its output
+# row-for-row equal to dedup_ngram_jaccard.
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), freq AS (
+      SELECT shingle, count(*) AS df_count FROM sh GROUP BY shingle
+    ), prefix AS (
+      SELECT doc_id, shingle FROM (
+        SELECT s.doc_id, s.shingle, z.n_shingles,
+               row_number() OVER (PARTITION BY s.doc_id
+                 ORDER BY f.df_count ASC, s.shingle ASC) AS rn
+        FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)
+      ) WHERE rn <= n_shingles
+                    - CAST(ceil(CAST(n_shingles AS DOUBLE) * 0.5) AS BIGINT)
+                    + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+    """,
+    doc="Prefix-filtered set-similarity join (PPJoin family): "
+        "rarest-first global-frequency ordering, candidates only from "
+        "the length-derived prefix, exact intersection verify on "
+        "candidates — lossless at t, immune to common-shingle skew",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.5)

@@ -39,3 +39,19 @@ def test_minhash_estimates_track_true_jaccard(spark):
     # 8 hashes → σ ≈ sqrt(j(1-j)/8) ≈ 0.17 worst case; MAE well under
     # that means the estimator is unbiased in aggregate
     assert stats.mae < 0.2, f"minhash MAE {stats.mae:.3f} too high"
+
+
+def test_prefix_filter_is_lossless_at_threshold(spark):
+    """PPJoin prefix filtering must return EXACTLY the plain
+    inverted-index join's qualifying pairs (the filter is a candidate
+    pruner, never a recall knob at Jaccard >= t)."""
+    from ibf_typhoon_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    plain = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pref = ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.5)
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in pref.collect()}
+    assert a == b and len(a) > 0
