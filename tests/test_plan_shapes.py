@@ -403,3 +403,25 @@ def test_cuped_single_user_shuffle(spark):
     # the variant rollup; the 1-row moments broadcast back
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_join_on_cluster_key(spark):
+    plan = _plan(spark, "dedup_semdedup")
+    # the within-cluster pair join must be an equi join on the cell —
+    # SemDeDup's whole scaling argument; never a cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_bucket_stats_broadcast(spark):
+    plan = _plan(spark, "corpus_dsir_weights")
+    # the 256-row lambda frame joins back to the token stream as a
+    # broadcast — the corpus-sized side never shuffles on the bucket
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_joins_are_equi(spark):
+    plan = _plan(spark, "dedup_jaccard_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
