@@ -284,11 +284,12 @@ _WEEK = 604800
              unnest(generate_series(s // {_WEEK}, e // {_WEEK})) AS wk
       FROM iv
     ), pairs AS (
-      SELECT DISTINCT a.supp, a.iv_id AS id_a, b.iv_id AS id_b,
+      SELECT a.supp, a.iv_id AS id_a, b.iv_id AS id_b,
              least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
       FROM bucketed a JOIN bucketed b
         ON a.supp = b.supp AND a.wk = b.wk AND a.iv_id < b.iv_id
       WHERE a.s <= b.e AND b.s <= a.e
+        AND a.wk = greatest(a.s, b.s) // {_WEEK}
     )
     SELECT supp AS s_suppkey,
            CAST(count(*) AS BIGINT) AS n_overlap_pairs,
@@ -300,8 +301,11 @@ _WEEK = 604800
     doc="Interval-overlap self-join (concurrent shipments per "
         "supplier): transit windows exploded to the epoch-weeks "
         "they span, pair candidates from a (supplier, week) equi-join "
-        "with the exact overlap test as residual, DISTINCT collapses "
-        "multi-week duplicates, then a supplier-keyed rollup. "
+        "with the exact overlap test as residual; each pair is "
+        "emitted ONLY in its canonical bucket (the week of the later "
+        "start) so multi-week duplicates never exist — a filter in "
+        "the join, not a DISTINCT shuffle over the pair set — then a "
+        "supplier-keyed rollup. "
         "Pair space is Σ per-(supplier, week) products — never "
         "|A|×|B|; integer epoch seconds keep overlap arithmetic "
         "exact in both engines.",
@@ -316,6 +320,11 @@ def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (1 + F.col("l_orderkey") % 20) * 86400
         ).cast("long").alias("e"),
     )
+    # Explicit co-partitioning on the join key: the pair join's OUTPUT
+    # is ~10× its input, so AQE's size-based coalesce (which only sees
+    # map-output bytes) would funnel it into ~3 fat tasks; a
+    # user-specified numPartitions exchange is exempt from coalescing
+    # and both self-join sides reuse it (one shuffle, full fan-out).
     bucketed = iv.withColumn(
         "wk",
         F.explode(
@@ -323,7 +332,7 @@ def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"s div {_WEEK}"), F.expr(f"e div {_WEEK}")
             )
         ),
-    )
+    ).repartition(64, "supp", "wk")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (
@@ -333,7 +342,11 @@ def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.wk") == F.col("b.wk"))
             & (F.col("a.iv_id") < F.col("b.iv_id"))
             & (F.col("a.s") <= F.col("b.e"))
-            & (F.col("b.s") <= F.col("a.e")),
+            & (F.col("b.s") <= F.col("a.e"))
+            & (
+                F.col("a.wk")
+                == F.expr(f"greatest(a.s, b.s) div {_WEEK}")
+            ),
         )
         .select(
             F.col("a.supp").alias("supp"),
@@ -344,7 +357,6 @@ def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.greatest(F.col("a.s"), F.col("b.s"))
             ).alias("overlap_s"),
         )
-        .distinct()
     )
     return (
         pairs.groupBy("supp")
