@@ -1103,24 +1103,28 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), freq AS (
       SELECT shingle, count(*) AS df_count FROM sh GROUP BY shingle
     ), prefix AS (
-      SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, n_shingles FROM (
         SELECT s.doc_id, s.shingle, z.n_shingles,
                row_number() OVER (PARTITION BY s.doc_id
                  ORDER BY f.df_count ASC, s.shingle ASC) AS rn
         FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)
       ) WHERE rn <= n_shingles
-                    - CAST(ceil(CAST(n_shingles AS DOUBLE) * 0.5) AS BIGINT)
+                    - CAST(ceil(CAST(n_shingles AS DOUBLE) * 0.8) AS BIGINT)
                     + 1
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM prefix a JOIN prefix b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE CAST(least(a.n_shingles, b.n_shingles) AS DOUBLE)
+            >= 0.8 * greatest(a.n_shingles, b.n_shingles) - 0.000000001
+    ), sets AS (
+      SELECT doc_id, list(shingle) AS ls FROM sh GROUP BY doc_id
     ), inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.ls, b.ls)) AS BIGINT) AS n_inter
       FROM cand c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      GROUP BY 1, 2
+      JOIN sets a ON a.doc_id = c.id_a
+      JOIN sets b ON b.doc_id = c.id_b
     )
     SELECT id_a, id_b, n_inter,
            round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6)
@@ -1128,7 +1132,7 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+    WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.8
     """,
     doc="Prefix-filtered set-similarity join (PPJoin family): "
         "rarest-first global-frequency ordering, candidates only from "
@@ -1137,4 +1141,4 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.5)
+    return dd.ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.8)

@@ -50,8 +50,8 @@ def test_prefix_filter_is_lossless_at_threshold(spark):
     )
 
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
-    plain = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-    pref = ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.5)
+    plain = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    pref = ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.8)
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in pref.collect()}
     assert a == b and len(a) > 0
