@@ -86,6 +86,10 @@ HEADLINE = [
     "j17_interval_overlap",
     "graph_bfs_hops",
     "ml_naive_bayes",
+    # round-4 session-4 families: SemDeDup (cluster-key semantic
+    # dedup) and DSIR (hashed-ngram importance weights)
+    "dedup_semdedup",
+    "corpus_dsir_weights",
 ]
 
 

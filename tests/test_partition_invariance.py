@@ -1,0 +1,47 @@
+"""Partitioning-invariance sweep: a distributed plan's VALUES must not
+depend on how the data is physically partitioned. Re-running a
+representative per family at spark.sql.shuffle.partitions=3 (vs the
+session's 32) and asserting identical sorted results catches
+order-dependent folds, undeterministic tiebreakers, and accidental
+partition-local logic — the failure class that only shows up when a
+cluster resizes."""
+
+from __future__ import annotations
+
+from ibf_typhoon_data_pipeline_spark import plans
+from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
+
+SF = "/root/testdata/sf0.01"
+
+# one per structural family: global running sum (bucketed two-pass),
+# window dedup, Pregel iteration, driver-fit model, HOF-array kernel,
+# inverted-index join, trained-codebook ANN
+NAMES = [
+    "corpus_token_budget",
+    "a9_dedup_keep_last",
+    "graph_pagerank",
+    "tc_damage_gbt",
+    "dedup_jaccard_prefix",
+    "dedup_semdedup",
+    "corpus_dsir_weights",
+]
+
+
+def _rows(spark, name):
+    df = plans.QUERIES[name].fn(spark, SF)
+    out = sorted(tuple(r) for r in df.collect())
+    release_caches()
+    return out
+
+
+def test_values_survive_repartitioning(spark):
+    base = {n: _rows(spark, n) for n in NAMES}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n in NAMES:
+            assert _rows(spark, n) == base[n], (
+                f"{n}: values changed under shuffle.partitions=3"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
