@@ -1835,3 +1835,95 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DSIR_AVG_SQL).alias("avg_logw"),
         )
     )
+
+
+# --------------------------------------------- chi-squared term selection
+# Classic supervised feature selection (Yang & Pedersen 1997): rank
+# vocabulary terms by the chi-squared statistic of the term-presence ×
+# class contingency table. All four cells are exact integers from ONE
+# document-presence groupBy (+ a 1-row broadcast total); the statistic
+# itself is the only double, computed from shared SQL text and rounded
+# 6dp BEFORE ranking.
+_CHI2_SQL = (
+    "CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0 OR (b + d) = 0 "
+    "THEN CAST(0.0 AS DOUBLE) "
+    "ELSE round(CAST(a + b + c + d AS DOUBLE) "
+    "* pow(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) "
+    "- CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 2) "
+    "/ (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) "
+    "* CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6) END"
+)
+
+
+@register(
+    "text_chi2_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_en,
+             unnest(list_distinct(string_split_regex(trim(text), ' +')))
+               AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), terms AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             count(*) AS ab
+      FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+      FROM documents WHERE length(trim(text)) > 0
+    ), abcd AS (
+      SELECT tok, a, ab - a AS b, n_en - a AS c,
+             (n_all - n_en) - (ab - a) AS d
+      FROM terms CROSS JOIN tot
+    )
+    SELECT tok, a AS n_en_docs, b AS n_other_docs, {_CHI2_SQL} AS chi2
+    FROM abcd ORDER BY chi2 DESC, tok LIMIT 20
+    """,
+    doc="Chi-squared term selection (Yang & Pedersen 1997): "
+        "term-presence × class contingency from one distinct-token "
+        "groupBy, integer cells, 6dp-rounded statistic, top-20 as "
+        "TakeOrderedAndProject — per-partition top-k, only k rows "
+        "cross the wire.",
+)
+def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.array_distinct(dd.split_words(F.col("text"))).alias("__words"),
+    ).select("doc_id", "is_en", F.explode("__words").alias("tok"))
+    terms = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.count("*").alias("ab"),
+    )
+    tot = docs.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+    )
+    abcd = terms.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "a",
+        (F.col("ab") - F.col("a")).alias("b"),
+        (F.col("n_en") - F.col("a")).alias("c"),
+        ((F.col("n_all") - F.col("n_en")) - (F.col("ab") - F.col("a"))).alias(
+            "d"
+        ),
+    )
+    return (
+        abcd.select(
+            "tok",
+            F.col("a").alias("n_en_docs"),
+            F.col("b").alias("n_other_docs"),
+            F.expr(_CHI2_SQL).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), F.col("tok").asc())
+        .limit(20)
+    )
