@@ -1377,3 +1377,136 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_canonical(
         emb, _spark_codebook(spark, sf_dir), threshold=_SEMDEDUP_T
     )
+
+
+# --------------------------------------------- Matryoshka truncation eval
+# Kusupati et al. 2022 (arXiv:2205.13147): Matryoshka embeddings keep
+# their head dims meaningful, so a cheap first-pass index can search
+# truncated prefixes. This entry MEASURES that tradeoff in-engine:
+# per sampled query, |top-5 under full 64-dim cosine ∩ top-5 under
+# the 16-dim prefix|. The query side is a deterministic 10% id
+# sample (eval is always sampled in production — the pair space is
+# |sample|×n, not n²); both rankings round to 6dp before the window.
+_MAT_PREFIX = 16
+
+
+def _matryoshka_oracle() -> str:
+    topk = """
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity({qv}, {bv}), 6) DESC,
+                          b.vec_id
+               ) AS rn
+        FROM v q JOIN v b ON q.vec_id <> b.vec_id
+        WHERE q.vec_id % 10 = 0
+      ) WHERE rn <= 5
+    """
+    full = topk.format(qv="q.ve", bv="b.ve")
+    trunc = topk.format(
+        qv=f"q.ve[1:{_MAT_PREFIX}]", bv=f"b.ve[1:{_MAT_PREFIX}]"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), ftop AS ({full}), ttop AS ({trunc})
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_common
+    FROM ftop f LEFT JOIN ttop t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """
+
+
+@register(
+    "sim_matryoshka_recall",
+    _matryoshka_oracle,
+    doc="Matryoshka truncation eval (Kusupati et al. 2022): per "
+        "sampled query, overlap of exact top-5 under full 64-dim "
+        "cosine vs the 16-dim prefix — the in-engine recall probe "
+        "for prefix-truncated first-pass indexes. Query side is a "
+        "deterministic 10% id sample, so cost is |sample|·n, and "
+        "both rankings share one base projection.",
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.skew import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = persist_tracked(
+        spread(emb)
+        .select(
+            "vec_id", _as_double(F.col("embedding")).alias("__v")
+        )
+        .select(
+            "vec_id",
+            "__v",
+            F.slice("__v", 1, _MAT_PREFIX).alias("__t"),
+        )
+        .select(
+            "vec_id",
+            "__v",
+            "__t",
+            l2_norm(F.col("__v")).alias("__vn"),
+            l2_norm(F.col("__t")).alias("__tn"),
+        )
+    )
+    q = base.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__t").alias("__qt"),
+        F.col("__vn").alias("__qvn"),
+        F.col("__tn").alias("__qtn"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("__v").alias("__bv"),
+        F.col("__t").alias("__bt"),
+        F.col("__vn").alias("__bvn"),
+        F.col("__tn").alias("__btn"),
+    )
+    pairs = q.join(b, F.col("query_id") != F.col("neighbor_id"))
+
+    def _top5(sim_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__s").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            pairs.select("query_id", "neighbor_id", sim_col.alias("__s"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    fsim = F.round(
+        dot(F.col("__qv"), F.col("__bv")) / (F.col("__qvn") * F.col("__bvn")),
+        6,
+    )
+    tsim = F.round(
+        dot(F.col("__qt"), F.col("__bt")) / (F.col("__qtn") * F.col("__btn")),
+        6,
+    )
+    ftop, ttop = _top5(fsim), _top5(tsim)
+    return (
+        ftop.alias("f")
+        .join(
+            ttop.alias("t"),
+            (F.col("f.query_id") == F.col("t.query_id"))
+            & (F.col("f.neighbor_id") == F.col("t.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("f.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("t.neighbor_id")).cast("long").alias("n_common")
+        )
+    )
