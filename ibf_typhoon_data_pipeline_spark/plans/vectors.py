@@ -1510,3 +1510,248 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("t.neighbor_id")).cast("long").alias("n_common")
         )
     )
+
+
+# --------------------------------------------- MMR diversified top-k
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+# re-ranking that trades relevance against redundancy —
+# argmax lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s). Three
+# unrolled greedy steps over a bounded per-query candidate set
+# (top-10 by relevance), lambda = 0.7. ALL scoring is exact integer
+# math: rel/sim quantize to e6 micro-units first, and with
+# lambda = 0.7 the step score is 7*rel_e6 - 3*sim_e6 (an e7-scale
+# BIGINT) — no float fold anywhere, so argmax ties and order are
+# bitwise-identical in both engines. Rank-1 score is relevance alone
+# (no penalty term yet), emitted on the same e7 scale.
+_MMR_TOPC = 10
+
+
+def _mmr_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), rel AS (
+      SELECT query_id, doc_id, ve, rel_e6 FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS doc_id, b.ve,
+               CAST(round(list_cosine_similarity(q.ve, b.ve) * 1000000.0)
+                    AS BIGINT) AS rel_e6,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.ve, b.ve), 6) DESC,
+                          b.vec_id
+               ) AS rn
+        FROM v q JOIN v b ON q.vec_id <> b.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rn <= 10
+    ), ps AS (
+      SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+             CAST(round(list_cosine_similarity(a.ve, b.ve) * 1000000.0)
+                  AS BIGINT) AS sim_e6
+      FROM rel a JOIN rel b
+        ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+    ), s1 AS (
+      SELECT query_id, doc_id, rel_e6 FROM (
+        SELECT query_id, doc_id, rel_e6, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel_e6 DESC, doc_id
+        ) AS rn FROM rel
+      ) WHERE rn = 1
+    ), c2 AS (
+      SELECT r.query_id, r.doc_id,
+             7 * r.rel_e6 - 3 * p.sim_e6 AS score_e7
+      FROM rel r
+      JOIN s1 ON s1.query_id = r.query_id AND r.doc_id <> s1.doc_id
+      JOIN ps p ON p.query_id = r.query_id
+        AND p.d1 = r.doc_id AND p.d2 = s1.doc_id
+    ), s2 AS (
+      SELECT query_id, doc_id, score_e7 FROM (
+        SELECT query_id, doc_id, score_e7, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_e7 DESC, doc_id
+        ) AS rn FROM c2
+      ) WHERE rn = 1
+    ), c3 AS (
+      SELECT r.query_id, r.doc_id,
+             7 * r.rel_e6 - 3 * greatest(p1.sim_e6, p2.sim_e6) AS score_e7
+      FROM rel r
+      JOIN s1 ON s1.query_id = r.query_id AND r.doc_id <> s1.doc_id
+      JOIN s2 ON s2.query_id = r.query_id AND r.doc_id <> s2.doc_id
+      JOIN ps p1 ON p1.query_id = r.query_id
+        AND p1.d1 = r.doc_id AND p1.d2 = s1.doc_id
+      JOIN ps p2 ON p2.query_id = r.query_id
+        AND p2.d1 = r.doc_id AND p2.d2 = s2.doc_id
+    ), s3 AS (
+      SELECT query_id, doc_id, score_e7 FROM (
+        SELECT query_id, doc_id, score_e7, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_e7 DESC, doc_id
+        ) AS rn FROM c3
+      ) WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS INTEGER) AS sel_rank, doc_id,
+           10 * rel_e6 AS score_e7 FROM s1
+    UNION ALL
+    SELECT query_id, CAST(2 AS INTEGER), doc_id, score_e7 FROM s2
+    UNION ALL
+    SELECT query_id, CAST(3 AS INTEGER), doc_id, score_e7 FROM s3
+    """
+
+
+@register(
+    "sim_mmr_rerank",
+    _mmr_oracle,
+    doc="MMR diversified top-3 (Carbonell & Goldstein 1998): greedy "
+        "relevance-vs-redundancy re-ranking, three unrolled steps "
+        "over bounded top-10 candidate sets, lambda=0.7 folded into "
+        "exact-integer e7 scores (7*rel_e6 - 3*sim_e6). Candidate "
+        "and pair frames are |sample|*10 and |sample|*90 rows — the "
+        "greedy loop never touches the corpus again after the one "
+        "relevance pass.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.skew import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id", _as_double(F.col("embedding")).alias("__v")
+    ).select("vec_id", "__v", l2_norm(F.col("__v")).alias("__n"))
+    q = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("__v").alias("__dv"),
+        F.col("__n").alias("__dn"),
+    )
+    cos = dot(F.col("__qv"), F.col("__dv")) / (
+        F.col("__qn") * F.col("__dn")
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("__relr").desc(), F.col("doc_id").asc()
+    )
+    rel = persist_tracked(
+        q.join(b, F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "__dv",
+            "__dn",
+            F.round(cos, 6).alias("__relr"),
+            F.round(cos * 1000000.0).cast("long").alias("rel_e6"),
+        )
+        .withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_TOPC)
+        .drop("rn", "__relr")
+    )
+    pa = rel.select(
+        "query_id", F.col("doc_id").alias("d1"),
+        F.col("__dv").alias("__v1"), F.col("__dn").alias("__n1"),
+    )
+    pb = rel.select(
+        "query_id", F.col("doc_id").alias("d2"),
+        F.col("__dv").alias("__v2"), F.col("__dn").alias("__n2"),
+    )
+    ps = persist_tracked(
+        pa.join(pb, "query_id")
+        .filter(F.col("d1") != F.col("d2"))
+        .select(
+            "query_id", "d1", "d2",
+            F.round(
+                dot(F.col("__v1"), F.col("__v2"))
+                / (F.col("__n1") * F.col("__n2"))
+                * 1000000.0
+            ).cast("long").alias("sim_e6"),
+        )
+    )
+    cand = rel.select("query_id", "doc_id", "rel_e6")
+
+    def _argmax(df, score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col("doc_id").asc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    s1 = _argmax(cand, "rel_e6")
+    c2 = (
+        cand.join(
+            s1.select("query_id", F.col("doc_id").alias("__s1")),
+            "query_id",
+        )
+        .filter(F.col("doc_id") != F.col("__s1"))
+        .join(
+            ps.select(
+                "query_id", F.col("d1").alias("doc_id"),
+                F.col("d2").alias("__s1"), "sim_e6",
+            ),
+            ["query_id", "doc_id", "__s1"],
+        )
+        .select(
+            "query_id", "doc_id", "rel_e6", "__s1",
+            (7 * F.col("rel_e6") - 3 * F.col("sim_e6")).alias("score_e7"),
+        )
+    )
+    s2 = _argmax(c2, "score_e7")
+    c3 = (
+        cand.join(
+            s1.select("query_id", F.col("doc_id").alias("__s1")),
+            "query_id",
+        )
+        .join(
+            s2.select("query_id", F.col("doc_id").alias("__s2")),
+            "query_id",
+        )
+        .filter(
+            (F.col("doc_id") != F.col("__s1"))
+            & (F.col("doc_id") != F.col("__s2"))
+        )
+        .join(
+            ps.select(
+                "query_id", F.col("d1").alias("doc_id"),
+                F.col("d2").alias("__s1"),
+                F.col("sim_e6").alias("__sim1"),
+            ),
+            ["query_id", "doc_id", "__s1"],
+        )
+        .join(
+            ps.select(
+                "query_id", F.col("d1").alias("doc_id"),
+                F.col("d2").alias("__s2"),
+                F.col("sim_e6").alias("__sim2"),
+            ),
+            ["query_id", "doc_id", "__s2"],
+        )
+        .select(
+            "query_id", "doc_id",
+            (
+                7 * F.col("rel_e6")
+                - 3 * F.greatest("__sim1", "__sim2")
+            ).alias("score_e7"),
+        )
+    )
+    s3 = _argmax(c3, "score_e7")
+    out1 = s1.select(
+        "query_id", F.lit(1).cast("int").alias("sel_rank"), "doc_id",
+        (10 * F.col("rel_e6")).alias("score_e7"),
+    )
+    out2 = s2.select(
+        "query_id", F.lit(2).cast("int").alias("sel_rank"), "doc_id",
+        "score_e7",
+    )
+    out3 = s3.select(
+        "query_id", F.lit(3).cast("int").alias("sel_rank"), "doc_id",
+        "score_e7",
+    )
+    return out1.unionByName(out2).unionByName(out3)
