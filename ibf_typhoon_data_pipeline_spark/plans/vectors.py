@@ -1755,3 +1755,131 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_e7",
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+# --------------------------------------------- NDCG@5 ranking eval
+# Retrieval-quality eval (Järvelin & Kekäläinen 2002): NDCG@5 of the
+# exact cosine top-5 against label ground truth (neighbor relevant iff
+# it shares the query's class label). Discount weights 1/log2(i+1)
+# are FIVE fixed constants — quantized once to e6 integers in Python
+# and inlined into BOTH engines, so DCG/IDCG are exact BIGINTs and
+# the only double is the final ratio, rounded 6dp. Binary gains make
+# IDCG a CASE lookup on the relevant-count prefix sums.
+import math as _math
+
+_NDCG_W = [round(1000000.0 / _math.log2(i + 1)) for i in range(1, 6)]
+_NDCG_CUM = [sum(_NDCG_W[: i + 1]) for i in range(5)]
+_NDCG_W_CASE = (
+    "CASE rank "
+    + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))
+    + " END"
+)
+_NDCG_RATIO = (
+    "CASE WHEN n_rel = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+    "round(CAST(dcg_e6 AS DOUBLE) / CAST(CASE n_rel "
+    + " ".join(f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_NDCG_CUM))
+    + " END AS DOUBLE), 6) END"
+)
+
+
+@register(
+    "sim_knn_ndcg",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label
+      FROM embeddings
+    ), top5 AS (
+      SELECT query_id, q_label, rank,
+             CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel
+      FROM (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               b.label AS n_label,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.ve, b.ve), 6) DESC,
+                          b.vec_id
+               ) AS rank
+        FROM v q JOIN v b ON q.vec_id <> b.vec_id
+        WHERE q.vec_id % 10 = 0
+      ) WHERE rank <= 5
+    ), agg AS (
+      SELECT query_id, q_label,
+             CAST(sum(rel * ({_NDCG_W_CASE})) AS BIGINT) AS dcg_e6,
+             CAST(sum(rel) AS BIGINT) AS n_rel
+      FROM top5 GROUP BY query_id, q_label
+    )
+    SELECT query_id, q_label, n_rel, dcg_e6, {_NDCG_RATIO} AS ndcg
+    FROM agg
+    """,
+    doc="NDCG@5 of exact cosine top-5 vs class-label relevance over a "
+        "deterministic 10% query sample — the in-engine retrieval "
+        "eval loop; integer e6 discount weights, CASE-lookup IDCG, "
+        "one ranked window + one partial agg.",
+)
+def sim_knn_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.skew import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id",
+        "label",
+        _as_double(F.col("embedding")).alias("__v"),
+    ).select(
+        "vec_id", "label", "__v", l2_norm(F.col("__v")).alias("__n")
+    )
+    q = base.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = (
+        q.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "n_label",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__qv"), F.col("__bv"))
+                / (F.col("__qn") * F.col("__bn")),
+                6,
+            ).alias("__s"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "q_label",
+            "rank",
+            F.when(F.col("n_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    agg = top5.groupBy("query_id", "q_label").agg(
+        F.sum(F.col("rel") * F.expr(_NDCG_W_CASE))
+        .cast("long")
+        .alias("dcg_e6"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    return agg.select(
+        "query_id", "q_label", "n_rel", "dcg_e6",
+        F.expr(_NDCG_RATIO).alias("ndcg"),
+    )
