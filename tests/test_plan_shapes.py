@@ -425,3 +425,19 @@ def test_prefix_filter_joins_are_equi(spark):
     plan = _plan(spark, "dedup_jaccard_prefix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chi2_totals_broadcast(spark):
+    plan = _plan(spark, "text_chi2_terms")
+    # 1-row totals cross-join broadcasts; top-20 is TakeOrdered, and
+    # the contingency build is one partial-agg groupBy
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_candidate_frames_stay_bounded_joins(spark):
+    plan = _plan(spark, "sim_mmr_rerank")
+    # greedy steps are equi-joins on (query_id, doc_id[, selected]) —
+    # only the one relevance pass may be a broadcast nested loop
+    assert "CartesianProduct" not in plan
