@@ -1927,3 +1927,66 @@ def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), F.col("tok").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------- dataset card
+# "Datasheets for datasets" (Gebru et al. 2018) summary row: the
+# corpus-level statistics a training-data release documents — size,
+# exact-duplication rate, token budget, language mix. One scan, two
+# partial aggs (doc-level + digest-distinct); every ratio derives
+# from exact integer counts and rounds at 6dp.
+_CARD_RATIO_LIST = [
+    "round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+    " AS dup_rate",
+    "round(CAST(n_en_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+    " AS en_share",
+    "round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+    " AS mean_doc_tokens",
+]
+_CARD_RATIOS = ", ".join(_CARD_RATIO_LIST)
+
+
+@register(
+    "corpus_dataset_card",
+    f"""
+    WITH doc AS (
+      SELECT doc_id, md5(text) AS digest,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), ' +')) END
+               AS n_tok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum(is_en) AS BIGINT) AS n_en_docs
+      FROM doc
+    )
+    SELECT n_docs, n_unique, total_tokens, n_en_docs, {_CARD_RATIOS}
+    FROM agg
+    """,
+    doc="Dataset-card summary row (Gebru et al. 2018): corpus size, "
+        "exact-dup rate, token budget, language mix — exact integer "
+        "counts from one scan (digest distinct is the only second "
+        "shuffle), ratios rounded 6dp. The release-documentation op "
+        "of a curation pipeline.",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("digest"),
+        F.when(F.length(F.trim("text")) == 0, 0)
+        .otherwise(F.size(dd.split_words(F.col("text"))))
+        .alias("n_tok"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    agg = doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("digest").cast("long").alias("n_unique"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("is_en").cast("long").alias("n_en_docs"),
+    )
+    return agg.selectExpr(
+        "n_docs", "n_unique", "total_tokens", "n_en_docs",
+        *_CARD_RATIO_LIST,
+    )
