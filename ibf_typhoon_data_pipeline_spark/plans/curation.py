@@ -1990,3 +1990,80 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_unique", "total_tokens", "n_en_docs",
         *_CARD_RATIO_LIST,
     )
+
+
+# --------------------------------------------- CCNet perplexity buckets
+# CCNet's signature move (Wenzek et al. 2020 §4.3): split the corpus
+# into head/middle/tail THIRDS by LM score (lower mean NLL = more
+# fluent = head) and let downstream consumers pick buckets. Thresholds
+# are the corpus 1/3 and 2/3 quantiles — Spark percentile() and DuckDB
+# quantile_cont() share the (n-1)*q interpolation, and the inputs are
+# already 6dp-rounded identical doubles, so the cut points match
+# bitwise after 6dp rounding. The threshold frame is ONE row —
+# broadcast; bucketing is map-side.
+@register(
+    "corpus_ppl_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS corpus_tokens FROM freq
+    ), scored AS (
+      SELECT t.doc_id, {{lp}} AS lp_micro
+      FROM tok t JOIN freq USING (tok) CROSS JOIN tot
+    ), doc AS (
+      SELECT doc_id, {{nll}} AS mean_nll FROM scored GROUP BY doc_id
+    ), th AS (
+      SELECT round(quantile_cont(mean_nll, 1.0 / 3.0), 6) AS t1,
+             round(quantile_cont(mean_nll, 2.0 / 3.0), 6) AS t2
+      FROM doc
+    )
+    SELECT doc_id, mean_nll,
+           CASE WHEN mean_nll <= t1 THEN 'head'
+                WHEN mean_nll <= t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM doc CROSS JOIN th
+    """.format(lp=_LM_LP_MICRO_SQL, nll=_LM_MEAN_NLL_SQL),
+    doc="CCNet head/middle/tail perplexity bucketing (Wenzek et al. "
+        "2020): corpus-LM mean NLL per doc, tercile thresholds from "
+        "one 1-row quantile agg (broadcast), map-side CASE "
+        "assignment — the quality-tier primitive downstream mixture "
+        "sampling consumes.",
+)
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", dd.split_words(F.col("text")).alias("__words"))
+    )
+    tok = docs.select("doc_id", F.explode("__words").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("corpus_tokens"))
+    scored = (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr(_LM_LP_MICRO_SQL).alias("lp_micro"))
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.expr(_LM_MEAN_NLL_SQL).alias("mean_nll")
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    doc = persist_tracked(doc)
+    th = doc.agg(
+        F.expr("round(percentile(mean_nll, 1.0 / 3.0), 6)").alias("t1"),
+        F.expr("round(percentile(mean_nll, 2.0 / 3.0), 6)").alias("t2"),
+    )
+    return doc.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "mean_nll",
+        F.when(F.col("mean_nll") <= F.col("t1"), "head")
+        .when(F.col("mean_nll") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
