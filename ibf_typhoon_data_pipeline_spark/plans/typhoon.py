@@ -2903,3 +2903,123 @@ def geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cy_micro").cast("long").alias("s_cy"),
     )
     return sums.selectExpr("adm3_pcode", *_POLY_OUT_SQLS)
+
+
+# --------------------------------------------- K6 calibration curve
+# Reliability diagram for the damage model (the standard ML-eval
+# companion of any deployed regressor): bin the 2dp-quantized GBT
+# prediction into fixed-width bins and compare per-bin mean predicted
+# vs mean actual damage. Reuses the SAME memoized stump fit (and the
+# DuckDB side the SAME CASE-chain refit) as tc_damage_gbt, so this
+# costs one extra partial-agg groupBy over the scored frame; means
+# come from exact integer cents sums.
+_CAL_BIN_SQL = "CAST(least(floor(p2 / 10.0), 9) AS INT)"
+_CAL_MEAN_SQL = (
+    "round(CAST(sum_cents AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)"
+)
+
+
+def _calibration_oracle() -> str:
+    import duckdb
+
+    from ibf_typhoon_data_pipeline_spark.operators.gbt import (
+        fit_hist_gbt_sketch,
+        hist_gbt_case_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TEMP TABLE gbt_frame AS {DAMAGE_SQL}"
+        " SELECT v_max, dis_track_min, damage_predicted FROM damage"
+    )
+    trees = fit_hist_gbt_sketch(
+        lambda s: con.execute(s).fetchall(),
+        ["v_max", "dis_track_min"],
+        "damage_predicted",
+        frame="gbt_frame",
+        **_GBT_STUMP_KW,
+    )
+    expr = hist_gbt_case_sql(
+        trees, ["d.v_max", "d.dis_track_min"], eta=0.5, base=0.0
+    )
+    return f"""
+    {DAMAGE_SQL}
+    , scored AS (
+      SELECT round(greatest({expr}, CAST(0.0 AS DOUBLE)), 2) AS p2,
+             d.damage_predicted AS actual
+      FROM damage d
+    ), binned AS (
+      SELECT {_CAL_BIN_SQL} AS bin,
+             CAST(round(p2 * 100.0) AS BIGINT) AS pred_cents,
+             CAST(round(actual * 100.0) AS BIGINT) AS act_cents
+      FROM scored
+    ), agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pred_cents) AS BIGINT) AS pc,
+             CAST(sum(act_cents) AS BIGINT) AS ac
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n,
+           {_CAL_MEAN_SQL.replace("sum_cents", "pc")} AS mean_pred,
+           {_CAL_MEAN_SQL.replace("sum_cents", "ac")} AS mean_actual
+    FROM agg
+    """
+
+
+@register(
+    "tc_damage_calibration",
+    _calibration_oracle,
+    doc="Reliability diagram of the K6 stump model: predictions "
+        "2dp-quantized, fixed-width bins (10-unit, capped at bin 9), "
+        "per-bin mean predicted vs mean actual from exact integer "
+        "cents sums — one partial-agg groupBy over the scored frame, "
+        "same memoized fit as tc_damage_gbt both engines.",
+)
+def tc_damage_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.gbt import (
+        fit_hist_gbt_sketch,
+        hist_gbt_predict_udf,
+    )
+
+    with _small_shuffle(spark):
+        d = persist_tracked(_damage(spark))
+        d.count()
+        d.createOrReplaceTempView("gbt_frame")
+        if "stump" not in _FIT_MEMO:
+            _FIT_MEMO["stump"] = fit_hist_gbt_sketch(
+                lambda s: [tuple(r) for r in spark.sql(s).collect()],
+                ["v_max", "dis_track_min"],
+                "damage_predicted",
+                frame="gbt_frame",
+                **_GBT_STUMP_KW,
+            )
+    trees = _FIT_MEMO["stump"]
+    score = hist_gbt_predict_udf(spark, trees, eta=0.5, base=0.0)
+    scored = d.select(
+        F.round(
+            F.greatest(
+                score(F.col("v_max"), F.col("dis_track_min")), F.lit(0.0)
+            ),
+            2,
+        ).alias("p2"),
+        F.col("damage_predicted").alias("actual"),
+    )
+    binned = scored.selectExpr(
+        f"{_CAL_BIN_SQL} AS bin",
+        "CAST(round(p2 * 100.0) AS BIGINT) AS pred_cents",
+        "CAST(round(actual * 100.0) AS BIGINT) AS act_cents",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pred_cents").cast("long").alias("pc"),
+        F.sum("act_cents").cast("long").alias("ac"),
+    )
+    return agg.selectExpr(
+        "bin",
+        "n",
+        f"{_CAL_MEAN_SQL.replace('sum_cents', 'pc')} AS mean_pred",
+        f"{_CAL_MEAN_SQL.replace('sum_cents', 'ac')} AS mean_actual",
+    )
