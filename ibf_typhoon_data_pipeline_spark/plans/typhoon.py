@@ -3023,3 +3023,94 @@ def tc_damage_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_CAL_MEAN_SQL.replace('sum_cents', 'pc')} AS mean_pred",
         f"{_CAL_MEAN_SQL.replace('sum_cents', 'ac')} AS mean_actual",
     )
+
+
+# --------------------------------------------- CRPS forecast verification
+# Continuous Ranked Probability Score for the ensemble wind forecast
+# (Gneiting & Raftery 2007, eq. 21 kernel form):
+#   CRPS = mean_i |x_i - y| - 1/2 mean_{i,j} |x_i - x_j|
+# with the control member (ens_id 0) as the verifying analysis and the
+# 51 perturbed members as the ensemble — the standard verification
+# loop of an ensemble NWP pipeline. Wind speeds quantize to integer
+# milli-m/s BEFORE the absolute differences, so both sums are exact
+# BIGINTs; the pairwise term is a per-municipality self-join bounded
+# by the ensemble size (51^2 rows per muni, never corpus-scale).
+_CRPS_SQL = (
+    "round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    " / 1000.0, 6)"
+)
+
+
+@register(
+    "tc_crps_ensemble",
+    f"""
+    {DAMAGE_SQL}
+    , vm AS (
+      SELECT adm3_pcode, ens_id,
+             CAST(round(v_max * 1000.0) AS BIGINT) AS v_milli
+      FROM damage
+    ), obs AS (
+      SELECT adm3_pcode, v_milli AS o_milli FROM vm WHERE ens_id = 0
+    ), ens AS (
+      SELECT adm3_pcode, ens_id, v_milli FROM vm WHERE ens_id > 0
+    ), t1 AS (
+      SELECT e.adm3_pcode,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(e.v_milli - o.o_milli)) AS BIGINT) AS s1
+      FROM ens e JOIN obs o ON o.adm3_pcode = e.adm3_pcode
+      GROUP BY e.adm3_pcode
+    ), t2 AS (
+      SELECT a.adm3_pcode,
+             CAST(sum(abs(a.v_milli - b.v_milli)) AS BIGINT) AS s2
+      FROM ens a JOIN ens b ON a.adm3_pcode = b.adm3_pcode
+      GROUP BY a.adm3_pcode
+    )
+    SELECT t1.adm3_pcode, n, {_CRPS_SQL} AS crps
+    FROM t1 JOIN t2 ON t2.adm3_pcode = t1.adm3_pcode
+    """,
+    doc="Per-municipality CRPS of the 51-member wind ensemble vs the "
+        "control member (Gneiting & Raftery 2007 kernel form): exact "
+        "integer milli-m/s sums, pairwise term bounded by ensemble "
+        "size per key — forecast verification as a first-class "
+        "pipeline op.",
+)
+def tc_crps_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    vm = persist_tracked(
+        _damage(spark).select(
+            "adm3_pcode",
+            "ens_id",
+            F.round(F.col("v_max") * 1000.0).cast("long").alias("v_milli"),
+        )
+    )
+    obs = vm.filter(F.col("ens_id") == 0).select(
+        "adm3_pcode", F.col("v_milli").alias("o_milli")
+    )
+    ens = vm.filter(F.col("ens_id") > 0)
+    t1 = (
+        ens.join(F.broadcast(obs), "adm3_pcode")
+        .groupBy("adm3_pcode")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.abs(F.col("v_milli") - F.col("o_milli")))
+            .cast("long")
+            .alias("s1"),
+        )
+    )
+    b = ens.select("adm3_pcode", F.col("v_milli").alias("b_milli"))
+    t2 = (
+        ens.join(b, "adm3_pcode")
+        .groupBy("adm3_pcode")
+        .agg(
+            F.sum(F.abs(F.col("v_milli") - F.col("b_milli")))
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    return t1.join(t2, "adm3_pcode").selectExpr(
+        "adm3_pcode", "n", f"{_CRPS_SQL} AS crps"
+    )
