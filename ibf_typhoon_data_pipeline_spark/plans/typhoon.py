@@ -3114,3 +3114,142 @@ def tc_crps_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t1.join(t2, "adm3_pcode").selectExpr(
         "adm3_pcode", "n", f"{_CRPS_SQL} AS crps"
     )
+
+
+# --------------------------------------------- rank histogram + Brier
+# The other two standard ensemble-verification ops (Talagrand/Hamill;
+# Brier 1950): where does the verifying analysis rank inside the
+# ensemble (flat histogram = well-calibrated spread), and the mean
+# squared error of the derived trigger PROBABILITY. Both are exact
+# integer pipelines end-to-end; the only doubles are final ratios.
+@register(
+    "tc_rank_histogram",
+    f"""
+    {DAMAGE_SQL}
+    , vm AS (
+      SELECT adm3_pcode, ens_id,
+             CAST(round(v_max * 1000.0) AS BIGINT) AS v_milli
+      FROM damage
+    ), obs AS (
+      SELECT adm3_pcode, v_milli AS o_milli FROM vm WHERE ens_id = 0
+    ), ranks AS (
+      SELECT e.adm3_pcode,
+             CAST(sum(CASE WHEN e.v_milli < o.o_milli THEN 1 ELSE 0 END)
+                  AS INTEGER) AS rank_pos
+      FROM vm e JOIN obs o ON o.adm3_pcode = e.adm3_pcode
+      WHERE e.ens_id > 0
+      GROUP BY e.adm3_pcode
+    )
+    SELECT rank_pos, CAST(count(*) AS BIGINT) AS n_munis
+    FROM ranks GROUP BY rank_pos
+    """,
+    doc="Talagrand rank histogram: per municipality the control "
+        "analysis's position among the 51 ensemble members (strict "
+        "less-than on integer milli-m/s — deterministic under ties), "
+        "then a 52-bucket histogram. Two partial-agg groupBys; the "
+        "ensemble join is broadcast-by-obs.",
+)
+def tc_rank_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    vm = persist_tracked(
+        _damage(spark).select(
+            "adm3_pcode",
+            "ens_id",
+            F.round(F.col("v_max") * 1000.0).cast("long").alias("v_milli"),
+        )
+    )
+    obs = vm.filter(F.col("ens_id") == 0).select(
+        "adm3_pcode", F.col("v_milli").alias("o_milli")
+    )
+    ranks = (
+        vm.filter(F.col("ens_id") > 0)
+        .join(F.broadcast(obs), "adm3_pcode")
+        .groupBy("adm3_pcode")
+        .agg(
+            F.sum(
+                F.when(F.col("v_milli") < F.col("o_milli"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("rank_pos")
+        )
+    )
+    return ranks.groupBy("rank_pos").agg(
+        F.count("*").cast("long").alias("n_munis")
+    )
+
+
+_BRIER_SQL = (
+    "round(CAST(sum_term AS DOUBLE)"
+    " / (1000000000000.0 * CAST(n_munis AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "tc_brier_trigger",
+    f"""
+    {DAMAGE_SQL}
+    , vm AS (
+      SELECT adm3_pcode, ens_id,
+             CASE WHEN v_max > 25.0 THEN 1 ELSE 0 END AS ex
+      FROM damage
+    ), p AS (
+      SELECT adm3_pcode,
+             CAST(round(CAST(sum(CASE WHEN ens_id > 0 THEN ex ELSE 0 END)
+                             AS DOUBLE) * 1000000.0
+                        / nullif(sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END), 0))
+                  AS BIGINT) AS p_e6,
+             CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END) AS BIGINT)
+               AS o
+      FROM vm GROUP BY adm3_pcode
+      HAVING sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END) > 0
+    ), terms AS (
+      SELECT (p_e6 - o * 1000000) * (p_e6 - o * 1000000) AS term
+      FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_munis,
+           CAST(sum(term) AS BIGINT) AS sum_term,
+           {_BRIER_SQL.replace("sum_term", "sum(term)").replace(
+               "n_munis", "count(*)")} AS brier
+    FROM terms
+    """,
+    doc="Brier score of the ensemble trigger probability (v_max > 25 "
+        "exceedance fraction of the 51 perturbed members) against the "
+        "control member's binary outcome — probability quantized to "
+        "e6, squared-error terms exact BIGINTs, one partial-agg "
+        "groupBy + one 1-row reduction.",
+)
+def tc_brier_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vm = _damage(spark).select(
+        "adm3_pcode",
+        "ens_id",
+        F.when(F.col("v_max") > 25.0, 1).otherwise(0).alias("ex"),
+    )
+    p = vm.groupBy("adm3_pcode").agg(
+        F.expr(
+            "sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END)"
+        ).alias("__n_ens"),
+        F.expr(
+            "sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END)"
+        ).alias("__n_obs"),
+        F.expr(
+            "CAST(round(CAST(sum(CASE WHEN ens_id > 0 THEN ex ELSE 0 END)"
+            " AS DOUBLE) * 1000000.0"
+            " / nullif(sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END), 0)) AS BIGINT)"
+        ).alias("p_e6"),
+        F.expr(
+            "CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END) AS BIGINT)"
+        ).alias("o"),
+    )
+    terms = p.filter(
+        (F.col("__n_ens") > 0) & (F.col("__n_obs") > 0)
+    ).selectExpr(
+        "(p_e6 - o * 1000000) * (p_e6 - o * 1000000) AS term"
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_munis"),
+        F.sum("term").cast("long").alias("sum_term"),
+    ).selectExpr("n_munis", "sum_term", f"{_BRIER_SQL} AS brier")
