@@ -3253,3 +3253,116 @@ def tc_brier_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_munis"),
         F.sum("term").cast("long").alias("sum_term"),
     ).selectExpr("n_munis", "sum_term", f"{_BRIER_SQL} AS brier")
+
+
+# --------------------------------------------- trigger ROC-AUC
+# The third classic classifier eval (with calibration + Brier):
+# ROC-AUC of the ensemble trigger probability against the control
+# outcome, computed EXACTLY via the Mann-Whitney midrank identity —
+# AUC = (U - n1(n1+1)/2) / (n1 n0). The probability domain is
+# bounded (k/51 -> <= 52 distinct values), so midranks come from a
+# <= 52-row grouped frame: 2*midrank = 2*cnt_below + cnt_at + 1 is
+# an integer, U2 = sum over positives of midrank2 is a BIGINT, and
+# the only double is the final ratio. The tiny global-order window
+# runs over the 52-row value frame, never the fact table.
+_AUC_SQL = (
+    "round(CAST(u2 - n1 * (n1 + 1) AS DOUBLE)"
+    " / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6)"
+)
+_P_E6_SQL = (
+    "CAST(round(CAST(sum(CASE WHEN ens_id > 0 THEN ex ELSE 0 END)"
+    " AS DOUBLE) * 1000000.0"
+    " / nullif(sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END), 0))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "tc_trigger_auc",
+    f"""
+    {DAMAGE_SQL}
+    , vm AS (
+      SELECT adm3_pcode, ens_id,
+             CASE WHEN v_max > 25.0 THEN 1 ELSE 0 END AS ex
+      FROM damage
+    ), p AS (
+      SELECT adm3_pcode, {_P_E6_SQL} AS p_e6,
+             CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END) AS BIGINT)
+               AS o
+      FROM vm GROUP BY adm3_pcode
+      HAVING sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END) > 0
+    ), grp AS (
+      SELECT p_e6, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(o) AS BIGINT) AS n1_at
+      FROM p GROUP BY p_e6
+    ), ranked AS (
+      SELECT p_e6, n_at, n1_at,
+             CAST(coalesce(sum(n_at) OVER (
+               ORDER BY p_e6
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n_below
+      FROM grp
+    ), stats AS (
+      SELECT CAST(sum(n1_at * (2 * n_below + n_at + 1)) AS BIGINT) AS u2,
+             CAST(sum(n1_at) AS BIGINT) AS n1,
+             CAST(sum(n_at - n1_at) AS BIGINT) AS n0
+      FROM ranked
+    )
+    SELECT n1, n0, u2, {_AUC_SQL} AS auc FROM stats
+    """,
+    doc="ROC-AUC of the trigger probability vs the control outcome, "
+        "exact Mann-Whitney midrank form: probabilities land on <= 52 "
+        "distinct e6 values, midranks come from the bounded grouped "
+        "frame (2*midrank = 2*below + at + 1, all BIGINT), AUC is "
+        "the single final double. Ties handled exactly; no "
+        "fact-table-order window anywhere.",
+)
+def tc_trigger_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vm = _damage(spark).select(
+        "adm3_pcode",
+        "ens_id",
+        F.when(F.col("v_max") > 25.0, 1).otherwise(0).alias("ex"),
+    )
+    p = (
+        vm.groupBy("adm3_pcode")
+        .agg(
+            F.expr(_P_E6_SQL).alias("p_e6"),
+            F.expr(
+                "CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("o"),
+            F.expr(
+                "sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END)"
+            ).alias("__n_ens"),
+            F.expr(
+                "sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END)"
+            ).alias("__n_obs"),
+        )
+        .filter((F.col("__n_ens") > 0) & (F.col("__n_obs") > 0))
+    )
+    grp = p.groupBy("p_e6").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum("o").cast("long").alias("n1_at"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("p_e6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grp.withColumn(
+        "n_below",
+        F.coalesce(F.sum("n_at").over(w), F.lit(0)).cast("long"),
+    )
+    stats = ranked.agg(
+        F.sum(
+            F.col("n1_at")
+            * (2 * F.col("n_below") + F.col("n_at") + 1)
+        )
+        .cast("long")
+        .alias("u2"),
+        F.sum("n1_at").cast("long").alias("n1"),
+        F.sum(F.col("n_at") - F.col("n1_at")).cast("long").alias("n0"),
+    )
+    return stats.selectExpr("n1", "n0", "u2", f"{_AUC_SQL} AS auc")
