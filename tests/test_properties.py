@@ -95,3 +95,43 @@ def test_lerp_fill_invariants(points):
     if first_known is not None:
         for i in range(first_known):
             assert filled[i] is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 51), st.booleans()),
+        min_size=2,
+        max_size=60,
+    ).filter(
+        lambda xs: any(o for _, o in xs) and any(not o for _, o in xs)
+    )
+)
+def test_auc_midrank_identity(rows):
+    """The tc_trigger_auc midrank formula must equal the naive
+    pairwise AUC  (wins + ties/2) / (n1*n0)  for ANY tied/untied
+    probability multiset — the identity the entry's exactness claims
+    rest on."""
+    from collections import Counter
+
+    # midrank form exactly as the plan computes it
+    grp = Counter()
+    grp1 = Counter()
+    for p, o in rows:
+        grp[p] += 1
+        grp1[p] += int(o)
+    u2 = 0
+    below = 0
+    for p in sorted(grp):
+        u2 += grp1[p] * (2 * below + grp[p] + 1)
+        below += grp[p]
+    n1 = sum(grp1.values())
+    n0 = sum(grp.values()) - n1
+    auc_midrank = (u2 - n1 * (n1 + 1)) / (2.0 * n1 * n0)
+
+    # naive pairwise definition
+    pos = [p for p, o in rows if o]
+    neg = [p for p, o in rows if not o]
+    wins = sum(1 for a in pos for b in neg if a > b)
+    ties = sum(1 for a in pos for b in neg if a == b)
+    auc_naive = (wins + 0.5 * ties) / (n1 * n0)
+    assert abs(auc_midrank - auc_naive) < 1e-12
