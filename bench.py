@@ -87,9 +87,11 @@ HEADLINE = [
     "graph_bfs_hops",
     "ml_naive_bayes",
     # round-4 session-4 families: SemDeDup (cluster-key semantic
-    # dedup) and DSIR (hashed-ngram importance weights)
+    # dedup), DSIR (hashed-ngram importance weights), and the
+    # forecast-verification rep (CRPS's bounded pairwise kernel)
     "dedup_semdedup",
     "corpus_dsir_weights",
+    "tc_crps_ensemble",
 ]
 
 
