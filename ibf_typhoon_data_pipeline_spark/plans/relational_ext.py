@@ -1377,3 +1377,105 @@ def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_LR_ICEPT_SQL} AS intercept",
         f"{_LR_R2_SQL} AS r2",
     )
+
+
+# --------------------------------------------- TPC-H Q4 / Q16 shapes
+# Two more canonical relational shapes, adapted to the synthetic
+# schema like the Q3/Q5/Q18 entries: Q4's correlated EXISTS becomes a
+# left-semi join with a non-equi residual (late shipment stands in
+# for commit<receipt), Q16's NOT IN becomes a null-safe left-anti
+# join (supplier keys are non-null by construction).
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+      AND o.o_orderdate < CAST('1996-04-01' AS TIMESTAMP)
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): correlated EXISTS "
+        "as a LEFT SEMI join on the order key with the late-shipment "
+        "non-equi residual — the quarter filter pushes to the orders "
+        "scan, the semi join never duplicates orders, and the rollup "
+        "is priority-cardinality.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.expr("o_orderdate + INTERVAL 60 DAY")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 7, 14, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): NOT IN over "
+        "the complaint-supplier set as a LEFT ANTI join (keys "
+        "non-null by construction), part dimension broadcast, then a "
+        "distinct-count rollup keyed on (brand, size) — the "
+        "distinct agg is the only fact-sized shuffle.",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 7, 14, 23, 36, 45))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_size").asc(),
+        )
+    )
