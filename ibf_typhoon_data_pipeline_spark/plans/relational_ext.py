@@ -1479,3 +1479,381 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").asc(),
         )
     )
+
+
+# ------------------------------- TPC-H Q7/Q11/Q13/Q17/Q21/Q22 shapes
+# The remaining canonical warehouse plan patterns, adapted to the
+# synthetic schema (no partsupp / phone / commitdate columns — stand-
+# ins noted per entry). Each pins a DISTINCT decorrelation or join
+# pattern the catalog didn't yet exercise: nation-pair disjunctive
+# join filters (Q7), scalar-aggregate broadcast HAVING (Q11),
+# outer-join count distribution with a join-condition filter (Q13),
+# correlated per-group average (Q17), EXISTS/NOT-EXISTS decorrelated
+# to one window (Q21), and scalar-subquery + anti-join (Q22).
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(volume) * 100.0) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (volume shipping): bilateral trade between two "
+        "nations per ship year. The disjunctive nation-pair predicate "
+        "can't push to either scan alone, so it rides the joined row "
+        "after two broadcast nation lookups; lineitem->orders is the "
+        "only fact shuffle and the final rollup is "
+        "2 x 2 x years cardinality. Reference shape: TPC-H spec Q7.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    pair = F.col("supp_nation").isin("NATION_3", "NATION_7") & F.col(
+        "cust_nation"
+    ).isin("NATION_3", "NATION_7") & (
+        F.col("supp_nation") != F.col("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("volume") * 100.0).cast("long").alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(round(sum(l_extendedprice * l_quantity) * 100.0)
+                  AS BIGINT) AS value_cents
+      FROM lineitem
+      GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM pv
+    )
+    SELECT l_partkey, value_cents
+    FROM pv, tot
+    WHERE value_cents * 1250 > total_cents
+    ORDER BY value_cents DESC, l_partkey ASC
+    """,
+    doc="TPC-H Q11 (important stock, adapted: shipped value per part "
+        "stands in for partsupp stock value): per-part value HAVING "
+        "share > 0.08% of the global total (1.6x the mean share; "
+        "the synthetic value distribution tops out at 1.9x). The "
+        "global total is a "
+        "one-row aggregate broadcast back over the per-part frame "
+        "(scalar-subquery decorrelation); the share test runs on "
+        "exact integer cents (value_cents * 1000 > total_cents) so "
+        "no float threshold can disagree at the boundary.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    pv = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) * 100.0
+        )
+        .cast("long")
+        .alias("value_cents")
+    )
+    tot = pv.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1250 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), F.col("l_partkey").asc())
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 (customer distribution): orders-per-customer "
+        "histogram. The priority exclusion must live IN the join "
+        "condition (a WHERE would silently drop zero-order customers "
+        "that the left outer join exists to keep); count(o_orderkey) "
+        "counts matches only, so unmatched customers land in the "
+        "c_count=0 bucket. Two aggs: customer-cardinality, then "
+        "histogram-cardinality.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    c_orders = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q17_small_quantity_lines",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+             AS total_cents
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT CAST('0.4' AS DOUBLE) * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue): lines under 40% "
+        "of their part's average quantity, one brand. The correlated "
+        "per-part average decorrelates to a groupBy over the "
+        "(brand-filtered, broadcast-semi-joined) fact slice re-joined "
+        "on the part key. Quantities are integral doubles, so "
+        "avg = exact-integer-sum / count is the identical IEEE double "
+        "in both engines and the 0.4x threshold compare is "
+        "deterministic.",
+)
+def q17_small_quantity_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"),
+           "left_semi")
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    small = li.join(
+        F.broadcast(avg_q), F.col("l_partkey") == F.col("a_partkey")
+    ).filter(
+        F.col("l_quantity")
+        < F.lit("0.4").cast("double") * F.col("avg_qty")
+    )
+    return small.agg(
+        F.count("*").cast("long").alias("n_small_lines"),
+        F.round(F.sum("l_extendedprice") * 100.0)
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@register(
+    "q21_late_sole_supplier",
+    """
+    WITH flags AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, l_suppkey, late,
+             CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS n_supp,
+             CAST(sum(late) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS n_late
+      FROM flags
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 (suppliers who kept orders waiting, adapted: "
+        "ship > order date + 90 days stands in for receipt > commit). "
+        "The EXISTS (another supplier on the order) and NOT EXISTS "
+        "(no OTHER late supplier) pair decorrelates to ONE window "
+        "over the per-(order, supplier) flag frame — n_supp > 1 and "
+        "n_late = 1 with this supplier late is exactly the "
+        "sole-late-supplier condition, replacing two self-joins of "
+        "the fact table with one partitioned window.",
+)
+def q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    flags = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.expr("o_orderdate + INTERVAL 90 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = flags.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count("*").over(w).cast("long").alias("n_supp"),
+        F.sum("late").over(w).cast("long").alias("n_late"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_order.filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    WITH bal AS (
+      SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+      FROM customer
+    ), thresh AS (
+      SELECT CAST(round(avg(bal_cents)) AS BIGINT) AS avg_cents
+      FROM bal WHERE bal_cents > 0
+    )
+    SELECT substr(c_name, length(c_name) - 1, 2) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM bal, thresh
+    WHERE bal_cents > avg_cents
+      AND substr(c_name, length(c_name) - 1, 2)
+            IN ('13', '31', '23', '29', '30', '18', '17')
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 (global sales opportunity, adapted: the customer "
+        "name's last two digits stand in for the phone country code): "
+        "above-average-balance customers with no URGENT orders "
+        "(every synthetic customer has SOME order, so the dormancy "
+        "test keys on the urgent slice to stay non-vacuous). Balances "
+        "quantize to integer cents BEFORE the average so the "
+        "threshold compare is integer-exact (avg of BIGINTs is the "
+        "same IEEE division in both engines, rounded once); the "
+        "NOT EXISTS is a LEFT ANTI join against the orders key set "
+        "and the one-row threshold broadcasts.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100.0).cast("long").alias("bal_cents"),
+    )
+    thresh = bal.filter(F.col("bal_cents") > 0).agg(
+        F.round(F.avg("bal_cents")).cast("long").alias("avg_cents")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    code = F.expr("substr(c_name, length(c_name) - 1, 2)")
+    return (
+        bal.crossJoin(F.broadcast(thresh))
+        .filter(
+            (F.col("bal_cents") > F.col("avg_cents"))
+            & code.isin("13", "31", "23", "29", "30", "18", "17")
+        )
+        .join(orders, "c_custkey", "left_anti")
+        .select(code.alias("cntrycode"), "bal_cents")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("cntrycode")
+    )
