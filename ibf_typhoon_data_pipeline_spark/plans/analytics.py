@@ -1350,3 +1350,184 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med7"
         ),
     )
+
+
+# ------------------------------------------------- CUSUM changepoint
+# Page's one-sided CUSUM over daily counts, in EXACT integers. The
+# max(0, S + x - mu - k) recursion is not a window function, but its
+# closed form is: S_t = C_t - min(0, min_{j<=t} C_j) where C is the
+# plain cumulative sum of the deviations — two stacked windows, both
+# over the (type x day) frame, never the raw events. Deviations are
+# scaled by 4*days so mu = tot/days and slack k = mu/4 fold into
+# integer arithmetic: 4*days*(n - 1.25*mu) = 4*days*n - 5*tot.
+# Alarm: with the mu/4 slack suppressing stationary drift, a
+# low bar (statistic > tot/10, i.e. h ~ mu/40) flags small
+# persistent upshifts; spelled as the integer test 10*(c-cmin) > tot.
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_idx,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, day_idx, n,
+             sum(n) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS days
+      FROM daily
+    ), cum AS (
+      SELECT event_type, day_idx, n, tot,
+             sum(4 * days * n - 5 * tot) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS UNBOUNDED PRECEDING) AS c
+      FROM tot
+    ), run AS (
+      SELECT event_type, day_idx, n, tot, c,
+             least(min(c) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS UNBOUNDED PRECEDING), 0) AS cmin
+      FROM cum
+    )
+    SELECT event_type, day_idx,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(c - cmin AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN 10 * (c - cmin) > tot THEN 1 ELSE 0 END AS INT)
+             AS alarm
+    FROM run
+    ORDER BY event_type, day_idx
+    """,
+    doc="Page's CUSUM changepoint detector on daily event counts, "
+        "per type: the clamped recursion max(0, S + dev) rewrites to "
+        "cumsum minus its running minimum (floored at 0), so the "
+        "whole detector is two ordered windows over the tiny "
+        "(type x day) frame. Deviations, target mean (global per-type "
+        "rate), 25% slack and the persistent-shift alarm bar all fold to "
+        "exact integer arithmetic scaled by 4*days, so the engines "
+        "agree bitwise. At 100 TB the only event-sized work is the "
+        "day-granularity partial agg.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = daily.select(
+        "event_type",
+        "day_idx",
+        "n",
+        F.sum("n").over(wp).alias("tot"),
+        F.count("*").over(wp).alias("days"),
+    )
+    cum = tot.select(
+        "event_type",
+        "day_idx",
+        "n",
+        "tot",
+        F.sum(
+            4 * F.col("days") * F.col("n") - 5 * F.col("tot")
+        ).over(wo).alias("c"),
+    )
+    run = cum.select(
+        "event_type",
+        "day_idx",
+        "n",
+        "tot",
+        "c",
+        F.least(F.min("c").over(wo), F.lit(0)).alias("cmin"),
+    )
+    return run.select(
+        "event_type",
+        "day_idx",
+        F.col("n").cast("long").alias("n_events"),
+        (F.col("c") - F.col("cmin")).cast("long").alias("cusum_scaled"),
+        F.when(
+            10 * (F.col("c") - F.col("cmin")) > F.col("tot"), 1
+        ).otherwise(0).cast("int").alias("alarm"),
+    ).orderBy("event_type", "day_idx")
+
+
+# ------------------------------------------- MAD robust outliers
+# Median/MAD outlier detection with every compare integer-exact:
+# values quantize to micro-units FIRST, medians of integers are
+# either integral or .5 (interpolated midpoint of two BIGINTs — the
+# identical IEEE double in both engines), so doubling them restores
+# exact integers, and the 3 * 1.4826 * MAD fence becomes the rational
+# test dev * 10000 > 44478 * mad.
+@register(
+    "events_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 1000000.0) AS BIGINT) AS v6
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type,
+             CAST(round(2.0 * quantile_cont(v6, 0.5)) AS BIGINT) AS m2
+      FROM v GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_id, v.event_type, v.v6,
+             abs(2 * v.v6 - med.m2) AS dev2
+      FROM v JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             CAST(round(2.0 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type, dev.v6,
+           CAST(2 * dev.dev2 AS BIGINT) AS dev4,
+           CAST(mad.mad4 AS BIGINT) AS mad4
+    FROM dev JOIN mad USING (event_type)
+    WHERE 2 * dev.dev2 * 10000 > 44478 * mad.mad4
+    ORDER BY dev.event_type, dev.event_id
+    """,
+    doc="Robust outlier detection (median + MAD, 3-sigma fence via "
+        "the 1.4826 normal-consistency constant): values quantized to "
+        "integer micro-units before any median, medians doubled back "
+        "to exact BIGINTs, and the fence tested as the rational "
+        "inequality dev*10000 > 44478*mad — no float threshold "
+        "anywhere. Spark percentile(col, 0.5) and DuckDB "
+        "quantile_cont agree exactly on integer inputs ((n-1)q "
+        "interpolation of two BIGINTs). Two shuffles: the per-type "
+        "median aggs; the per-type stats broadcast back over the "
+        "fact.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _ev(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("v6"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.round(2.0 * F.expr("percentile(v6, 0.5)")).cast("long").alias("m2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "v6",
+        F.abs(2 * F.col("v6") - F.col("m2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(2.0 * F.expr("percentile(dev2, 0.5)"))
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(2 * F.col("dev2") * 10000 > 44478 * F.col("mad4"))
+        .select(
+            "event_id",
+            "event_type",
+            "v6",
+            (2 * F.col("dev2")).cast("long").alias("dev4"),
+            F.col("mad4").cast("long").alias("mad4"),
+        )
+        .orderBy("event_type", "event_id")
+    )

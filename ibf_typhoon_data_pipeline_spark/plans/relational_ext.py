@@ -1857,3 +1857,68 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ------------------------------------------------- Pareto skyline
+@register(
+    "o5_pareto_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_size,
+             CAST(round(p_retailprice * 100.0) AS BIGINT) AS price_cents
+      FROM part
+    ), d AS (
+      SELECT p_partkey, p_size, price_cents,
+             max(p_size) OVER (
+               ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper,
+             max(p_size) OVER (PARTITION BY price_cents)
+               AS best_same_price
+      FROM p
+    )
+    SELECT p_partkey, p_size, price_cents
+    FROM d
+    WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+      AND best_same_price = p_size
+    ORDER BY price_cents, p_partkey
+    """,
+    doc="2-D Pareto skyline (minimize price, maximize size): a part "
+        "survives iff no strictly-cheaper part has size >= it and no "
+        "same-price part has size > it — both tests are RANGE-frame "
+        "running maxima over integer cents (RANGE on BIGINT keys "
+        "behaves identically in both engines; peers enter the frame "
+        "together, which is exactly the same-price tie semantics "
+        "needed). Dominance collapses to two window passes instead "
+        "of the naive O(n^2) self-join. The global order is over the "
+        "part DIMENSION (catalog-sized, not fact-sized); a fact-"
+        "scale skyline would range-partition on price first.",
+)
+def o5_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100.0).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("price_cents")
+    d = p.select(
+        "p_partkey",
+        "p_size",
+        "price_cents",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_same).alias("best_same_price"),
+    )
+    return (
+        d.filter(
+            (F.col("best_cheaper").isNull()
+             | (F.col("best_cheaper") < F.col("p_size")))
+            & (F.col("best_same_price") == F.col("p_size"))
+        )
+        .select("p_partkey", "p_size", "price_cents")
+        .orderBy("price_cents", "p_partkey")
+    )
