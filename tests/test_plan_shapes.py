@@ -441,3 +441,51 @@ def test_mmr_candidate_frames_stay_bounded_joins(spark):
     # greedy steps are equi-joins on (query_id, doc_id[, selected]) —
     # only the one relevance pass may be a broadcast nested loop
     assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelates_to_one_window_one_lineitem_scan(spark):
+    plan = _plan(spark, "q21_late_sole_supplier")
+    # EXISTS + NOT EXISTS must not become two extra self-joins of the
+    # fact: lineitem is scanned ONCE and the sole-late-supplier test
+    # is a single partitioned window over the per-(order, supplier)
+    # flag frame
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    # supplier dimension broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan or "s_suppkey" not in plan.split(
+        "SortMergeJoin"
+    )[1][:200]
+
+
+def test_q11_scalar_total_broadcasts(spark):
+    plan = _plan(spark, "q11_important_stock")
+    # the one-row global total reaches the per-part frame via a
+    # broadcast nested-loop (cross) join — no shuffle of pv
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_outer_keeps_zero_order_customers(spark):
+    plan = _plan(spark, "q13_customer_distribution")
+    # the priority exclusion must ride the join condition, keeping the
+    # LEFT OUTER shape (a post-join filter would flip it to inner and
+    # silently drop the c_count=0 bucket)
+    assert "LeftOuter" in plan
+
+
+def test_pareto_skyline_is_windows_not_self_join(spark):
+    plan = _plan(spark, "o5_pareto_skyline")
+    # dominance = two window passes over the dimension, never the
+    # naive O(n^2) self-join of part against itself
+    assert plan.count("part.parquet") == 1
+    assert "Window" in plan
+
+
+def test_cusum_windows_run_on_daily_frame(spark):
+    plan = _plan(spark, "events_cusum_changepoint")
+    # the raw events collapse to (type, day) via a partial agg BEFORE
+    # any window: exactly one events scan feeding a two-phase
+    # aggregate, and every window partitions by event_type
+    assert plan.count("events.parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
