@@ -1531,3 +1531,139 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+# ------------------------------------------- Kaplan-Meier survival
+# Product-limit estimator for signup -> purchase conversion, with
+# administrative censoring at a 7-day horizon (the synthetic cohort
+# always converts eventually, so the horizon is what creates a real
+# risk set). The survival product folds to a SUM in log space: each
+# hazard term ln(1 - d/n) is computed from an exact-integer ratio
+# (identical IEEE division both engines), rounded ONCE to integer
+# micro-nats, then cumulated by an ordered window — the repo's
+# standard micro-nat pattern (text_lm_logprob) applied to survival.
+@register(
+    "events_km_survival",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+      FROM events GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= u.t0
+      GROUP BY e.user_id
+    ), per_user AS (
+      SELECT u.user_id,
+             CASE WHEN u.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+             CASE WHEN tp IS NOT NULL AND
+                       floor((floor(epoch(tp)) - floor(epoch(t0)))
+                             / 86400) < 7
+                  THEN CAST(floor((floor(epoch(tp)) - floor(epoch(t0)))
+                                  / 86400) AS BIGINT)
+                  ELSE CAST(7 AS BIGINT) END AS dur,
+             CASE WHEN tp IS NOT NULL AND
+                       floor((floor(epoch(tp)) - floor(epoch(t0)))
+                             / 86400) < 7
+                  THEN 1 ELSE 0 END AS is_event
+      FROM u LEFT JOIN p ON p.user_id = u.user_id
+      WHERE u.t0 IS NOT NULL
+    ), ev AS (
+      SELECT cohort, dur, count(*) AS d
+      FROM per_user WHERE is_event = 1 GROUP BY cohort, dur
+    ), tot AS (
+      SELECT cohort, count(*) AS n FROM per_user GROUP BY cohort
+    ), risk AS (
+      SELECT ev.cohort, ev.dur, ev.d,
+             tot.n - COALESCE(sum(ev.d) OVER (
+               PARTITION BY ev.cohort ORDER BY ev.dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM ev JOIN tot ON tot.cohort = ev.cohort
+    )
+    SELECT cohort, CAST(dur AS BIGINT) AS day,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(sum(CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                               * 1000000.0) AS BIGINT)) OVER (
+             PARTITION BY cohort ORDER BY dur
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS log_surv_e6
+    FROM risk
+    ORDER BY cohort, day
+    """,
+    doc="Kaplan-Meier survival curve (signup -> first purchase, "
+        "censored at 7 days, A/B cohorts by user parity): the "
+        "product-limit estimator computed as a log-space running sum "
+        "of per-day hazard terms ln(1 - d/n), each term an exact "
+        "integer ratio rounded once to micro-nats. Event durations "
+        "come from two per-user min aggs (one events shuffle); the "
+        "KM windows run over the tiny (cohort x day) frame. The "
+        "at-risk count is total minus the cumulative prior events "
+        "(censored users persist to the horizon by construction).",
+)
+def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+    u = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t0")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    raw_dur = F.floor(
+        (F.unix_timestamp("tp") - F.unix_timestamp("t0")) / 86400
+    )
+    converted = F.col("tp").isNotNull() & (raw_dur < 7)
+    per_user = (
+        u.filter(F.col("t0").isNotNull())
+        .join(p, "user_id", "left_outer")
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("cohort"),
+            F.when(converted, raw_dur.cast("long"))
+            .otherwise(F.lit(7).cast("long"))
+            .alias("dur"),
+            F.when(converted, 1).otherwise(0).alias("is_event"),
+        )
+    )
+    evd = (
+        per_user.filter(F.col("is_event") == 1)
+        .groupBy("cohort", "dur")
+        .agg(F.count("*").alias("d"))
+    )
+    tot = per_user.groupBy("cohort").agg(F.count("*").alias("n"))
+    w_prev = (
+        Window.partitionBy("cohort").orderBy("dur").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    risk = evd.join(F.broadcast(tot), "cohort").select(
+        "cohort",
+        "dur",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort").orderBy("dur").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    term = F.round(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")) * 1000000.0
+    ).cast("long")
+    return risk.select(
+        "cohort",
+        F.col("dur").cast("long").alias("day"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.sum(term).over(w_cum).cast("long").alias("log_surv_e6"),
+    ).orderBy("cohort", "day")
