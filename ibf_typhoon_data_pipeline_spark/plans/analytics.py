@@ -1667,3 +1667,86 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("long").alias("n_risk"),
         F.sum(term).over(w_cum).cast("long").alias("log_surv_e6"),
     ).orderBy("cohort", "day")
+
+
+# ------------------------------------------- Benford digit audit
+# First-digit distribution of order totals vs Benford's law, with the
+# chi-squared statistic assembled from exact integer counts and e6-
+# quantized expected frequencies (log10(1 + 1/d) evaluated once per
+# digit as a literal — no runtime transcendental disagreement).
+_BENFORD_E6 = {
+    d: round(__import__("math").log10(1 + 1 / d) * 1_000_000)
+    for d in range(1, 10)
+}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {v}" for d, v in _BENFORD_E6.items())
+    + " END"
+)
+
+
+@register(
+    "profile_benford_digits",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS first_digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ), counts AS (
+      SELECT first_digit, CAST(count(*) AS BIGINT) AS n
+      FROM digits GROUP BY first_digit
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+    )
+    SELECT first_digit, n,
+           CAST({_BENFORD_CASE} AS BIGINT) AS expected_e6,
+           CAST(round(
+             (CAST(n AS DOUBLE) * 1000000.0 / total
+              - ({_BENFORD_CASE}))
+             * (CAST(n AS DOUBLE) * 1000000.0 / total
+                - ({_BENFORD_CASE}))
+             / ({_BENFORD_CASE}) / 1000000.0) AS BIGINT) AS chi2_term_e6
+    FROM counts, tot
+    ORDER BY first_digit
+    """,
+    doc="Benford's-law data-quality audit: first significant digit of "
+        "order totals vs log10(1 + 1/d). The nine expected "
+        "frequencies are compile-time integer-e6 literals (shared by "
+        "both engines — no runtime log10), digit counts are one "
+        "partial-agg groupBy with the integer-cast-string first char "
+        "as key, and the per-digit chi-squared term is arithmetic on "
+        "(exact count, literal expectation) pairs. The scan reduces "
+        "to nine rows before anything global happens.",
+)
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1.0
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    chi_sql = (
+        f"CAST(round((CAST(n AS DOUBLE) * 1000000.0 / total"
+        f" - ({_BENFORD_CASE}))"
+        f" * (CAST(n AS DOUBLE) * 1000000.0 / total"
+        f" - ({_BENFORD_CASE}))"
+        f" / ({_BENFORD_CASE}) / 1000000.0) AS BIGINT)"
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "first_digit",
+            "n",
+            f"CAST({_BENFORD_CASE} AS BIGINT) AS expected_e6",
+            f"{chi_sql} AS chi2_term_e6",
+        )
+        .orderBy("first_digit")
+    )
