@@ -522,13 +522,44 @@ def w2_lead_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) AS INTEGER) AS priority_index
     FROM orders
     """,
-    doc="W5 ntile(5) priority ranking (run_model_V2.R:78-83)",
+    doc="W5 ntile(5) priority ranking (run_model_V2.R:78-83). The "
+        "reference ranks a municipality-sized frame, but orders is "
+        "fact-sized here, so the plan avoids the global ntile window "
+        "(single-partition sort): a two-pass global row number via "
+        "operators.windows.global_running_sum (range-partitioned "
+        "local cumsum + broadcast offsets), then the SQL-standard "
+        "ntile bucket formula — first n%k buckets hold ceil(n/k) "
+        "rows — in exact integer arithmetic. Values identical to the "
+        "plain ntile oracle for any range split.",
 )
 def w5_ntile_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey", F.ntile(5).over(w).alias("priority_index")
+    from ibf_typhoon_data_pipeline_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("__one", F.lit(1).cast("long"))
+    rn = global_running_sum(
+        o,
+        order_cols=["o_totalprice", "o_orderkey"],
+        value_col="__one",
+        out_col="__rn",
+    )
+    n = rn.agg(F.count("*").cast("long").alias("__n"))
+    # SQL ntile(k): q = n div k, r = n mod k; buckets 1..r get q+1
+    # rows, buckets r+1..k get q. Pure integer branches — no floats.
+    return (
+        rn.crossJoin(F.broadcast(n))
+        .selectExpr(
+            "o_orderkey",
+            """CAST(CASE
+                 WHEN __rn <= (__n % 5) * (__n DIV 5 + 1)
+                 THEN (__rn + (__n DIV 5)) DIV (__n DIV 5 + 1)
+                 ELSE (__n % 5) + (__rn - (__n % 5) * (__n DIV 5 + 1)
+                                   + (__n DIV 5) - 1) DIV (__n DIV 5)
+               END AS INTEGER) AS priority_index""",
+        )
     )
 
 

@@ -489,3 +489,17 @@ def test_cusum_windows_run_on_daily_frame(spark):
     assert plan.count("events.parquet") == 1
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_w5_ntile_has_no_single_partition_window(spark):
+    # same scale rule as the corpus manifests: the fact-sized orders
+    # ranking must never run ntile as a global no-partitionBy window.
+    # w5 derives the global row number via global_running_sum (range
+    # split + per-partition window + broadcast offsets) and applies
+    # the integer ntile bucket formula — every Window partitions by
+    # __pid and nothing exchanges to a single partition
+    plan = _plan(spark, "w5_ntile_priority")
+    win_lines = [l for l in plan.splitlines() if "Window " in l]
+    assert win_lines, "expected a window operator"
+    assert all("__pid" in l for l in win_lines), "\n".join(win_lines)
+    assert "SinglePartition" not in plan.split("Window")[0]
