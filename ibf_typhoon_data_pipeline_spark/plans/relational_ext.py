@@ -1922,3 +1922,250 @@ def o5_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", "price_cents")
         .orderBy("price_cents", "p_partkey")
     )
+
+
+# --------------------------------------- RFM / ABC / business days
+# Classic warehouse analytics shapes. RFM cuts come from eight 1-row
+# quantile thresholds broadcast over the customer frame (map-side
+# CASE — no per-dimension ntile window); ABC reuses the two-pass
+# global running sum; business-day latency is pure integer epoch-day
+# arithmetic shared token-for-token by both engines.
+
+# weekdays from the epoch anchor through day-index column s
+# (s = epoch_days + 3, so s % 7 == 0 lands on Monday): five per full
+# week plus the clipped remainder. Exact integers end to end.
+def _wd_count(s: str) -> str:
+    return (
+        f"(5 * CAST((({s}) - (({s}) % 7)) / 7 AS BIGINT)"
+        f" + least((({s}) % 7) + 1, 5))"
+    )
+
+
+_RFM_SEGMENT_SQL = (
+    "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 "
+    "THEN 'champion' "
+    "WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating' "
+    "WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk' "
+    "WHEN f_score >= 4 THEN 'loyal' "
+    "WHEN m_score >= 4 THEN 'big_spender' "
+    "ELSE 'regular' END"
+)
+
+
+@register(
+    "orders_rfm_segments",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(floor(floor(epoch(max(o_orderdate))) / 86400) AS BIGINT)
+               AS last_day,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(round(sum(o_totalprice) * 100.0) AS BIGINT) AS mon_cents
+      FROM orders GROUP BY o_custkey
+    ), anchor AS (
+      SELECT max(last_day) AS a_day FROM cust
+    ), rfm AS (
+      SELECT o_custkey, a_day - last_day AS rec_days, freq, mon_cents
+      FROM cust, anchor
+    ), th AS (
+      SELECT quantile_cont(rec_days, 0.2) AS r1,
+             quantile_cont(rec_days, 0.4) AS r2,
+             quantile_cont(rec_days, 0.6) AS r3,
+             quantile_cont(rec_days, 0.8) AS r4,
+             quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2,
+             quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4,
+             quantile_cont(mon_cents, 0.2) AS m1,
+             quantile_cont(mon_cents, 0.4) AS m2,
+             quantile_cont(mon_cents, 0.6) AS m3,
+             quantile_cont(mon_cents, 0.8) AS m4
+      FROM rfm
+    ), scored AS (
+      SELECT o_custkey, rec_days, freq, mon_cents,
+             CAST(CASE WHEN rec_days <= r1 THEN 5 WHEN rec_days <= r2 THEN 4
+                  WHEN rec_days <= r3 THEN 3 WHEN rec_days <= r4 THEN 2
+                  ELSE 1 END AS INT) AS r_score,
+             CAST(CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2
+                  WHEN freq <= f3 THEN 3 WHEN freq <= f4 THEN 4
+                  ELSE 5 END AS INT) AS f_score,
+             CAST(CASE WHEN mon_cents <= m1 THEN 1 WHEN mon_cents <= m2
+                  THEN 2 WHEN mon_cents <= m3 THEN 3 WHEN mon_cents <= m4
+                  THEN 4 ELSE 5 END AS INT) AS m_score
+      FROM rfm, th
+    )
+    SELECT o_custkey, rec_days, freq, mon_cents,
+           r_score, f_score, m_score,
+           {_RFM_SEGMENT_SQL} AS segment
+    FROM scored
+    ORDER BY o_custkey
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary per "
+        "customer (one orders groupBy), quintile scores from EIGHT "
+        "one-row quantile thresholds broadcast back (map-side CASE — "
+        "no ntile window over the customer frame, which is fact-"
+        "sized at scale), and a priority-ordered segment label CASE "
+        "shared as one SQL text. Thresholds interpolate integers, so "
+        "both engines compare identical doubles against exact "
+        "BIGINTs.",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.floor(F.unix_timestamp(F.max("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.round(F.sum("o_totalprice") * 100.0).cast("long").alias(
+            "mon_cents"
+        ),
+    )
+    anchor = cust.agg(F.max("last_day").alias("a_day"))
+    rfm = cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        (F.col("a_day") - F.col("last_day")).alias("rec_days"),
+        "freq",
+        "mon_cents",
+    )
+    th = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{a}{i}")
+            for c, a in (("rec_days", "r"), ("freq", "f"),
+                         ("mon_cents", "m"))
+            for i, q in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+        ]
+    )
+    scored = rfm.crossJoin(F.broadcast(th)).selectExpr(
+        "o_custkey",
+        "rec_days",
+        "freq",
+        "mon_cents",
+        "CAST(CASE WHEN rec_days <= r1 THEN 5 WHEN rec_days <= r2 THEN 4"
+        " WHEN rec_days <= r3 THEN 3 WHEN rec_days <= r4 THEN 2"
+        " ELSE 1 END AS INT) AS r_score",
+        "CAST(CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2"
+        " WHEN freq <= f3 THEN 3 WHEN freq <= f4 THEN 4"
+        " ELSE 5 END AS INT) AS f_score",
+        "CAST(CASE WHEN mon_cents <= m1 THEN 1 WHEN mon_cents <= m2"
+        " THEN 2 WHEN mon_cents <= m3 THEN 3 WHEN mon_cents <= m4"
+        " THEN 4 ELSE 5 END AS INT) AS m_score",
+    )
+    return scored.selectExpr(
+        "o_custkey", "rec_days", "freq", "mon_cents",
+        "r_score", "f_score", "m_score",
+        f"{_RFM_SEGMENT_SQL} AS segment",
+    ).orderBy("o_custkey")
+
+
+@register(
+    "a20_abc_classification",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+               AS value_cents
+      FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+      SELECT l_partkey, value_cents,
+             sum(value_cents) OVER (
+               ORDER BY value_cents DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(value_cents) OVER () AS tot_cents
+      FROM pv
+    )
+    SELECT l_partkey, value_cents, CAST(cum_cents AS BIGINT) AS cum_cents,
+           CASE WHEN cum_cents * 10 <= tot_cents * 7 THEN 'A'
+                WHEN cum_cents * 10 <= tot_cents * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    ORDER BY value_cents DESC, l_partkey
+    """,
+    doc="ABC inventory classification (Pareto 70/90 revenue cuts): "
+        "per-part revenue, cumulative share in descending-value "
+        "order, class boundaries as exact integer inequalities "
+        "(cum*10 vs tot*7 / tot*9). The cumulative sum reuses "
+        "operators.windows.global_running_sum (range split + "
+        "broadcast offsets) rather than a single-partition window, "
+        "and the grand total is a 1-row broadcast — the ranking "
+        "scales to a fact-sized part dimension.",
+)
+def a20_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    pv = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice") * 100.0)
+        .cast("long")
+        .alias("value_cents")
+    ).withColumn("neg_value", -F.col("value_cents"))
+    cum = global_running_sum(
+        pv,
+        order_cols=["neg_value", "l_partkey"],
+        value_col="value_cents",
+        out_col="cum_cents",
+    )
+    tot = pv.agg(F.sum("value_cents").cast("long").alias("tot_cents"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "l_partkey",
+            "value_cents",
+            "CAST(cum_cents AS BIGINT) AS cum_cents",
+            "CASE WHEN cum_cents * 10 <= tot_cents * 7 THEN 'A'"
+            " WHEN cum_cents * 10 <= tot_cents * 9 THEN 'B'"
+            " ELSE 'C' END AS abc_class",
+        )
+        .orderBy(F.col("value_cents").desc(), F.col("l_partkey").asc())
+    )
+
+
+@register(
+    "f22_business_days",
+    f"""
+    WITH d AS (
+      SELECT CAST(floor(floor(epoch(o_orderdate)) / 86400) AS BIGINT) + 3
+               AS so,
+             CAST(floor(floor(epoch(l_shipdate)) / 86400) AS BIGINT) + 3
+               AS ss
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT CAST({_wd_count('ss')} - {_wd_count('so')} AS BIGINT)
+             AS bus_days,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM d
+    GROUP BY bus_days
+    ORDER BY bus_days
+    """,
+    doc="Business-day shipping latency histogram: weekdays strictly "
+        "after the order date through the ship date, computed as the "
+        "difference of a closed-form weekday prefix count "
+        "f(s) = 5*(s div 7) + min(s%7 + 1, 5) on Monday-anchored "
+        "epoch-day indices — ONE shared integer formula in both "
+        "engines, no calendar table and no dayofweek() (whose "
+        "numbering conventions differ across engines). Map-side "
+        "expression + a histogram-cardinality agg.",
+)
+def f22_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        (F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long") + 3)
+        .alias("so"),
+        (F.floor(F.unix_timestamp("l_shipdate") / 86400).cast("long") + 3)
+        .alias("ss"),
+    )
+    return (
+        d.selectExpr(
+            f"CAST({_wd_count('ss')} - {_wd_count('so')} AS BIGINT)"
+            " AS bus_days"
+        )
+        .groupBy("bus_days")
+        .agg(F.count("*").cast("long").alias("n_lines"))
+        .orderBy("bus_days")
+    )
