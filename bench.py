@@ -92,6 +92,10 @@ HEADLINE = [
     "dedup_semdedup",
     "corpus_dsir_weights",
     "tc_crps_ensemble",
+    "q21_late_sole_supplier",
+    "events_cusum_changepoint",
+    "orders_rfm_segments",
+    "a20_abc_classification",
 ]
 
 
