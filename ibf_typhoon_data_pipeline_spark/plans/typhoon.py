@@ -3033,8 +3033,10 @@ def tc_damage_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 51 perturbed members as the ensemble — the standard verification
 # loop of an ensemble NWP pipeline. Wind speeds quantize to integer
 # milli-m/s BEFORE the absolute differences, so both sums are exact
-# BIGINTs; the pairwise term is a per-municipality self-join bounded
-# by the ensemble size (51^2 rows per muni, never corpus-scale).
+# BIGINTs; the pairwise term uses the sorted-rank identity
+# sum|x_i - x_j| = 2 * sum_k (2k - n - 1) x_(k) — one per-key window
+# over the 51 members, no quadratic self-join (the oracle keeps the
+# textbook self-join; exact integers make them equal).
 _CRPS_SQL = (
     "round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
     " - CAST(s2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
@@ -3101,15 +3103,31 @@ def tc_crps_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s1"),
         )
     )
-    b = ens.select("adm3_pcode", F.col("v_milli").alias("b_milli"))
-    t2 = (
-        ens.join(b, "adm3_pcode")
-        .groupBy("adm3_pcode")
-        .agg(
-            F.sum(F.abs(F.col("v_milli") - F.col("b_milli")))
-            .cast("long")
-            .alias("s2"),
+    # pairwise term WITHOUT the 51^2-per-key self-join: for sorted
+    # values the double sum folds to sum_{i,j}|x_i - x_j| =
+    # 2 * sum_k (2k - n - 1) * x_(k) (k = 1-based rank) — one window
+    # sort of the 51 ensemble rows per key, exact integers preserved,
+    # O(n log n) per key instead of O(n^2). The DuckDB oracle keeps
+    # the textbook self-join; the identity makes the values equal.
+    w_rank = Window.partitionBy("adm3_pcode").orderBy(
+        "v_milli", "ens_id"
+    )
+    w_n = Window.partitionBy("adm3_pcode")
+    ranked = ens.select(
+        "adm3_pcode",
+        "v_milli",
+        F.row_number().over(w_rank).cast("long").alias("k"),
+        F.count("*").over(w_n).cast("long").alias("nn"),
+    )
+    t2 = ranked.groupBy("adm3_pcode").agg(
+        (
+            2
+            * F.sum(
+                (2 * F.col("k") - F.col("nn") - 1) * F.col("v_milli")
+            )
         )
+        .cast("long")
+        .alias("s2"),
     )
     return t1.join(t2, "adm3_pcode").selectExpr(
         "adm3_pcode", "n", f"{_CRPS_SQL} AS crps"
