@@ -135,3 +135,21 @@ def test_auc_midrank_identity(rows):
     ties = sum(1 for a in pos for b in neg if a == b)
     auc_naive = (wins + 0.5 * ties) / (n1 * n0)
     assert abs(auc_midrank - auc_naive) < 1e-12
+
+
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6),
+             min_size=1, max_size=60)
+)
+def test_crps_pairwise_sorted_rank_identity(xs):
+    """The tc_crps_ensemble rewrite rests on
+    sum_{i,j} |x_i - x_j| = 2 * sum_k (2k - n - 1) * x_(k)
+    (k = 1-based rank in ascending order) for ANY integer multiset —
+    including ties, where row_number's arbitrary-but-total tie order
+    must not change the sum."""
+    n = len(xs)
+    naive = sum(abs(a - b) for a in xs for b in xs)
+    ranked = sum(
+        (2 * k - n - 1) * x for k, x in enumerate(sorted(xs), start=1)
+    )
+    assert naive == 2 * ranked
