@@ -3384,3 +3384,92 @@ def tc_trigger_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_at") - F.col("n1_at")).cast("long").alias("n0"),
     )
     return stats.selectExpr("n1", "n0", "u2", f"{_AUC_SQL} AS auc")
+
+
+# ------------------------------------------- ACE + rapid intensification
+# Two standard climatology metrics over the ensemble track set:
+# Accumulated Cyclone Energy (NOAA definition: 1e-4 * sum of squared
+# 6-hourly max winds in knots, tropical-storm strength 35 kt and
+# above) and 24-hour rapid-intensification flags (+30 kt over four
+# 6-hour steps). Both engines evaluate vmax from the SAME generator
+# text, so the knot conversion and threshold compares see identical
+# doubles; each squared-wind term rounds to an integer BEFORE the
+# sum (order-free), and the RI test is a lead-window compare with a
+# quoted-literal threshold.
+_KT = "CAST('1.943844' AS DOUBLE)"
+
+
+@register(
+    "tc_ace_climatology",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    kt AS (
+      SELECT ens_id, step, vmax * {_KT} AS v_kt
+      FROM tracks
+    ), ri AS (
+      SELECT ens_id, step, v_kt,
+             lead(v_kt, 4) OVER (PARTITION BY ens_id ORDER BY step)
+               AS v_kt_24h
+      FROM kt
+    )
+    SELECT ens_id,
+           CAST(count(CASE WHEN v_kt >= 35.0 THEN 1 END) AS BIGINT)
+             AS n_active_steps,
+           CAST(sum(CASE WHEN v_kt >= 35.0
+                         THEN CAST(round(v_kt * v_kt) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS ace_terms,
+           round(CAST(sum(CASE WHEN v_kt >= 35.0
+                               THEN CAST(round(v_kt * v_kt) AS BIGINT)
+                               ELSE 0 END) AS DOUBLE) / 10000.0, 4)
+             AS ace,
+           CAST(sum(CASE WHEN v_kt_24h - v_kt >= 30.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ri_onsets
+    FROM ri
+    GROUP BY ens_id
+    ORDER BY ens_id
+    """,
+    doc="Accumulated Cyclone Energy and rapid-intensification "
+        "climatology per ensemble member: NOAA ACE (1e-4 * sum of "
+        "squared >= 35 kt six-hourly winds, each term rounded to an "
+        "integer before the order-free sum) plus +30 kt/24 h RI "
+        "onset counts from a 4-step lead window. One window + one "
+        "partial agg over the member-keyed track frame — "
+        "member-parallel at any ensemble size.",
+)
+def tc_ace_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kt = gen_tracks(spark).select(
+        "ens_id",
+        "step",
+        (F.col("vmax") * F.expr(_KT)).alias("v_kt"),
+    )
+    w = Window.partitionBy("ens_id").orderBy("step")
+    ri = kt.select(
+        "ens_id",
+        "step",
+        "v_kt",
+        F.lead("v_kt", 4).over(w).alias("v_kt_24h"),
+    )
+    active_term = F.when(
+        F.col("v_kt") >= 35.0,
+        F.round(F.col("v_kt") * F.col("v_kt")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ri.groupBy("ens_id")
+        .agg(
+            F.count(F.when(F.col("v_kt") >= 35.0, 1))
+            .cast("long")
+            .alias("n_active_steps"),
+            F.sum(active_term).cast("long").alias("ace_terms"),
+            F.round(
+                F.sum(active_term).cast("double") / 10000.0, 4
+            ).alias("ace"),
+            F.sum(
+                F.when(
+                    F.col("v_kt_24h") - F.col("v_kt") >= 30.0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ri_onsets"),
+        )
+        .orderBy("ens_id")
+    )
