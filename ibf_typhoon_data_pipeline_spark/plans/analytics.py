@@ -1750,3 +1750,71 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# ------------------------------------------- Gini concentration
+@register(
+    "events_gini_activity",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n_ev,
+             row_number() OVER (ORDER BY n_ev, user_id) AS k
+      FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_ev) AS BIGINT) AS total_events,
+           CAST(sum(k * n_ev) AS BIGINT) AS weighted_sum,
+           round((2.0 * CAST(sum(k * n_ev) AS DOUBLE)
+                  - (count(*) + 1.0) * CAST(sum(n_ev) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE)
+                    * CAST(sum(n_ev) AS DOUBLE)), 6) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of per-user activity concentration: the "
+        "rank-weighted closed form G = (2*sum(k*x_k) - (n+1)*sum(x)) "
+        "/ (n*sum(x)) over counts sorted ascending. All three "
+        "aggregates are exact BIGINTs, so the final ratio divides "
+        "identical doubles. The Spark side derives the global rank k "
+        "with operators.windows.global_running_sum (range split + "
+        "broadcast offsets) — the user frame is fact-sized at scale, "
+        "so no single-partition row_number window; the DuckDB oracle "
+        "keeps the plain global window.",
+)
+def events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    u = (
+        _ev(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_ev"))
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    ranked = global_running_sum(
+        u,
+        order_cols=["n_ev", "user_id"],
+        value_col="__one",
+        out_col="k",
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("total_events"),
+        F.sum(F.col("k") * F.col("n_ev")).cast("long").alias(
+            "weighted_sum"
+        ),
+        F.round(
+            (
+                2.0 * F.sum(F.col("k") * F.col("n_ev")).cast("double")
+                - (F.count("*") + 1.0) * F.sum("n_ev").cast("double")
+            )
+            / (
+                F.count("*").cast("double")
+                * F.sum("n_ev").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )

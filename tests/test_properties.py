@@ -153,3 +153,24 @@ def test_crps_pairwise_sorted_rank_identity(xs):
         (2 * k - n - 1) * x for k, x in enumerate(sorted(xs), start=1)
     )
     assert naive == 2 * ranked
+
+
+@given(st.integers(min_value=1, max_value=400))
+def test_w5_ntile_bucket_formula(n):
+    """The w5 integer ntile formula must reproduce SQL-standard
+    ntile(5) for any n: first n%5 buckets hold ceil(n/5) rows, the
+    rest floor(n/5), assigned in row-number order."""
+    k = 5
+    q, r = divmod(n, k)
+    # naive assignment from bucket sizes
+    sizes = [q + 1] * r + [q] * (k - r)
+    naive = []
+    for b, sz in enumerate(sizes, start=1):
+        naive.extend([b] * sz)
+    # the plan's closed form
+    for rn in range(1, n + 1):
+        if rn <= r * (q + 1):
+            got = (rn + q) // (q + 1)
+        else:
+            got = r + (rn - r * (q + 1) + q - 1) // q
+        assert got == naive[rn - 1], (n, rn)
