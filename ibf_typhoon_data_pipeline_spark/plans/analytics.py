@@ -1818,3 +1818,66 @@ def events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ------------------------------------------- touch attribution
+@register(
+    "events_touch_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id, min(ts) AS tp
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), touches AS (
+      SELECT e.user_id, e.event_type
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.ts < c.tp AND e.event_type IN ('click', 'view', 'signup')
+    ), sized AS (
+      SELECT user_id, event_type,
+             count(*) OVER (PARTITION BY user_id) AS n_touches
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(round(1000000.0 / n_touches) AS BIGINT))
+                AS BIGINT) AS credit_e6
+    FROM sized
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Linear-touch conversion attribution: every click/view/signup "
+        "before a user's first purchase shares that conversion's "
+        "credit equally. Per-touch credit quantizes to round(1e6/n) "
+        "BEFORE summation (identical integer division both engines, "
+        "order-free BIGINT sums); the per-user touch count is a "
+        "user-partitioned window, so the only shuffles are the "
+        "user key and the final channel rollup.",
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("tp"))
+        .select("user_id", "event_type")
+    )
+    w = Window.partitionBy("user_id")
+    sized = touches.select(
+        "event_type", F.count("*").over(w).alias("n_touches")
+    )
+    return (
+        sized.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum(
+                F.round(1000000.0 / F.col("n_touches")).cast("long")
+            )
+            .cast("long")
+            .alias("credit_e6"),
+        )
+        .orderBy("event_type")
+    )
