@@ -13,11 +13,16 @@ from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
 
 SF = "/root/testdata/sf0.01"
 
-# one per structural family: global running sum (bucketed two-pass),
+# one per structural family: global running sum (bucketed two-pass
+# AND its range-split fallback),
 # window dedup, Pregel iteration, driver-fit model, HOF-array kernel,
 # inverted-index join, trained-codebook ANN
 NAMES = [
     "corpus_token_budget",
+    # range-partition fallback path of global_running_sum (num_ranges
+    # defaults to shuffle.partitions — the values must not care)
+    "w5_ntile_priority",
+    "a20_abc_classification",
     "a9_dedup_keep_last",
     "graph_pagerank",
     "tc_damage_gbt",
