@@ -1883,3 +1883,110 @@ def sim_knn_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "q_label", "n_rel", "dcg_e6",
         F.expr(_NDCG_RATIO).alias("ndcg"),
     )
+
+
+# ------------------------------------------- clustering quality (CH)
+# Calinski-Harabasz index of the labeled embedding clustering:
+# between-cluster vs within-cluster scatter, assembled entirely from
+# the (label x dim) integer sufficient statistics of ONE posexplode
+# groupBy. Each scatter TERM rounds to a BIGINT (pico units) before
+# the cross-label sums, so the reduction is order-free; the final
+# ratio divides exact integers.
+_CH_W_TERM = (
+    "CAST(round(CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " AS BIGINT)"
+)
+_CH_B_TERM = (
+    "CAST(round(CAST(n AS DOUBLE)"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    "    - CAST(gs1 AS DOUBLE) / CAST(gn AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    "    - CAST(gs1 AS DOUBLE) / CAST(gn AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "emb_cluster_calinski",
+    f"""
+    WITH e AS (
+      SELECT label, generate_subscripts(ve, 1) - 1 AS dim_idx,
+             CAST(round(unnest(ve) * 1000000.0) AS BIGINT) AS x_micro
+      FROM (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+      )
+    ), ld AS (
+      SELECT label, dim_idx,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x_micro) AS BIGINT) AS s1,
+             CAST(sum(x_micro * x_micro) AS BIGINT) AS s2
+      FROM e GROUP BY label, dim_idx
+    ), g AS (
+      SELECT dim_idx, CAST(sum(s1) AS BIGINT) AS gs1,
+             CAST(sum(n) AS BIGINT) AS gn
+      FROM ld GROUP BY dim_idx
+    ), terms AS (
+      SELECT ld.label, {_CH_W_TERM} AS w_term, {_CH_B_TERM} AS b_term
+      FROM ld JOIN g ON g.dim_idx = ld.dim_idx
+    ), tot AS (
+      SELECT CAST(count(DISTINCT label) AS BIGINT) AS k,
+             CAST(sum(w_term) AS BIGINT) AS w_pico,
+             CAST(sum(b_term) AS BIGINT) AS b_pico
+      FROM terms
+    ), nv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings
+    )
+    SELECT k, n_vecs, w_pico, b_pico,
+           round((CAST(b_pico AS DOUBLE) / (k - 1))
+                 / (CAST(w_pico AS DOUBLE) / (n_vecs - k)), 6) AS ch
+    FROM tot, nv
+    """,
+    doc="Calinski-Harabasz clustering-quality index over the labeled "
+        "embeddings: within- and between-cluster scatter from the "
+        "(label x dim) integer micro-sums of one posexplode groupBy "
+        "(k x 64 rows), each scatter term rounded to pico-unit "
+        "BIGINTs before the order-free reduction. The only fact-"
+        "sized work is the explode agg; everything after is "
+        "dimension-table arithmetic. The eval twin of "
+        "dedup_semdedup's k-means blocking quality.",
+)
+def emb_cluster_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(
+            F.col("embedding").cast("array<double>")
+        ).alias("dim_idx", "x"),
+    ).select(
+        "label",
+        "dim_idx",
+        F.round(F.col("x") * 1000000.0).cast("long").alias("x_micro"),
+    )
+    ld = e.groupBy("label", "dim_idx").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_micro").cast("long").alias("s1"),
+        F.sum(F.col("x_micro") * F.col("x_micro"))
+        .cast("long")
+        .alias("s2"),
+    )
+    g = ld.groupBy("dim_idx").agg(
+        F.sum("s1").cast("long").alias("gs1"),
+        F.sum("n").cast("long").alias("gn"),
+    )
+    terms = ld.join(F.broadcast(g), "dim_idx").selectExpr(
+        "label", f"{_CH_W_TERM} AS w_term", f"{_CH_B_TERM} AS b_term"
+    )
+    tot = terms.agg(
+        F.countDistinct("label").cast("long").alias("k"),
+        F.sum("w_term").cast("long").alias("w_pico"),
+        F.sum("b_term").cast("long").alias("b_pico"),
+    )
+    nv = emb.agg(F.count("*").cast("long").alias("n_vecs"))
+    return tot.crossJoin(F.broadcast(nv)).selectExpr(
+        "k",
+        "n_vecs",
+        "w_pico",
+        "b_pico",
+        "round((CAST(b_pico AS DOUBLE) / (k - 1))"
+        " / (CAST(w_pico AS DOUBLE) / (n_vecs - k)), 6) AS ch",
+    )
