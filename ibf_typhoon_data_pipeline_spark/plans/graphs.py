@@ -990,11 +990,16 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # persist the symmetrized edge list ALREADY hash-partitioned on
+    # the join key: every superstep's edges-side exchange disappears
+    # (the cached partitioning is reused; only the node-sized
+    # frontier shuffles per superstep)
     edges = persist_tracked(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionAll(
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
+        .repartition(32, "src")
     )
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     seeds = (
@@ -1014,6 +1019,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hop"),
     )
+    # each superstep reads `dist` TWICE (frontier + the join-back), so
+    # the frame must be persisted per superstep: without it the lazy
+    # plan doubles every iteration and the final action recomputes
+    # O(2^iters) copies of the base join (measured 23 s -> ~4 s at
+    # sf0.1 under full materialization). persist_tracked keeps the
+    # release_caches() contract.
+    dist = persist_tracked(dist)
     for _ in range(_BFS_ITERS):
         frontier = dist.filter(F.col("hop").isNotNull()).select(
             F.col("node").alias("src"), F.col("hop")
@@ -1023,7 +1035,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg((F.min("hop") + 1).cast("long").alias("nd"))
         )
-        dist = (
+        dist = persist_tracked(
             dist.join(upd, dist.node == upd.dst, "left")
             .select(
                 "node",
