@@ -109,7 +109,9 @@ def main() -> None:
     # per-query numbers measure the plans, not first-touch costs
     from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
 
-    plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).count()
+    plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
     for t in ("documents", "embeddings", "events", "orders", "customer"):
         load_table(spark, sf_dir, t).count()
     # ...and the Arrow/Python worker pool: the first pandas-UDF stage
@@ -142,7 +144,15 @@ def main() -> None:
         best = float("inf")
         for _attempt in range(2):
             t0 = time.perf_counter()
-            qd.fn(spark, sf_dir).count()
+            # noop sink: full materialization of every output row
+            # JVM-side. count() is NOT a faithful probe — Catalyst
+            # eliminates left joins with unique right keys and prunes
+            # expensive projections under it (graph_bfs_hops measured
+            # 2.7 s by count vs ~23 s real before its fix; JSON-build
+            # and kernel projections would be skipped entirely).
+            qd.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             best = min(best, time.perf_counter() - t0)
             release_caches()  # orchestration path: reclaim tracked persists
         timings[name] = round(best, 3)
