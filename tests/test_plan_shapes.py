@@ -503,3 +503,18 @@ def test_w5_ntile_has_no_single_partition_window(spark):
     assert win_lines, "expected a window operator"
     assert all("__pid" in l for l in win_lines), "\n".join(win_lines)
     assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_j11_tier1_probes_cells_not_full_cross(spark):
+    # the nearest-neighbor tier must join on the 1-degree cell key
+    # (equi-join on __cy/__cx), with the full customer x supplier
+    # cross reserved for the provable-bound fallback slice; a plan
+    # where the FIRST join is a keyless broadcast cross of the whole
+    # customer frame would be the 15M-pair regression
+    plan = _plan(spark, "j11_nearest_supplier")
+    assert "__cy" in plan and "__cx" in plan
+    join_lines = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert any("__cy" in l and "__cx" in l for l in join_lines), join_lines
+    # both the tier and the fallback aggregate via min(struct) partial
+    # aggs — never a row_number window over the pair set
+    assert "Window" not in plan
