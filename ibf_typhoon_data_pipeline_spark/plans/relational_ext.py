@@ -2169,3 +2169,166 @@ def f22_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_lines"))
         .orderBy("bus_days")
     )
+
+
+# --------------------------------------- governance / quality audits
+# Operational data-contract checks as first-class queries: the gate a
+# production warehouse runs before publishing a snapshot. Every check
+# reduces to anti-join or group-count cardinalities — exact integers,
+# dimension sides broadcast, one pass per fact table.
+
+
+@register(
+    "audit_referential_integrity",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk, CAST(count(*) AS BIGINT)
+             AS violations
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', CAST(count(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'orders.o_orderkey unique', CAST(count(*) AS BIGINT)
+    FROM (SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1)
+    ORDER BY fk
+    """,
+    doc="Referential-integrity audit across the star schema: orphan "
+        "counts for every foreign key (NOT EXISTS as broadcast "
+        "left-anti joins; the orders->lineitem leg co-shuffles) plus "
+        "a primary-key uniqueness check, one labeled row per "
+        "contract. The publish gate a warehouse runs before a "
+        "snapshot goes live; each leg is a single partial-agg pass.",
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def _cnt(df, label):
+        return df.agg(F.count("*").cast("long").alias("violations")).select(
+            F.lit(label).alias("fk"), "violations"
+        )
+
+    checks = [
+        _cnt(
+            o.join(
+                F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+                "o_custkey", "left_anti",
+            ),
+            "orders.o_custkey->customer",
+        ),
+        _cnt(
+            li.join(
+                o.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey", "left_anti",
+            ),
+            "lineitem.l_orderkey->orders",
+        ),
+        _cnt(
+            li.join(
+                F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+                "l_partkey", "left_anti",
+            ),
+            "lineitem.l_partkey->part",
+        ),
+        _cnt(
+            li.join(
+                F.broadcast(
+                    su.select(F.col("s_suppkey").alias("l_suppkey"))
+                ),
+                "l_suppkey", "left_anti",
+            ),
+            "lineitem.l_suppkey->supplier",
+        ),
+        _cnt(
+            c.join(
+                F.broadcast(
+                    n.select(F.col("n_nationkey").alias("c_nationkey"))
+                ),
+                "c_nationkey", "left_anti",
+            ),
+            "customer.c_nationkey->nation",
+        ),
+        _cnt(
+            o.groupBy("o_orderkey").agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > 1),
+            "orders.o_orderkey unique",
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out.orderBy("fk")
+
+
+@register(
+    "audit_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                      WHEN c_acctbal < 5000 THEN 'mid'
+                                      ELSE 'high' END) AS BIGINT) AS l_div
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, k, l_div,
+           CAST(CASE WHEN k < 5 THEN 1 ELSE 0 END AS INT)
+             AS k_violation,
+           CAST(CASE WHEN l_div < 2 THEN 1 ELSE 0 END AS INT)
+             AS l_violation
+    FROM qi
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    doc="k-anonymity / l-diversity privacy audit over the "
+        "(nationkey, mktsegment) quasi-identifier: equivalence-class "
+        "sizes (k < 5 flags re-identifiable groups) and the diversity "
+        "of the sensitive balance band within each class (l < 2 means "
+        "the class leaks the attribute). One groupBy with a distinct "
+        "agg — the pre-release check for sharing a derived customer "
+        "table.",
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", band.alias("__band")
+    )
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct("__band").cast("long").alias("l_div"),
+    )
+    return qi.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "l_div",
+        F.when(F.col("k") < 5, 1).otherwise(0).cast("int").alias(
+            "k_violation"
+        ),
+        F.when(F.col("l_div") < 2, 1).otherwise(0).cast("int").alias(
+            "l_violation"
+        ),
+    ).orderBy("c_nationkey", "c_mktsegment")
