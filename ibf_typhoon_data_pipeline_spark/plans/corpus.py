@@ -1142,3 +1142,136 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.8)
+
+
+# ------------------------------------------- held-out perplexity
+# The train/test discipline applied to the bigram LM: fit counts on
+# the md5-split train docs ONLY (same thresholds as corpus_split),
+# score every held-out bigram with add-1 smoothing against the train
+# statistics (unseen histories fall back to 1/V via the zero
+# coalesce), and report corpus cross-entropy in exact integer
+# micro-nats. Each bigram's log-prob rounds to an integer BEFORE the
+# sum, so the reduction is order-free; perplexity exponentiates the
+# identical mean double.
+_HOP_LP_SQL = (
+    "CAST(round(ln((CAST(cp AS DOUBLE) + 1.0)"
+    " / (CAST(cf AS DOUBLE) + CAST(v AS DOUBLE)))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "corpus_heldout_ppl",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS h,
+             unnest(string_split_regex(trim(text), ' +')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), ' +'), 1)
+               AS pos
+      FROM documents WHERE length(trim(text)) > 0
+    ), big AS (
+      SELECT doc_id, h, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM toks
+    ), train_counts AS (
+      SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c_big
+      FROM big WHERE nxt IS NOT NULL AND h < 'ccd' GROUP BY tok, nxt
+    ), train_firsts AS (
+      SELECT tok, CAST(sum(c_big) AS BIGINT) AS c_first
+      FROM train_counts GROUP BY tok
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM big WHERE h < 'ccd'
+    ), test_big AS (
+      SELECT tok, nxt FROM big WHERE nxt IS NOT NULL AND h >= 'e66'
+    ), scored AS (
+      SELECT {_HOP_LP_SQL} AS lp_micro
+      FROM (
+        SELECT coalesce(tc.c_big, 0) AS cp,
+               coalesce(tf.c_first, 0) AS cf,
+               v.v AS v
+        FROM test_big tb
+        LEFT JOIN train_counts tc
+          ON tc.tok = tb.tok AND tc.nxt = tb.nxt
+        LEFT JOIN train_firsts tf ON tf.tok = tb.tok
+        CROSS JOIN vocab v
+      )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_test_bigrams,
+           CAST(sum(-lp_micro) AS BIGINT) AS xent_micro_nats,
+           round(exp(CAST(sum(-lp_micro) AS DOUBLE)
+                     / (1000000.0 * count(*))), 4) AS perplexity
+    FROM scored
+    """,
+    doc="Held-out perplexity of the add-1 bigram LM: counts fit on "
+        "the md5 train split (same 80/10/10 thresholds as "
+        "corpus_split), every test-split bigram scored against the "
+        "train statistics with unseen histories backing off to 1/V, "
+        "per-bigram log-probs rounded once to integer micro-nats "
+        "before the order-free sum. The train count frame is "
+        "vocabulary-bounded (broadcast at corpus scale), the test "
+        "stream is the only fact-sized side, and the final "
+        "exponentiation divides exact integers — the eval gate of an "
+        "LM data pipeline.",
+)
+def corpus_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3).alias("h"),
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "h", "tok", F.lead("tok", 1).over(w).alias("nxt")
+    )
+    train = big.filter(F.col("nxt").isNotNull() & (F.col("h") < "ccd"))
+    train_counts = train.groupBy("tok", "nxt").agg(
+        F.count("*").cast("long").alias("c_big")
+    )
+    train_firsts = train_counts.groupBy("tok").agg(
+        F.sum("c_big").cast("long").alias("c_first")
+    )
+    vocab = (
+        big.filter(F.col("h") < "ccd")
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    test_big = big.filter(
+        F.col("nxt").isNotNull() & (F.col("h") >= "e66")
+    ).select("tok", "nxt")
+    joined = (
+        test_big.join(
+            F.broadcast(train_counts.withColumnRenamed("tok", "t1")
+                        .withColumnRenamed("nxt", "t2")),
+            (F.col("tok") == F.col("t1")) & (F.col("nxt") == F.col("t2")),
+            "left",
+        )
+        .join(
+            F.broadcast(train_firsts.withColumnRenamed("tok", "t3")),
+            F.col("tok") == F.col("t3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.coalesce("c_big", F.lit(0)).alias("cp"),
+            F.coalesce("c_first", F.lit(0)).alias("cf"),
+            "v",
+        )
+    )
+    scored = joined.selectExpr(f"{_HOP_LP_SQL} AS lp_micro")
+    return scored.agg(
+        F.count("*").cast("long").alias("n_test_bigrams"),
+        F.sum(-F.col("lp_micro")).cast("long").alias("xent_micro_nats"),
+        F.round(
+            F.exp(
+                F.sum(-F.col("lp_micro")).cast("double")
+                / (1000000.0 * F.count("*"))
+            ),
+            4,
+        ).alias("perplexity"),
+    )
