@@ -2067,3 +2067,116 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+# ------------------------------------------- classifier eval (F1)
+# Confusion-matrix summary of the naive-Bayes classifier, defined ON
+# TOP of the ml_naive_bayes entry: the oracle embeds that entry's
+# registered SQL as a CTE and the Spark side calls its registered
+# plan — zero duplicated model logic, so the eval can never drift
+# from the classifier it evaluates. Precision/recall/F1 are single
+# rationals of exact integer counts, quantized to e6.
+def _nb_eval_oracle() -> str:
+    from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES
+
+    nb_sql = QUERIES["ml_naive_bayes"].oracle_text()
+    return f"""
+    WITH preds AS ({nb_sql}
+    ), classes AS (
+      SELECT DISTINCT actual_lang AS lang FROM preds
+      UNION
+      SELECT DISTINCT pred_lang FROM preds
+    ), cells AS (
+      SELECT c.lang,
+             CAST(sum(CASE WHEN p.actual_lang = c.lang
+                            AND p.pred_lang = c.lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p.pred_lang = c.lang
+                            AND p.actual_lang <> c.lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN p.actual_lang = c.lang
+                            AND p.pred_lang <> c.lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM classes c CROSS JOIN preds p
+      GROUP BY c.lang
+    )
+    SELECT lang, tp, fp, fn,
+           CAST(CASE WHEN tp + fp > 0 THEN round(
+             1000000.0 * tp / (tp + fp)) ELSE 0 END AS BIGINT)
+             AS precision_e6,
+           CAST(CASE WHEN tp + fn > 0 THEN round(
+             1000000.0 * tp / (tp + fn)) ELSE 0 END AS BIGINT)
+             AS recall_e6,
+           CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN round(
+             1000000.0 * 2 * tp / (2 * tp + fp + fn)) ELSE 0 END
+             AS BIGINT) AS f1_e6
+    FROM cells
+    ORDER BY lang
+    """
+
+
+@register(
+    "ml_nb_confusion_f1",
+    _nb_eval_oracle,
+    doc="Per-class precision/recall/F1 of the naive-Bayes language "
+        "classifier on the held-out split, computed over the "
+        "ml_naive_bayes entry's own registered plan (Spark) and its "
+        "own registered SQL as a CTE (oracle) — the eval and the "
+        "model share one definition. Counts are exact integers; each "
+        "metric is ONE rational rounded once to e6 "
+        "(F1 = 2tp/(2tp+fp+fn), no chained float ops). The class "
+        "cross join is |classes| x test-docs — bounded small; at "
+        "scale the per-class flags fold into one conditional-agg "
+        "pass.",
+)
+def ml_nb_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES
+
+    preds = QUERIES["ml_naive_bayes"].fn(spark, sf_dir).select(
+        "actual_lang", "pred_lang"
+    )
+    classes = (
+        preds.select(F.col("actual_lang").alias("lang"))
+        .union(preds.select("pred_lang"))
+        .distinct()
+    )
+    cells = (
+        F.broadcast(classes)
+        .crossJoin(preds)
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("actual_lang") == F.col("lang"))
+                    & (F.col("pred_lang") == F.col("lang")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("pred_lang") == F.col("lang"))
+                    & (F.col("actual_lang") != F.col("lang")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("actual_lang") == F.col("lang"))
+                    & (F.col("pred_lang") != F.col("lang")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    return cells.selectExpr(
+        "lang", "tp", "fp", "fn",
+        "CAST(CASE WHEN tp + fp > 0 THEN round("
+        "1000000.0 * tp / (tp + fp)) ELSE 0 END AS BIGINT)"
+        " AS precision_e6",
+        "CAST(CASE WHEN tp + fn > 0 THEN round("
+        "1000000.0 * tp / (tp + fn)) ELSE 0 END AS BIGINT)"
+        " AS recall_e6",
+        "CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN round("
+        "1000000.0 * 2 * tp / (2 * tp + fp + fn)) ELSE 0 END AS BIGINT)"
+        " AS f1_e6",
+    ).orderBy("lang")
