@@ -2332,3 +2332,61 @@ def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_violation"
         ),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+# ------------------------------------------- seasonal index
+@register(
+    "orders_seasonal_index",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(round(sum(o_totalprice) * 100.0) AS BIGINT) AS cents
+      FROM orders GROUP BY yr, mo
+    ), by_month AS (
+      SELECT mo, CAST(sum(cents) AS BIGINT) AS mo_cents,
+             CAST(count(*) AS BIGINT) AS mo_n
+      FROM monthly GROUP BY mo
+    ), overall AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS all_cents,
+             CAST(count(*) AS BIGINT) AS all_n
+      FROM monthly
+    )
+    SELECT mo, mo_cents, mo_n,
+           CAST(round(1000000.0 * mo_cents * all_n
+                      / (mo_n * all_cents)) AS BIGINT) AS index_e6
+    FROM by_month, overall
+    ORDER BY mo
+    """,
+    doc="Seasonal demand index: average monthly revenue per calendar "
+        "month vs the all-months average, as ONE rational of exact "
+        "integer cents/counts (mo_cents*all_n / (mo_n*all_cents)) "
+        "rounded once to e6 — index 1e6 = an average month. Two "
+        "nested partial aggs collapse the fact table to <= 12 rows "
+        "before the 1-row broadcast; the demand-planning twin of the "
+        "trailing-window anomaly entry.",
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = load_table(spark, sf_dir, "orders").groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100.0).cast("long").alias("cents")
+    )
+    by_month = monthly.groupBy("mo").agg(
+        F.sum("cents").cast("long").alias("mo_cents"),
+        F.count("*").cast("long").alias("mo_n"),
+    )
+    overall = monthly.agg(
+        F.sum("cents").cast("long").alias("all_cents"),
+        F.count("*").cast("long").alias("all_n"),
+    )
+    return (
+        by_month.crossJoin(F.broadcast(overall))
+        .selectExpr(
+            "mo", "mo_cents", "mo_n",
+            "CAST(round(1000000.0 * mo_cents * all_n"
+            " / (mo_n * all_cents)) AS BIGINT) AS index_e6",
+        )
+        .orderBy("mo")
+    )
