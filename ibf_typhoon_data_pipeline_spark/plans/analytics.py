@@ -1881,3 +1881,69 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- DAU/MAU stickiness
+@register(
+    "events_stickiness_dau_mau",
+    """
+    WITH d AS (
+      SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_idx,
+             user_id
+      FROM events
+    ), daily AS (
+      SELECT day_idx, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY day_idx
+    ), monthly AS (
+      SELECT CAST(floor(day_idx / 30.0) AS BIGINT) AS mo_idx,
+             CAST(sum(dau) AS BIGINT) AS dau_sum,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY CAST(floor(day_idx / 30.0) AS BIGINT)
+    ), mau AS (
+      SELECT CAST(floor(day_idx / 30.0) AS BIGINT) AS mo_idx,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM d GROUP BY CAST(floor(day_idx / 30.0) AS BIGINT)
+    )
+    SELECT m.mo_idx, mo.dau_sum, mo.n_days, m.mau,
+           CAST(round(1000000.0 * mo.dau_sum / (mo.n_days * m.mau))
+                AS BIGINT) AS stickiness_e6
+    FROM monthly mo JOIN mau m ON m.mo_idx = mo.mo_idx
+    ORDER BY m.mo_idx
+    """,
+    doc="DAU/MAU stickiness per 30-day window: average daily active "
+        "users over monthly active users, as one e6 rational of "
+        "exact distinct counts (dau_sum/(n_days*mau)). Two "
+        "distinct-agg passes keyed on day and month buckets — the "
+        "canonical engagement KPI. The month bucket floors "
+        "EXPLICITLY before the BIGINT cast: DuckDB CAST(double AS "
+        "BIGINT) rounds while Spark truncates, the repo's documented "
+        "cast trap.",
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ev(spark, sf_dir).select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias(
+            "day_idx"
+        ),
+        "user_id",
+    )
+    daily = d.groupBy("day_idx").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    monthly = daily.groupBy(
+        F.floor(F.col("day_idx") / 30.0).cast("long").alias("mo_idx")
+    ).agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    mau = d.groupBy(
+        F.floor(F.col("day_idx") / 30.0).cast("long").alias("mo_idx")
+    ).agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    return (
+        monthly.join(mau, "mo_idx")
+        .selectExpr(
+            "mo_idx", "dau_sum", "n_days", "mau",
+            "CAST(round(1000000.0 * dau_sum / (n_days * mau)) AS BIGINT)"
+            " AS stickiness_e6",
+        )
+        .orderBy("mo_idx")
+    )

@@ -1275,3 +1275,99 @@ def corpus_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("perplexity"),
     )
+
+
+# ------------------------------------------- Zipf exponent fit
+# Zipf's-law diagnostic of the corpus vocabulary: regress
+# ln(frequency) on ln(rank) over the top-200 terms — the slope is
+# the (negative) Zipf exponent. Both logs are taken on exact
+# integers, rounded once to micro-nats, and the closed-form OLS
+# slope/intercept then divide identical BIGINT moment sums (the
+# ml_linreg recipe applied to corpus statistics). Rank comes from a
+# TakeOrdered top-200, so the window never sees the full vocabulary.
+@register(
+    "text_zipf_fit",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY tok
+    ), top AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk
+      FROM counts
+      ORDER BY n DESC, tok ASC LIMIT 200
+    ), lg AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS y
+      FROM top
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM lg
+    )
+    SELECT k, sx, sy, sxx, sxy,
+           round((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(k AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / CAST(k AS DOUBLE), 6) AS zipf_icept
+    FROM s
+    """,
+    doc="Zipf-exponent fit over the top-200 vocabulary terms: "
+        "ln(freq) ~ ln(rank) closed-form OLS with both logs of exact "
+        "integers quantized once to micro-nats, the five moments "
+        "reduced as BIGINTs, and slope/intercept as shared-text "
+        "ratios — corpus-statistics health check (natural text gives "
+        "slope ~ -1; a synthetic uniform vocabulary flattens toward "
+        "0). TakeOrdered bounds the ranked frame at 200 rows.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    counts = docs.select(
+        F.explode(F.split(F.trim("text"), " +")).alias("tok")
+    ).groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(200)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = top.select(
+        "n", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    lg = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    s = lg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.selectExpr(
+        "k", "sx", "sy", "sxx", "sxy",
+        "round((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)"
+        " AS zipf_slope",
+        "round((CAST(sy AS DOUBLE)"
+        " - ((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)"
+        " / CAST(k AS DOUBLE), 6) AS zipf_icept",
+    )
