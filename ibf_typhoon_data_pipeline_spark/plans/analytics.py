@@ -1947,3 +1947,73 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mo_idx")
     )
+
+
+# ------------------------------------------- cohort LTV
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(min(floor(floor(epoch(o_orderdate)) / 86400))
+                  AS BIGINT) AS first_day
+      FROM orders GROUP BY o_custkey
+    ), facts AS (
+      SELECT CAST(floor(f.first_day / 360.0) AS BIGINT) AS cohort,
+             CAST(floor((floor(floor(epoch(o.o_orderdate)) / 86400)
+                         - f.first_day) / 90.0) AS BIGINT) AS age_q,
+             CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ), cells AS (
+      SELECT cohort, age_q,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM facts GROUP BY cohort, age_q
+    )
+    SELECT cohort, age_q, rev_cents,
+           CAST(sum(rev_cents) OVER (
+             PARTITION BY cohort ORDER BY age_q
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ltv_cents
+    FROM cells
+    ORDER BY cohort, age_q
+    """,
+    doc="Cohort LTV curves: customers grouped by first-order cohort "
+        "(360-day bands), revenue accumulated by 90-day age quarters "
+        "— the money twin of events_retention_cohorts. Explicit "
+        "floor() before every BIGINT cast (the cast-rounding trap), "
+        "exact integer cents, and the cumulative window runs on the "
+        "(cohort x age) cell frame, never order rows. The firsts "
+        "frame re-joins the fact on the customer key — the only two "
+        "fact-sized shuffles.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        ).cast("long").alias("first_day")
+    )
+    facts = orders.join(firsts, "o_custkey").select(
+        F.floor(F.col("first_day") / 360.0).cast("long").alias("cohort"),
+        F.floor(
+            (
+                F.floor(F.unix_timestamp("o_orderdate") / 86400)
+                - F.col("first_day")
+            )
+            / 90.0
+        ).cast("long").alias("age_q"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    cells = facts.groupBy("cohort", "age_q").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort",
+        "age_q",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_ltv_cents"),
+    ).orderBy("cohort", "age_q")

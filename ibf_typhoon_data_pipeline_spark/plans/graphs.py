@@ -1164,3 +1164,72 @@ def sketch_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{est_sql} AS estimated_distinct",
         )
     )
+
+
+# ------------------------------------------- degree distribution
+@register(
+    "graph_degree_histogram",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+      SELECT concat('c', CAST(c AS VARCHAR)) AS node,
+             CAST(count(*) AS BIGINT) AS degree
+      FROM pairs GROUP BY c
+      UNION ALL
+      SELECT concat('s', CAST(sp AS VARCHAR)), CAST(count(*) AS BIGINT)
+      FROM pairs GROUP BY sp
+    )
+    SELECT substr(node, 1, 1) AS side, degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY side, degree
+    ORDER BY side, degree
+    """,
+    doc="Degree distribution of the customer-supplier bipartite graph "
+        "per side: two partial-agg passes (degree per node, then the "
+        "histogram) — the first diagnostic run on any production "
+        "graph (skew detection for the Pregel entries' join "
+        "planning; a heavy-tailed side is what the salted-join and "
+        "spread() machinery exists for). Histogram cardinality is "
+        "bounded by the max degree, never node count.",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    deg = (
+        pairs.groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "node"
+            ),
+            "degree",
+        )
+        .unionAll(
+            pairs.groupBy("l_suppkey")
+            .agg(F.count("*").cast("long").alias("degree"))
+            .select(
+                F.concat(
+                    F.lit("s"), F.col("l_suppkey").cast("string")
+                ).alias("node"),
+                "degree",
+            )
+        )
+    )
+    return (
+        deg.select(F.substring("node", 1, 1).alias("side"), "degree")
+        .groupBy("side", "degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("side", "degree")
+    )
