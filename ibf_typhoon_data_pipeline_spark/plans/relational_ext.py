@@ -2390,3 +2390,54 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mo")
     )
+
+
+# ------------------------------------------- unpivot / melt
+@register(
+    "a22_unpivot_melt",
+    """
+    WITH wide AS (
+      SELECT c_nationkey,
+             CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS building,
+             CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+             CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS machinery
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, seg, n FROM (
+      SELECT c_nationkey, 'building' AS seg, building AS n FROM wide
+      UNION ALL
+      SELECT c_nationkey, 'automobile', automobile FROM wide
+      UNION ALL
+      SELECT c_nationkey, 'machinery', machinery FROM wide
+    )
+    WHERE n > 0
+    ORDER BY c_nationkey, seg
+    """,
+    doc="Unpivot/melt — the inverse reshape of a17's pivot: a wide "
+        "per-nation segment-count matrix melts back to long "
+        "(nation, segment, n) rows via stack() (one generator "
+        "expression per row, no shuffle beyond the original agg; the "
+        "oracle spells the same reshape as a UNION ALL). Zero-count "
+        "cells drop, mirroring sparse long form.",
+)
+def a22_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        *[
+            F.sum(
+                F.when(F.col("c_mktsegment") == seg.upper(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(seg)
+            for seg in ("building", "automobile", "machinery")
+        ]
+    )
+    melted = wide.selectExpr(
+        "c_nationkey",
+        "stack(3, 'building', building, 'automobile', automobile,"
+        " 'machinery', machinery) AS (seg, n)",
+    )
+    return melted.filter(F.col("n") > 0).orderBy("c_nationkey", "seg")
