@@ -3473,3 +3473,61 @@ def tc_ace_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ens_id")
     )
+
+
+# ------------------------------------------- K5 duration summary
+# The reference's summarize_grid_wind (lib_r/prepare_typhoon_input.R:
+# 487-501): per grid point, max gust/sustained wind AND exposure
+# DURATIONS — 60 * tint * count(speed > cut) minutes with the 1.49
+# gust factor, cuts at 15 m/s, tint = the 6 h step here. The pair
+# space reuses the Willoughby kernel at a 10 m/s analysis threshold
+# (below the 15/1.49 = 10.07 gust cut, so the dynamic-extent prune
+# stays lossless for every counted sample); groups keep rows only
+# where some gust exceeds the cut, which bounds the output exactly
+# like the intensity entry's 17.5 filter.
+@register(
+    "tc_wind_duration",
+    f"""
+    {WILLOUGHBY_SQL}
+    SELECT ens_id, centroid_id,
+           round(max(wind_ms * 1.49), 3) AS vmax_gust,
+           round(max(wind_ms), 3) AS vmax_sust,
+           CAST(360 * sum(CASE WHEN wind_ms * 1.49 > 15.0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+             AS gust_dur_min,
+           CAST(360 * sum(CASE WHEN wind_ms > 15.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS sust_dur_min
+    FROM wf_w WHERE wind_ms > 10.0
+    GROUP BY ens_id, centroid_id
+    HAVING sum(CASE WHEN wind_ms * 1.49 > 15.0 THEN 1 ELSE 0 END) > 0
+    """,
+    doc="K5 per-grid-point wind-duration summary — the "
+        "summarize_grid_wind twin (prepare_typhoon_input.R:487-501): "
+        "vmax_gust/vmax_sust maxima plus gust/sustained exposure "
+        "durations 60*tint*count(speed > 15) in minutes (gust factor "
+        "1.49, tint = 6 h steps). Same broadcast grid join as the "
+        "intensity entry, analysis threshold 10 m/s < the 10.07 gust "
+        "cut so the extent prune drops no counted sample.",
+)
+def tc_wind_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        windfield_willoughby,
+    )
+
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_willoughby(tracks, cents, threshold_ms=10.0)
+    gust_hit = F.when(F.col("wind_ms") * 1.49 > 15.0, 1).otherwise(0)
+    sust_hit = F.when(F.col("wind_ms") > 15.0, 1).otherwise(0)
+    return (
+        wf.groupBy("ens_id", "centroid_id")
+        .agg(
+            F.round(F.max(F.col("wind_ms") * 1.49), 3).alias("vmax_gust"),
+            F.round(F.max("wind_ms"), 3).alias("vmax_sust"),
+            (360 * F.sum(gust_hit)).cast("long").alias("gust_dur_min"),
+            (360 * F.sum(sust_hit)).cast("long").alias("sust_dur_min"),
+            F.sum(gust_hit).alias("__g"),
+        )
+        .filter(F.col("__g") > 0)
+        .drop("__g")
+    )
