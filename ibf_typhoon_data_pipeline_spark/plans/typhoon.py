@@ -3531,3 +3531,179 @@ def tc_wind_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__g") > 0)
         .drop("__g")
     )
+
+
+# --------------------------------------- K5 asymmetric surface wind
+# The remaining R-path facets (prepare_typhoon_input.R:351-473):
+# gradient wind direction from a bearing, Phadke-2003 inflow angle
+# (+20 deg overland), surface reduction (the reference OVERRIDES the
+# 0.9/0.75 piecewise factor to 1 — quirk preserved), and the forward-
+# speed asymmetry Rmax*r/(Rmax^2+r^2) correction added in (u, v)
+# components. Every formula is ONE SQL text shared by both engines;
+# the reference's calc_bearing(-glon) sign quirk (line 458) is kept
+# verbatim. Last track step: zero storm motion (the R path yields NA
+# and drops it from na.rm aggregates; a zero component keeps the row
+# with pure symmetric wind instead — documented deviation).
+def _mod360(x: str) -> str:
+    return f"(({x}) - 360.0 * floor(({x}) / 360.0))"
+
+
+def _bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return _mod360(
+        f"degrees(atan2("
+        f"cos(radians({lat2})) * sin(radians({lon1}) - radians({lon2})), "
+        f"cos(radians({lat1})) * sin(radians({lat2}))"
+        f" - sin(radians({lat1})) * cos(radians({lat2}))"
+        f" * cos(radians({lon1}) - radians({lon2})))) + 90.0"
+    )
+
+
+_ASym_INFLOW_SQL = (
+    "CASE WHEN r < rmax THEN 10.0 + (1.0 + (r / rmax)) "
+    "WHEN r < 1.2 * rmax THEN 20.0 + 25.0 * ((r / rmax) - 1.0) "
+    "ELSE 25.0 END"
+)
+_ASym_SWD_SQL = _mod360(f"gwd + ({_ASym_INFLOW_SQL}) + 20.0")
+_ASym_CF_SQL = "(rmax * r) / (rmax * rmax + r * r)"
+_ASym_WIND_SQL = (
+    "greatest(sqrt("
+    f"pow(wind_sym * cos(radians({_ASym_SWD_SQL})) + ({_ASym_CF_SQL})"
+    " * tcspd_u, 2)"
+    f" + pow(wind_sym * sin(radians({_ASym_SWD_SQL})) + ({_ASym_CF_SQL})"
+    " * tcspd_v, 2)), 0.0)"
+)
+_ASym_HAV_LEAD_SQL = (
+    "2 * 6367.0 * asin(sqrt("
+    "pow(sin(radians(llat - lat) / 2), 2)"
+    " + cos(radians(lat)) * cos(radians(llat))"
+    " * pow(sin(radians(llon - lon) / 2), 2)))"
+)
+_ASym_PROFILE_SQL = (
+    "CASE WHEN r <= rmax THEN vmax * pow(r / rmax, nn) "
+    "ELSE vmax * ((1.0 - aa) * exp((rmax - r) / x1)"
+    " + aa * exp((rmax - r) / 25.0)) END"
+)
+_ASym_CHEAD_SQL = _bearing_sql("lat", "lon", "c_lat", "(-c_lon)")
+
+
+@register(
+    "tc_windfield_asymmetric",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    centroids AS ({CENTROIDS_SQL}),
+    wp AS (
+      SELECT ens_id, step, lat, lon, vmax,
+        46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) AS rmax,
+        317.1 - 2.026 * vmax + 1.915 * abs(lat) AS x1,
+        0.4067 + 0.0144 * vmax - 0.0038 * abs(lat) AS nn,
+        greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0) AS aa,
+        lead(lat) OVER w AS llat, lead(lon) OVER w AS llon
+      FROM tracks
+      WINDOW w AS (PARTITION BY ens_id ORDER BY step)
+    ), motion AS (
+      SELECT ens_id, step, lat, lon, vmax, rmax, x1, nn, aa,
+        CASE WHEN llat IS NULL THEN 0.0
+             ELSE {_ASym_HAV_LEAD_SQL} * 1000.0 / 21600.0 END AS tcspd,
+        CASE WHEN llat IS NULL THEN 0.0
+             ELSE {_bearing_sql('lat', 'lon', 'llat', 'llon')} END
+          AS tcdir
+      FROM wp
+    ), motion_uv AS (
+      SELECT *, tcspd * cos(radians(tcdir)) AS tcspd_u,
+                tcspd * sin(radians(tcdir)) AS tcspd_v
+      FROM motion
+    ), pairs AS (
+      SELECT m.ens_id, c.centroid_id, m.vmax, m.rmax, m.x1, m.nn, m.aa,
+        m.tcspd_u, m.tcspd_v, m.lat, m.lon, c.lat AS c_lat,
+        c.lon AS c_lon,
+        greatest(2 * 6367.0 * asin(sqrt(
+          pow(sin(radians(m.lat - c.lat) / 2), 2)
+          + cos(radians(c.lat)) * cos(radians(m.lat))
+            * pow(sin(radians(m.lon - c.lon) / 2), 2)
+        )), 0.1) AS r
+      FROM motion_uv m JOIN centroids c
+        ON c.lat BETWEEN m.lat - 5.5 AND m.lat + 5.5
+       AND c.lon BETWEEN m.lon - 5.5 AND m.lon + 5.5
+    ), sym AS (
+      SELECT *, {_ASym_PROFILE_SQL} AS wind_sym FROM pairs
+    ), dirn AS (
+      SELECT *, {_ASym_CHEAD_SQL} AS chead FROM sym
+    ), gw AS (
+      SELECT *, {_mod360('90.0 + chead')} AS gwd FROM dirn
+    ), surf AS (
+      SELECT ens_id, centroid_id, {_ASym_WIND_SQL} AS wind_sfc FROM gw
+    )
+    SELECT ens_id, centroid_id,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           round(max(wind_sfc), 3) AS vmax_asym_ms
+    FROM surf WHERE wind_sfc > 17.5
+    GROUP BY ens_id, centroid_id
+    """,
+    doc="K5 asymmetric surface windfield — the full R-path direction "
+        "chain (prepare_typhoon_input.R:351-473): Willoughby "
+        "symmetric profile, gradient wind direction (90 + bearing, "
+        "with the reference's calc_bearing(-glon) sign quirk kept "
+        "verbatim), Phadke 2003 inflow angle + 20 deg overland, "
+        "surface reduction factor pinned to 1 exactly as the "
+        "reference overrides it, and storm-motion asymmetry added in "
+        "(u, v) with the Rmax*r/(Rmax^2+r^2) correction. Storm "
+        "motion comes from a lead window over 6 h steps; all trig is "
+        "token-identical shared SQL. Same 5.5-degree bbox join shape "
+        "as the other windfield entries.",
+)
+def tc_windfield_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    w = Window.partitionBy("ens_id").orderBy("step")
+    wp = tracks.selectExpr(
+        "ens_id", "step", "lat", "lon", "vmax",
+        "46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) AS rmax",
+        "317.1 - 2.026 * vmax + 1.915 * abs(lat) AS x1",
+        "0.4067 + 0.0144 * vmax - 0.0038 * abs(lat) AS nn",
+        "greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0) AS aa",
+    ).withColumn("llat", F.lead("lat").over(w)).withColumn(
+        "llon", F.lead("lon").over(w)
+    )
+    motion = wp.selectExpr(
+        "ens_id", "step", "lat", "lon", "vmax", "rmax", "x1", "nn", "aa",
+        "CASE WHEN llat IS NULL THEN 0.0"
+        f" ELSE {_ASym_HAV_LEAD_SQL} * 1000.0 / 21600.0 END AS tcspd",
+        "CASE WHEN llat IS NULL THEN 0.0"
+        f" ELSE {_bearing_sql('lat', 'lon', 'llat', 'llon')} END AS tcdir",
+    ).selectExpr(
+        "*",
+        "tcspd * cos(radians(tcdir)) AS tcspd_u",
+        "tcspd * sin(radians(tcdir)) AS tcspd_v",
+    )
+    cents = gen_centroids(spark).select(
+        "centroid_id",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+    )
+    pairs = motion.join(
+        F.broadcast(cents),
+        F.col("c_lat").between(F.col("lat") - 5.5, F.col("lat") + 5.5)
+        & F.col("c_lon").between(F.col("lon") - 5.5, F.col("lon") + 5.5),
+    ).selectExpr(
+        "ens_id", "centroid_id", "vmax", "rmax", "x1", "nn", "aa",
+        "tcspd_u", "tcspd_v", "lat", "lon", "c_lat", "c_lon",
+        "greatest(2 * 6367.0 * asin(sqrt("
+        "pow(sin(radians(lat - c_lat) / 2), 2)"
+        " + cos(radians(c_lat)) * cos(radians(lat))"
+        " * pow(sin(radians(lon - c_lon) / 2), 2))), 0.1) AS r",
+    )
+    surf = (
+        pairs.selectExpr("*", f"{_ASym_PROFILE_SQL} AS wind_sym")
+        .selectExpr("*", f"{_ASym_CHEAD_SQL} AS chead")
+        .selectExpr("*", f"{_mod360('90.0 + chead')} AS gwd")
+        .selectExpr(
+            "ens_id", "centroid_id", f"{_ASym_WIND_SQL} AS wind_sfc"
+        )
+    )
+    return (
+        surf.filter(F.col("wind_sfc") > 17.5)
+        .groupBy("ens_id", "centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_steps"),
+            F.round(F.max("wind_sfc"), 3).alias("vmax_asym_ms"),
+        )
+    )
