@@ -3593,27 +3593,35 @@ _ASym_CHEAD_SQL = _bearing_sql("lat", "lon", "c_lat", "(-c_lon)")
     centroids AS ({CENTROIDS_SQL}),
     wp AS (
       SELECT ens_id, step, lat, lon, vmax,
-        46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) AS rmax,
-        317.1 - 2.026 * vmax + 1.915 * abs(lat) AS x1,
-        0.4067 + 0.0144 * vmax - 0.0038 * abs(lat) AS nn,
-        greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0) AS aa,
         lead(lat) OVER w AS llat, lead(lon) OVER w AS llon
       FROM tracks
       WINDOW w AS (PARTITION BY ens_id ORDER BY step)
     ), motion AS (
-      SELECT ens_id, step, lat, lon, vmax, rmax, x1, nn, aa,
+      SELECT ens_id, step, lat, lon, vmax,
         CASE WHEN llat IS NULL THEN 0.0
              ELSE {_ASym_HAV_LEAD_SQL} * 1000.0 / 21600.0 END AS tcspd,
         CASE WHEN llat IS NULL THEN 0.0
              ELSE {_bearing_sql('lat', 'lon', 'llat', 'llon')} END
           AS tcdir
       FROM wp
+    ), gl AS (
+      SELECT *, greatest(vmax - 0.5 * tcspd, 0.0) / 0.9 AS vmax_gl
+      FROM motion
+    ), params AS (
+      SELECT *,
+        46.6 * exp(-0.0155 * vmax_gl + 0.0169 * abs(lat)) AS rmax,
+        317.1 - 2.026 * vmax_gl + 1.915 * abs(lat) AS x1,
+        0.4067 + 0.0144 * vmax_gl - 0.0038 * abs(lat) AS nn,
+        greatest(0.0696 + 0.0049 * vmax_gl - 0.0064 * abs(lat), 0.0)
+          AS aa
+      FROM gl
     ), motion_uv AS (
       SELECT *, tcspd * cos(radians(tcdir)) AS tcspd_u,
                 tcspd * sin(radians(tcdir)) AS tcspd_v
-      FROM motion
+      FROM params
     ), pairs AS (
-      SELECT m.ens_id, c.centroid_id, m.vmax, m.rmax, m.x1, m.nn, m.aa,
+      SELECT m.ens_id, c.centroid_id, m.vmax_gl AS vmax, m.rmax,
+        m.x1, m.nn, m.aa,
         m.tcspd_u, m.tcspd_v, m.lat, m.lon, c.lat AS c_lat,
         c.lon AS c_lon,
         greatest(2 * 6367.0 * asin(sqrt(
@@ -3654,23 +3662,26 @@ _ASym_CHEAD_SQL = _bearing_sql("lat", "lon", "c_lat", "(-c_lon)")
 def tc_windfield_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks = gen_tracks(spark)
     w = Window.partitionBy("ens_id").orderBy("step")
-    wp = tracks.selectExpr(
-        "ens_id", "step", "lat", "lon", "vmax",
-        "46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) AS rmax",
-        "317.1 - 2.026 * vmax + 1.915 * abs(lat) AS x1",
-        "0.4067 + 0.0144 * vmax - 0.0038 * abs(lat) AS nn",
-        "greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0) AS aa",
+    wp = tracks.select(
+        "ens_id", "step", "lat", "lon", "vmax"
     ).withColumn("llat", F.lead("lat").over(w)).withColumn(
         "llon", F.lead("lon").over(w)
     )
     motion = wp.selectExpr(
-        "ens_id", "step", "lat", "lon", "vmax", "rmax", "x1", "nn", "aa",
+        "ens_id", "step", "lat", "lon", "vmax",
         "CASE WHEN llat IS NULL THEN 0.0"
         f" ELSE {_ASym_HAV_LEAD_SQL} * 1000.0 / 21600.0 END AS tcspd",
         "CASE WHEN llat IS NULL THEN 0.0"
         f" ELSE {_bearing_sql('lat', 'lon', 'llat', 'llon')} END AS tcdir",
     ).selectExpr(
+        "*", "greatest(vmax - 0.5 * tcspd, 0.0) / 0.9 AS vmax_gl"
+    ).selectExpr(
         "*",
+        "46.6 * exp(-0.0155 * vmax_gl + 0.0169 * abs(lat)) AS rmax",
+        "317.1 - 2.026 * vmax_gl + 1.915 * abs(lat) AS x1",
+        "0.4067 + 0.0144 * vmax_gl - 0.0038 * abs(lat) AS nn",
+        "greatest(0.0696 + 0.0049 * vmax_gl - 0.0064 * abs(lat), 0.0)"
+        " AS aa",
         "tcspd * cos(radians(tcdir)) AS tcspd_u",
         "tcspd * sin(radians(tcdir)) AS tcspd_v",
     )
@@ -3684,7 +3695,8 @@ def tc_windfield_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_lat").between(F.col("lat") - 5.5, F.col("lat") + 5.5)
         & F.col("c_lon").between(F.col("lon") - 5.5, F.col("lon") + 5.5),
     ).selectExpr(
-        "ens_id", "centroid_id", "vmax", "rmax", "x1", "nn", "aa",
+        "ens_id", "centroid_id", "vmax_gl AS vmax", "rmax", "x1", "nn",
+        "aa",
         "tcspd_u", "tcspd_v", "lat", "lon", "c_lat", "c_lon",
         "greatest(2 * 6367.0 * asin(sqrt("
         "pow(sin(radians(lat - c_lat) / 2), 2)"
