@@ -96,6 +96,7 @@ HEADLINE = [
     "events_cusum_changepoint",
     "orders_rfm_segments",
     "a20_abc_classification",
+    "tc_windfield_asymmetric",
 ]
 
 
