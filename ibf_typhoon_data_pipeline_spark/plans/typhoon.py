@@ -3719,3 +3719,86 @@ def tc_windfield_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("wind_sfc"), 3).alias("vmax_asym_ms"),
         )
     )
+
+
+# ------------------------------------------- time of arrival
+@register(
+    "tc_wind_arrival_time",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    centroids AS ({CENTROIDS_SQL}),
+    wp AS (
+      SELECT ens_id, step, lat, lon, vmax,
+        46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) AS rmax,
+        317.1 - 2.026 * vmax + 1.915 * abs(lat) AS x1,
+        0.4067 + 0.0144 * vmax - 0.0038 * abs(lat) AS nn,
+        greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0) AS aa
+      FROM tracks
+    ), pairs AS (
+      SELECT w.ens_id, w.step, c.centroid_id, w.vmax, w.rmax, w.x1,
+        w.nn, w.aa,
+        greatest(2 * 6367.0 * asin(sqrt(
+          pow(sin(radians(w.lat - c.lat) / 2), 2)
+          + cos(radians(c.lat)) * cos(radians(w.lat))
+            * pow(sin(radians(w.lon - c.lon) / 2), 2)
+        )), 0.1) AS r
+      FROM wp w JOIN centroids c
+        ON c.lat BETWEEN w.lat - 5.5 AND w.lat + 5.5
+       AND c.lon BETWEEN w.lon - 5.5 AND w.lon + 5.5
+    ), winds AS (
+      SELECT ens_id, step, centroid_id,
+        CASE WHEN r <= rmax THEN vmax * pow(r / rmax, nn)
+             ELSE vmax * ((1.0 - aa) * exp((rmax - r) / x1)
+                          + aa * exp((rmax - r) / 25.0)) END AS wind_ms
+      FROM pairs
+    ), arrivals AS (
+      SELECT ens_id, centroid_id,
+             CAST(min(step) AS BIGINT) AS first_step
+      FROM winds WHERE wind_ms > 17.5
+      GROUP BY ens_id, centroid_id
+    )
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(first_step) AS BIGINT) AS earliest_step,
+           round(CAST(percentile_cont(0.5) WITHIN GROUP
+                        (ORDER BY first_step) AS DOUBLE), 1)
+             AS median_step
+    FROM arrivals
+    GROUP BY centroid_id
+    HAVING count(*) >= 26
+    ORDER BY centroid_id
+    """,
+    doc="Time of arrival of damaging winds — the early-warning "
+        "product behind the F5 lead-time ladder: per (member, grid "
+        "point) the first 6 h step whose Willoughby wind exceeds "
+        "17.5 m/s, then the across-ensemble earliest and median "
+        "arrival for points where a majority (>= 26 of 52 members) "
+        "see damaging winds at all. Steps are exact integers, so "
+        "min/median cross engines bitwise (median of integers is "
+        "integral or .5). Same bbox join as every windfield entry; "
+        "the W3 first-qualifying shape applied to the hazard "
+        "surface.",
+)
+def tc_wind_arrival_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        windfield_willoughby,
+    )
+
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_willoughby(tracks, cents, threshold_ms=17.5)
+    arrivals = wf.groupBy("ens_id", "centroid_id").agg(
+        F.min("step").cast("long").alias("first_step")
+    )
+    return (
+        arrivals.groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("first_step").cast("long").alias("earliest_step"),
+            F.round(
+                F.expr("percentile(first_step, 0.5)"), 1
+            ).alias("median_step"),
+        )
+        .filter(F.col("n_members") >= 26)
+        .orderBy("centroid_id")
+    )
