@@ -3685,30 +3685,67 @@ def tc_windfield_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tcspd * cos(radians(tcdir)) AS tcspd_u",
         "tcspd * sin(radians(tcdir)) AS tcspd_v",
     )
-    cents = gen_centroids(spark).select(
+    # grid-prune like every other windfield entry: the extent kernel
+    # runs on the GRADIENT-level vmax at a 10 m/s threshold, safely
+    # below any asymmetric crossing of the 17.5 m/s output filter
+    # (the forward-speed addition is bounded by 0.5 * tcspd, and the
+    # synthetic translation tops out ~3 m/s — 17.5 - 0.5*tcspd stays
+    # far above 10). Pruning is Spark-side only: the plain-bbox
+    # oracle is value-identical because only sub-threshold pairs are
+    # dropped. The final wind expression sits behind a generator
+    # fence so the 17.5 filter can't alias-substitute the whole trig
+    # chain into the join condition.
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        _extent_col,
+        _willoughby_extent_kernel,
+        grid_prune_pairs,
+    )
+
+    t = motion.selectExpr(
+        "ens_id", "step", "lat AS t_lat", "lon AS t_lon",
+        "vmax_gl AS vmax", "rmax", "x1", "nn", "aa",
+        "tcspd_u", "tcspd_v",
+    )
+    c = gen_centroids(spark).select(
         "centroid_id",
         F.col("lat").alias("c_lat"),
         F.col("lon").alias("c_lon"),
     )
-    pairs = motion.join(
-        F.broadcast(cents),
-        F.col("c_lat").between(F.col("lat") - 5.5, F.col("lat") + 5.5)
-        & F.col("c_lon").between(F.col("lon") - 5.5, F.col("lon") + 5.5),
-    ).selectExpr(
-        "ens_id", "centroid_id", "vmax_gl AS vmax", "rmax", "x1", "nn",
-        "aa",
-        "tcspd_u", "tcspd_v", "lat", "lon", "c_lat", "c_lon",
+    cond = (
+        F.col("c_lat").between(
+            F.col("t_lat") - 5.5, F.col("t_lat") + 5.5
+        )
+        & F.col("c_lon").between(
+            F.col("t_lon") - 5.5, F.col("t_lon") + 5.5
+        )
+    )
+    pruned = grid_prune_pairs(
+        c,
+        t,
+        cond,
+        _extent_col(
+            lambda *a: _willoughby_extent_kernel(*a, thr=10.0),
+            "vmax",
+            "t_lat",
+        ),
+    )
+    pairs = pruned.selectExpr(
+        "ens_id", "centroid_id", "vmax", "rmax", "x1", "nn", "aa",
+        "tcspd_u", "tcspd_v", "t_lat AS lat", "t_lon AS lon",
+        "c_lat", "c_lon",
         "greatest(2 * 6367.0 * asin(sqrt("
-        "pow(sin(radians(lat - c_lat) / 2), 2)"
-        " + cos(radians(c_lat)) * cos(radians(lat))"
-        " * pow(sin(radians(lon - c_lon) / 2), 2))), 0.1) AS r",
+        "pow(sin(radians(t_lat - c_lat) / 2), 2)"
+        " + cos(radians(c_lat)) * cos(radians(t_lat))"
+        " * pow(sin(radians(t_lon - c_lon) / 2), 2))), 0.1) AS r",
     )
     surf = (
         pairs.selectExpr("*", f"{_ASym_PROFILE_SQL} AS wind_sym")
         .selectExpr("*", f"{_ASym_CHEAD_SQL} AS chead")
         .selectExpr("*", f"{_mod360('90.0 + chead')} AS gwd")
-        .selectExpr(
-            "ens_id", "centroid_id", f"{_ASym_WIND_SQL} AS wind_sfc"
+        .select(
+            "ens_id",
+            "centroid_id",
+            F.explode(F.array(F.expr(_ASym_WIND_SQL))).alias("wind_sfc"),
         )
     )
     return (
