@@ -3839,3 +3839,115 @@ def tc_wind_arrival_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 26)
         .orderBy("centroid_id")
     )
+
+
+# ------------------------------------------- wind radii (R34/R50/R64)
+# Advisory wind radii: the radius where the reduced Willoughby OUTER
+# profile crosses 34/50/64 kt. The profile is strictly decreasing in
+# r (X1 > 0, A in [0,1)), so 12 unrolled bisection steps on
+# [rmax, rmax + 600 km] bracket the crossing to ~0.15 km; each step
+# materializes its (lo, hi) pair as real columns — the repo's
+# unrolled-Newton rule, no nested expression blowup. Storms whose
+# peak is already below a threshold yield NULL for that radius.
+_RADII_KT = {"r34_km": 17.49, "r50_km": 25.72, "r64_km": 32.92}
+_RADII_STEPS = 12
+
+
+def _radii_profile(r: str) -> str:
+    return (
+        f"(vmax * ((1.0 - aa) * exp((rmax - ({r})) / x1)"
+        f" + aa * exp((rmax - ({r})) / 25.0)))"
+    )
+
+
+def _radii_step_exprs(name: str, thr: float) -> list[str]:
+    mid = f"(({name}_lo + {name}_hi) / 2.0)"
+    f = _radii_profile(mid)
+    return [
+        f"CASE WHEN {f} > {thr} THEN {mid} ELSE {name}_lo END"
+        f" AS {name}_lo",
+        f"CASE WHEN {f} > {thr} THEN {name}_hi ELSE {mid} END"
+        f" AS {name}_hi",
+    ]
+
+
+def _radii_oracle() -> str:
+    inits = ", ".join(
+        f"rmax AS {n}_lo, rmax + 600.0 AS {n}_hi" for n in _RADII_KT
+    )
+    ctes = [f"b0 AS (SELECT *, {inits} FROM wp)"]
+    for i in range(1, _RADII_STEPS + 1):
+        cols = ", ".join(
+            e
+            for n, thr in _RADII_KT.items()
+            for e in _radii_step_exprs(n, thr)
+        )
+        keep = "ens_id, step, vmax, rmax, x1, aa"
+        ctes.append(f"b{i} AS (SELECT {keep}, {cols} FROM b{i - 1})")
+    finals = ", ".join(
+        f"CASE WHEN {_radii_profile('rmax')} > {thr}"
+        f" THEN round(({n}_lo + {n}_hi) / 2.0, 2) ELSE NULL END AS {n}"
+        for n, thr in _RADII_KT.items()
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    wp AS (
+      SELECT ens_id, step, vmax,
+        46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) AS rmax,
+        317.1 - 2.026 * vmax + 1.915 * abs(lat) AS x1,
+        greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0) AS aa
+      FROM tracks
+    ),
+    {body}
+    SELECT ens_id, step, round(rmax, 2) AS rmax_km, {finals}
+    FROM b{_RADII_STEPS}
+    ORDER BY ens_id, step
+    """
+
+
+@register(
+    "tc_wind_radii",
+    _radii_oracle,
+    doc="Advisory wind radii R34/R50/R64 per track point: bisection "
+        "on the monotone Willoughby outer profile, 12 unrolled steps "
+        "each materialized as (lo, hi) columns (the unrolled-Newton "
+        "invariant — bounded expression size, identical fold order "
+        "in both engines), NULL where the peak never reaches the "
+        "threshold. Pure per-row math over the track frame — no "
+        "join, no shuffle beyond the final sort.",
+)
+def tc_wind_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wp = gen_tracks(spark).selectExpr(
+        "ens_id", "step", "vmax",
+        "46.6 * exp(-0.0155 * vmax + 0.0169 * abs(lat)) AS rmax",
+        "317.1 - 2.026 * vmax + 1.915 * abs(lat) AS x1",
+        "greatest(0.0696 + 0.0049 * vmax - 0.0064 * abs(lat), 0.0) AS aa",
+    )
+    cur = wp.selectExpr(
+        "*",
+        *[
+            e
+            for n in _RADII_KT
+            for e in (f"rmax AS {n}_lo", f"rmax + 600.0 AS {n}_hi")
+        ],
+    )
+    keep = ["ens_id", "step", "vmax", "rmax", "x1", "aa"]
+    for _ in range(_RADII_STEPS):
+        cur = cur.selectExpr(
+            *keep,
+            *[
+                e
+                for n, thr in _RADII_KT.items()
+                for e in _radii_step_exprs(n, thr)
+            ],
+        )
+    return cur.selectExpr(
+        "ens_id", "step", "round(rmax, 2) AS rmax_km",
+        *[
+            f"CASE WHEN {_radii_profile('rmax')} > {thr}"
+            f" THEN round(({n}_lo + {n}_hi) / 2.0, 2) ELSE NULL END"
+            f" AS {n}"
+            for n, thr in _RADII_KT.items()
+        ],
+    ).orderBy("ens_id", "step")
