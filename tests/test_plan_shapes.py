@@ -518,3 +518,19 @@ def test_j11_tier1_probes_cells_not_full_cross(spark):
     # both the tier and the fallback aggregate via min(struct) partial
     # aggs — never a row_number window over the pair set
     assert "Window" not in plan
+
+
+def test_asymmetric_windfield_rides_grid_prune(spark):
+    # the first cut of this entry used the plain 5.5-degree bbox
+    # theta-join (BroadcastNestedLoopJoin over every track x centroid
+    # pair) and measured 95 s at sf0.1; the grid-cell hash join +
+    # extent prune + generator fence is 0.6 s at identical values.
+    # Pin the shape.
+    plan = _plan(spark, "tc_windfield_asymmetric")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # generator fence: the asymmetric wind column comes out of an
+    # explode, so the 17.5 filter can't alias-substitute the trig
+    # chain into the join condition
+    assert "Generate explode" in plan
