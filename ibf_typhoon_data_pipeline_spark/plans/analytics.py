@@ -2017,3 +2017,96 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).cast("long").alias("cum_ltv_cents"),
     ).orderBy("cohort", "age_q")
+
+
+# ------------------------------------------- forecast backtest
+@register(
+    "events_forecast_mase",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day_idx
+    ), scored AS (
+      SELECT d.event_type,
+             abs(d.n - s.n) AS e_seasonal,
+             abs(d.n - p.n) AS e_naive
+      FROM daily d
+      JOIN daily s ON s.event_type = d.event_type
+                  AND s.day_idx = d.day_idx - 7
+      JOIN daily p ON p.event_type = d.event_type
+                  AND p.day_idx = d.day_idx - 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(e_seasonal) AS BIGINT) AS sae_seasonal,
+           CAST(sum(e_naive) AS BIGINT) AS sae_naive,
+           CAST(round(1000000.0 * sum(e_seasonal) / sum(e_naive))
+                AS BIGINT) AS mase_e6
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Forecast backtest on daily event counts: seasonal-naive "
+        "(same weekday last week) absolute errors against the "
+        "naive-1 (yesterday) baseline, per type — MASE < 1e6 means "
+        "weekly seasonality carries real signal. Calendar-correct "
+        "lags via self-equi-joins on day_idx-7/-1 (gap days score "
+        "only when both references exist), all errors exact integer "
+        "counts, the ratio one e6 rational. The daily frame is the "
+        "only event-sized reduction; the self-joins are "
+        "(type x day)-sized.",
+)
+def events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    s = daily.select(
+        F.col("event_type").alias("s_type"),
+        (F.col("day_idx") + 7).alias("s_day"),
+        F.col("n").alias("s_n"),
+    )
+    p = daily.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("day_idx") + 1).alias("p_day"),
+        F.col("n").alias("p_n"),
+    )
+    scored = (
+        daily.join(
+            s,
+            (F.col("s_type") == F.col("event_type"))
+            & (F.col("s_day") == F.col("day_idx")),
+        )
+        .join(
+            p,
+            (F.col("p_type") == F.col("event_type"))
+            & (F.col("p_day") == F.col("day_idx")),
+        )
+        .select(
+            "event_type",
+            F.abs(F.col("n") - F.col("s_n")).alias("e_seasonal"),
+            F.abs(F.col("n") - F.col("p_n")).alias("e_naive"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("e_seasonal").cast("long").alias("sae_seasonal"),
+            F.sum("e_naive").cast("long").alias("sae_naive"),
+            F.round(
+                1000000.0 * F.sum("e_seasonal") / F.sum("e_naive")
+            )
+            .cast("long")
+            .alias("mase_e6"),
+        )
+        .orderBy("event_type")
+    )
