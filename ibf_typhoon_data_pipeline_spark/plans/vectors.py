@@ -1990,3 +1990,89 @@ def emb_cluster_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((CAST(b_pico AS DOUBLE) / (k - 1))"
         " / (CAST(w_pico AS DOUBLE) / (n_vecs - k)), 6) AS ch",
     )
+
+
+# ------------------------------------------- k-NN graph build
+# The ANN-graph construction step (the input HNSW/NN-descent and
+# SemDeDup-style clustering start from): every vector's top-3
+# neighbors among its sign-LSH bucket candidates. The bucket key
+# bounds the pair space at sum(bucket^2) exactly like the embedding
+# near-dup entry; ranking is a per-query window over those bounded
+# candidate lists with the house deterministic tiebreak.
+@register(
+    "sim_knn_graph",
+    """
+    WITH bucketed AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+             array_to_string(list_transform(
+               (CAST(embedding AS DOUBLE[]))[1:6],
+               x -> CASE WHEN x >= 0 THEN '+' ELSE '-' END), '') AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.ve, b.ve), 6) AS cos_r
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, cos_r,
+             row_number() OVER (
+               PARTITION BY src ORDER BY cos_r DESC, dst ASC) AS rnk
+      FROM pairs
+    )
+    SELECT src, dst, cos_r, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY src, rnk
+    """,
+    doc="Approximate k-NN graph (k=3): sign-LSH bucket on the first "
+        "6 component signs bounds candidates at sum(bucket^2) pairs, "
+        "cosine ranked per source with the deterministic "
+        "(cos desc, id asc) tiebreak — the graph-construction "
+        "primitive under NN-descent, HNSW seeding, and cluster-based "
+        "dedup. The window partitions by source vector, so the sort "
+        "is per-candidate-list, never global.",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("ve")
+    )
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("ve", i + 1) >= 0, "+").otherwise("-")
+            for i in range(6)
+        ],
+    )
+    b = emb.select("vec_id", "ve", bucket.alias("bucket"))
+    other = b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("ve").alias("ve_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        b.join(
+            other,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_id") != F.col("dst")),
+        )
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            F.round(cosine(F.col("ve"), F.col("ve_b")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_r").desc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("src", "dst", "cos_r", "rnk")
+        .orderBy("src", "rnk")
+    )
