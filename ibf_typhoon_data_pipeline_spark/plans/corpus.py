@@ -1371,3 +1371,58 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)"
         " / CAST(k AS DOUBLE), 6) AS zipf_icept",
     )
+
+
+# ------------------------------------------- term burstiness
+@register(
+    "text_term_burstiness",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), per_doc AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY tok, doc_id
+    ), stats AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS cf
+      FROM per_doc GROUP BY tok
+    )
+    SELECT tok, df, cf,
+           CAST(round(1000000.0 * cf / df) AS BIGINT) AS burstiness_e6
+    FROM stats
+    ORDER BY burstiness_e6 DESC, tok ASC
+    LIMIT 25
+    """,
+    doc="Church-Gale term burstiness: collection frequency over "
+        "document frequency per term — bursty terms (cf >> df) "
+        "concentrate in few documents and carry topical signal; "
+        "function words sit near their df. Two partial-agg passes "
+        "(term x doc, then term), one e6 rational, TakeOrdered "
+        "top-25 with a deterministic tiebreak.",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = per_doc.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+    )
+    return (
+        stats.selectExpr(
+            "tok", "df", "cf",
+            "CAST(round(1000000.0 * cf / df) AS BIGINT) AS burstiness_e6",
+        )
+        .orderBy(F.col("burstiness_e6").desc(), F.col("tok").asc())
+        .limit(25)
+    )
