@@ -2441,3 +2441,119 @@ def a22_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'machinery', machinery) AS (seg, n)",
     )
     return melted.filter(F.col("n") > 0).orderBy("c_nationkey", "seg")
+
+
+# ------------------------------------------- k-fold cross-validation
+# Model-selection discipline for the in-engine closed-form
+# regression: 5 md5 folds; each fold's TRAIN moments are the global
+# moments minus the fold's own (one groupBy + one broadcast — no
+# 5x recompute), the per-fold slope/intercept are shared-text
+# rationals of those exact integers, and the held-out squared errors
+# quantize to integer milli-units before summation.
+_CV_SLOPE = (
+    "((CAST(tn AS DOUBLE) * txy - CAST(tx AS DOUBLE) * ty)"
+    " / (CAST(tn AS DOUBLE) * txx - CAST(tx AS DOUBLE) * tx))"
+)
+_CV_ICEPT = (
+    f"((CAST(ty AS DOUBLE) - {_CV_SLOPE} * tx) / CAST(tn AS DOUBLE))"
+)
+
+
+@register(
+    "ml_kfold_cv",
+    f"""
+    WITH xy AS (
+      SELECT o_orderkey,
+             CAST(length(CAST(o_orderkey AS VARCHAR)) AS BIGINT)
+               AS unused,
+             CAST(ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                  % 5 AS INTEGER) AS fold,
+             CAST(o_custkey % 97 AS BIGINT) AS x,
+             CAST(round(o_totalprice) AS BIGINT) AS y
+      FROM orders
+    ), fm AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM xy GROUP BY fold
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(sx) AS BIGINT) AS gx,
+             CAST(sum(sy) AS BIGINT) AS gy,
+             CAST(sum(sxx) AS BIGINT) AS gxx,
+             CAST(sum(sxy) AS BIGINT) AS gxy
+      FROM fm
+    ), train AS (
+      SELECT fold, gn - n AS tn, gx - sx AS tx, gy - sy AS ty,
+             gxx - sxx AS txx, gxy - sxy AS txy
+      FROM fm, tot
+    ), coef AS (
+      SELECT fold, {_CV_SLOPE} AS slope, {_CV_ICEPT} AS icept
+      FROM train
+    ), scored AS (
+      SELECT xy.fold,
+             CAST(round((xy.y - (coef.slope * xy.x + coef.icept))
+                        * (xy.y - (coef.slope * xy.x + coef.icept))
+                        * 1000.0) AS BIGINT) AS se_milli
+      FROM xy JOIN coef ON coef.fold = xy.fold
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(se_milli) AS BIGINT) AS sse_milli
+    FROM scored
+    GROUP BY fold
+    ORDER BY fold
+    """,
+    doc="5-fold cross-validation of the closed-form regression "
+        "(order total vs a customer-key feature): md5 fold "
+        "assignment, TRAIN moments computed as global-minus-fold "
+        "(one integer groupBy + a 1-row broadcast instead of k "
+        "refits), per-fold coefficients as shared-text rationals, "
+        "held-out squared errors rounded once to milli-units before "
+        "the exact per-fold sums. The CV harness costs two passes "
+        "over the fact regardless of k.",
+)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xy = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(ascii(substr(md5(CAST(o_orderkey AS STRING)), 1, 1))"
+        " % 5 AS INT) AS fold",
+        "CAST(o_custkey % 97 AS BIGINT) AS x",
+        "CAST(round(o_totalprice) AS BIGINT) AS y",
+    )
+    fm = xy.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    tot = fm.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sx").cast("long").alias("gx"),
+        F.sum("sy").cast("long").alias("gy"),
+        F.sum("sxx").cast("long").alias("gxx"),
+        F.sum("sxy").cast("long").alias("gxy"),
+    )
+    coef = (
+        fm.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "fold",
+            "gn - n AS tn", "gx - sx AS tx", "gy - sy AS ty",
+            "gxx - sxx AS txx", "gxy - sxy AS txy",
+        )
+        .selectExpr(
+            "fold", f"{_CV_SLOPE} AS slope", f"{_CV_ICEPT} AS icept"
+        )
+    )
+    scored = xy.join(F.broadcast(coef), "fold").selectExpr(
+        "fold",
+        "CAST(round((y - (slope * x + icept))"
+        " * (y - (slope * x + icept)) * 1000.0) AS BIGINT) AS se_milli",
+    )
+    return (
+        scored.groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum("se_milli").cast("long").alias("sse_milli"),
+        )
+        .orderBy("fold")
+    )
