@@ -2110,3 +2110,81 @@ def events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- PSI drift monitor
+# Population Stability Index between the first and second half of the
+# event stream, per event-type share: the standard production-ML
+# input-drift alarm (PSI > 0.2 = investigate). Shares are exact
+# integer counts over a 1-row broadcast split point; each bin's
+# (p - q) * ln(p / q) term rounds once to micro-nats before the sum.
+_PSI_TERM_SQL = (
+    "CAST(round((CAST(n_a AS DOUBLE) / tot_a"
+    " - CAST(n_b AS DOUBLE) / tot_b)"
+    " * ln((CAST(n_a AS DOUBLE) / tot_a)"
+    " / (CAST(n_b AS DOUBLE) / tot_b)) * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "events_drift_psi",
+    f"""
+    WITH split AS (
+      SELECT CAST(quantile_cont(CAST(floor(epoch(ts)) AS BIGINT), 0.5)
+                  AS DOUBLE) AS mid
+      FROM events
+    ), binned AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <= mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) > mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM events, split
+      GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+             CAST(sum(n_b) AS BIGINT) AS tot_b
+      FROM binned
+    )
+    SELECT event_type, n_a, n_b,
+           {_PSI_TERM_SQL} AS psi_term_e6
+    FROM binned, tot
+    ORDER BY event_type
+    """,
+    doc="Input-drift monitor: per-bin PSI terms between the first and "
+        "second time half of the event stream (median epoch split "
+        "from one quantile agg, broadcast back). Counts are exact, "
+        "each (p-q)*ln(p/q) term rounds once to integer micro-nats — "
+        "summing the column gives the total PSI; 0.2e6 is the "
+        "conventional investigate bar. One fact pass + two 1-row "
+        "broadcasts.",
+)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ep"),
+    )
+    split = ev.agg(F.expr("percentile(ep, 0.5)").alias("mid"))
+    binned = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ep") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("ep") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "event_type", "n_a", "n_b", f"{_PSI_TERM_SQL} AS psi_term_e6"
+        )
+        .orderBy("event_type")
+    )

@@ -4065,3 +4065,75 @@ def tc_spread_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "sx", "sy", "sxx", "syy", "sxy",
         f"{_SS_CORR_SQL} AS spread_skill_r",
     )
+
+
+# ------------------------------------------- forecast cone
+@register(
+    "tc_forecast_cone",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    center AS (
+      SELECT step,
+             CAST(sum(CAST(round(lat * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS slat6,
+             CAST(sum(CAST(round(lon * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS slon6,
+             CAST(count(*) AS BIGINT) AS k
+      FROM tracks GROUP BY step
+    ), dists AS (
+      SELECT t.step,
+             CAST(round(111.32 * sqrt(
+               pow(t.lat - CAST(c.slat6 AS DOUBLE) / (1000000.0 * c.k),
+                   2)
+               + pow((t.lon - CAST(c.slon6 AS DOUBLE)
+                      / (1000000.0 * c.k))
+                     * cos(radians(CAST(c.slat6 AS DOUBLE)
+                                   / (1000000.0 * c.k))), 2)
+             ) * 1000.0) AS BIGINT) AS d_milli
+      FROM tracks t JOIN center c ON c.step = t.step
+    )
+    SELECT step,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(quantile_cont(d_milli, 0.66) AS DOUBLE)
+                 / 1000.0, 4) AS cone_radius_km
+    FROM dists
+    GROUP BY step
+    ORDER BY step
+    """,
+    doc="Forecast-cone radius per lead step (the NHC-style track "
+        "uncertainty product): ensemble-mean position from exact "
+        "integer micro-degree sums, each member's equirectangular "
+        "distance to it quantized once to milli-km, and the 66% "
+        "quantile of those integers (Spark percentile == DuckDB "
+        "quantile_cont on integer inputs). Step-keyed aggs only — "
+        "member-parallel at any ensemble size.",
+)
+def tc_forecast_cone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    center = tracks.groupBy("step").agg(
+        F.sum(F.round(F.col("lat") * 1000000.0).cast("long"))
+        .cast("long")
+        .alias("slat6"),
+        F.sum(F.round(F.col("lon") * 1000000.0).cast("long"))
+        .cast("long")
+        .alias("slon6"),
+        F.count("*").cast("long").alias("k"),
+    )
+    dists = tracks.join(F.broadcast(center), "step").selectExpr(
+        "step",
+        "CAST(round(111.32 * sqrt("
+        "pow(lat - CAST(slat6 AS DOUBLE) / (1000000.0 * k), 2)"
+        " + pow((lon - CAST(slon6 AS DOUBLE) / (1000000.0 * k))"
+        " * cos(radians(CAST(slat6 AS DOUBLE) / (1000000.0 * k))), 2)"
+        ") * 1000.0) AS BIGINT) AS d_milli",
+    )
+    return (
+        dists.groupBy("step")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(
+                F.expr("percentile(d_milli, 0.66)") / 1000.0, 4
+            ).alias("cone_radius_km"),
+        )
+        .orderBy("step")
+    )
