@@ -1233,3 +1233,121 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("side", "degree")
     )
+
+
+# ------------------------------------------- k-core peeling
+# Iterative k-core: drop nodes whose degree (within the surviving
+# subgraph) falls below k, repeat. Fixed 4 unrolled peeling rounds —
+# the repo's unrolled-iteration invariant makes both engines compute
+# the identical (possibly pre-fixpoint) survivor set, and the dense
+# synthetic bipartite graph reaches its fixpoint in 2 rounds. Each
+# round re-counts degrees against the CURRENT survivor set, so the
+# survivor frame is referenced twice per round (src + dst
+# membership) and must be persisted — the BFS lesson.
+_KCORE_K = 5
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "s0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""s{i} AS (
+      SELECT e.src AS node
+      FROM e
+      JOIN {prev} a ON a.node = e.src
+      JOIN {prev} b ON b.node = e.dst
+      GROUP BY e.src
+      HAVING count(*) >= {_KCORE_K}
+    )"""
+        )
+        prev = f"s{i}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+      SELECT concat('c', CAST(c AS VARCHAR)) AS src,
+             concat('s', CAST(sp AS VARCHAR)) AS dst FROM pairs
+      UNION ALL
+      SELECT concat('s', CAST(sp AS VARCHAR)), concat('c', CAST(c AS VARCHAR))
+      FROM pairs
+    ), s0 AS (
+      SELECT DISTINCT src AS node FROM e
+    ),
+    {chain}
+    SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e
+    JOIN {prev} a ON a.node = e.src
+    JOIN {prev} b ON b.node = e.dst
+    GROUP BY e.src
+    ORDER BY core_degree DESC, node ASC
+    LIMIT 50
+    """
+
+
+@register(
+    "graph_kcore",
+    _kcore_oracle,
+    doc=f"k-core decomposition (k={_KCORE_K}, {_KCORE_ROUNDS} unrolled "
+        "peeling rounds — past the dense fixture's fixpoint): each "
+        "round keeps nodes with >= k surviving neighbors, re-counted "
+        "against the current survivor set via two membership "
+        "semi-joins. Survivor frames are node-sized and persisted "
+        "per round (double-referenced — the BFS recompute lesson); "
+        "the edge frame is the only fact-sized input and shuffles "
+        "once per round on the count key. Top-50 TakeOrdered output.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    e = persist_tracked(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        .repartition(32, "src")
+    )
+    surv = persist_tracked(
+        e.select("src").distinct().select(F.col("src").alias("node"))
+    )
+    for _ in range(_KCORE_ROUNDS):
+        a = surv.select(F.col("node").alias("src"))
+        b = surv.select(F.col("node").alias("dst"))
+        surv = persist_tracked(
+            e.join(a, "src", "left_semi")
+            .join(b, "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("__d"))
+            .filter(F.col("__d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+    a = surv.select(F.col("node").alias("src"))
+    b = surv.select(F.col("node").alias("dst"))
+    return (
+        e.join(a, "src", "left_semi")
+        .join(b, "dst", "left_semi")
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+        .orderBy(F.col("core_degree").desc(), F.col("node").asc())
+        .limit(50)
+    )
