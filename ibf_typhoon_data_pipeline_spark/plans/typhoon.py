@@ -4137,3 +4137,69 @@ def tc_forecast_cone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ------------------------------------------- track position error
+@register(
+    "tc_track_dpe",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    ctrl AS (
+      SELECT step, lat AS clat, lon AS clon FROM tracks WHERE ens_id = 0
+    ), members AS (
+      SELECT t.step,
+             CAST(round(111.32 * sqrt(
+               pow(t.lat - c.clat, 2)
+               + pow((t.lon - c.clon) * cos(radians(c.clat)), 2)
+             ) * 1000.0) AS BIGINT) AS dpe_milli
+      FROM tracks t JOIN ctrl c ON c.step = t.step
+      WHERE t.ens_id > 0
+    )
+    SELECT step,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(dpe_milli) AS DOUBLE)
+                 / (1000.0 * count(*)), 4) AS mean_dpe_km,
+           round(CAST(quantile_cont(dpe_milli, 0.5) AS DOUBLE)
+                 / 1000.0, 4) AS median_dpe_km
+    FROM members
+    GROUP BY step
+    ORDER BY step
+    """,
+    doc="Direct positional error by lead step: each perturbed "
+        "member's equirectangular distance to the control position, "
+        "quantized once to integer milli-km, then exact mean and "
+        "median per step — the TRACK-verification twin of the "
+        "intensity metrics (CRPS/rank histogram), showing error "
+        "growth with lead time. Control frame broadcasts; one "
+        "step-keyed agg.",
+)
+def tc_track_dpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    ctrl = tracks.filter(F.col("ens_id") == 0).select(
+        "step", F.col("lat").alias("clat"), F.col("lon").alias("clon")
+    )
+    members = (
+        tracks.filter(F.col("ens_id") > 0)
+        .join(F.broadcast(ctrl), "step")
+        .selectExpr(
+            "step",
+            "CAST(round(111.32 * sqrt(pow(lat - clat, 2)"
+            " + pow((lon - clon) * cos(radians(clat)), 2)) * 1000.0)"
+            " AS BIGINT) AS dpe_milli",
+        )
+    )
+    return (
+        members.groupBy("step")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(
+                F.sum("dpe_milli").cast("double")
+                / (1000.0 * F.count("*")),
+                4,
+            ).alias("mean_dpe_km"),
+            F.round(
+                F.expr("percentile(dpe_milli, 0.5)") / 1000.0, 4
+            ).alias("median_dpe_km"),
+        )
+        .orderBy("step")
+    )
