@@ -1419,3 +1419,62 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------------- CSV dialect round-trip
+@register(
+    "scan_csv_multiline_roundtrip",
+    """
+    WITH tricky AS (
+      SELECT doc_id,
+             concat('v,"', substr(text, 1, 20), '"', chr(10),
+                    CAST(doc_id AS VARCHAR)) AS payload
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5(payload), 1, 8)) AS BIGINT))
+                AS BIGINT) AS payload_hash_sum
+    FROM tricky
+    """,
+    doc="CSV dialect round-trip: payloads embedding the delimiter, "
+        "double quotes, AND newlines are written through Spark's "
+        "quoted CSV writer and read back with multiLine parsing; the "
+        "entry returns a content fingerprint (count + md5-prefix "
+        "sum) that the oracle computes from the SOURCE strings "
+        "directly — equality proves the writer/parser pair is "
+        "lossless on the hard cases. The parse is per-file "
+        "parallel; multiLine disables naive line-splitting, the "
+        "documented trade-off for quoted newlines.",
+)
+def scan_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    tricky = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .selectExpr(
+            "doc_id",
+            "concat('v,\"', substr(text, 1, 20), '\"', chr(10),"
+            " CAST(doc_id AS STRING)) AS payload",
+        )
+    )
+    work = _tf.mkdtemp(prefix="ibf_csvdialect_")
+    tricky.write.mode("overwrite").option("header", "true").option(
+        "quoteAll", "true"
+    ).csv(work)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("inferSchema", "false")
+        .csv(work)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("payload_hash_sum"),
+    )
