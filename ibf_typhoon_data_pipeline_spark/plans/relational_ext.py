@@ -2557,3 +2557,142 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ------------------------------------------- HHI concentration
+@register(
+    "supplier_hhi_concentration",
+    """
+    WITH sv AS (
+      SELECT l_suppkey,
+             CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS total FROM sv
+    ), shares AS (
+      SELECT l_suppkey,
+             CAST(round(1000000.0 * cents / total) AS BIGINT) AS share_e6
+      FROM sv, tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(max(share_e6) AS BIGINT) AS top_share_e6,
+           CAST(sum(share_e6 * share_e6) AS BIGINT) AS hhi_e12
+    FROM shares
+    """,
+    doc="Herfindahl-Hirschman supplier concentration: revenue shares "
+        "quantized once to e6, HHI as the exact integer sum of "
+        "squared shares (e12 units; 0.25e12 is the high-concentration "
+        "bar scaled). One supplier-keyed agg + a 1-row broadcast — "
+        "procurement-risk analytics on the same machinery as the "
+        "Gini/ABC entries.",
+)
+def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = load_table(spark, sf_dir, "lineitem").groupBy("l_suppkey").agg(
+        F.round(F.sum("l_extendedprice") * 100.0)
+        .cast("long")
+        .alias("cents")
+    )
+    tot = sv.agg(F.sum("cents").cast("long").alias("total"))
+    shares = sv.crossJoin(F.broadcast(tot)).selectExpr(
+        "l_suppkey",
+        "CAST(round(1000000.0 * cents / total) AS BIGINT) AS share_e6",
+    )
+    return shares.agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.max("share_e6").cast("long").alias("top_share_e6"),
+        F.sum(F.col("share_e6") * F.col("share_e6"))
+        .cast("long")
+        .alias("hhi_e12"),
+    )
+
+
+# ------------------------------------------- customer migration
+_MIG_SEG_SQL = (
+    "CASE WHEN n <= t1 THEN 'low' WHEN n <= t2 THEN 'mid'"
+    " ELSE 'high' END"
+)
+
+
+@register(
+    "orders_segment_migration",
+    f"""
+    WITH half AS (
+      SELECT CAST(quantile_cont(CAST(floor(epoch(o_orderdate))
+                                     AS BIGINT), 0.5) AS DOUBLE) AS mid
+      FROM orders
+    ), counts AS (
+      SELECT o_custkey,
+             CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT) <= mid
+                  THEN 'a' ELSE 'b' END AS half_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders, half
+      GROUP BY o_custkey, half_id
+    ), th AS (
+      SELECT half_id,
+             quantile_cont(n, CAST('0.3333' AS DOUBLE)) AS t1,
+             quantile_cont(n, CAST('0.6667' AS DOUBLE)) AS t2
+      FROM counts GROUP BY half_id
+    ), seg AS (
+      SELECT o_custkey, c.half_id, {_MIG_SEG_SQL} AS seg
+      FROM counts c JOIN th ON th.half_id = c.half_id
+    ), mat AS (
+      SELECT coalesce(a.seg, 'none') AS seg_before,
+             coalesce(b.seg, 'none') AS seg_after
+      FROM (SELECT o_custkey, seg FROM seg WHERE half_id = 'a') a
+      FULL OUTER JOIN
+           (SELECT o_custkey, seg FROM seg WHERE half_id = 'b') b
+        ON b.o_custkey = a.o_custkey
+    )
+    SELECT seg_before, seg_after, CAST(count(*) AS BIGINT) AS n_cust
+    FROM mat
+    GROUP BY seg_before, seg_after
+    ORDER BY seg_before, seg_after
+    """,
+    doc="Customer segment-migration matrix: order-frequency terciles "
+        "in the first vs second half of the history (median epoch "
+        "split + per-half tercile thresholds, each a tiny broadcast), "
+        "full-outer joined per customer so appearing/churning "
+        "customers land in the 'none' row/column — the CRM migration "
+        "report. Thresholds interpolate exact integers, the segment "
+        "CASE is one shared text, and the matrix is <= 16 cells.",
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").cast("long").alias("ep"),
+    )
+    half = orders.agg(F.expr("percentile(ep, 0.5)").alias("mid"))
+    counts = (
+        orders.crossJoin(F.broadcast(half))
+        .select(
+            "o_custkey",
+            F.when(F.col("ep") <= F.col("mid"), "a")
+            .otherwise("b")
+            .alias("half_id"),
+        )
+        .groupBy("o_custkey", "half_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    th = counts.groupBy("half_id").agg(
+        F.expr("percentile(n, CAST('0.3333' AS DOUBLE))").alias("t1"),
+        F.expr("percentile(n, CAST('0.6667' AS DOUBLE))").alias("t2"),
+    )
+    seg = counts.join(F.broadcast(th), "half_id").selectExpr(
+        "o_custkey", "half_id", f"{_MIG_SEG_SQL} AS seg"
+    )
+    a = seg.filter(F.col("half_id") == "a").select(
+        "o_custkey", F.col("seg").alias("seg_a")
+    )
+    b = seg.filter(F.col("half_id") == "b").select(
+        F.col("o_custkey").alias("bk"), F.col("seg").alias("seg_b")
+    )
+    mat = a.join(b, a.o_custkey == b.bk, "full_outer").select(
+        F.coalesce("seg_a", F.lit("none")).alias("seg_before"),
+        F.coalesce("seg_b", F.lit("none")).alias("seg_after"),
+    )
+    return (
+        mat.groupBy("seg_before", "seg_after")
+        .agg(F.count("*").cast("long").alias("n_cust"))
+        .orderBy("seg_before", "seg_after")
+    )
