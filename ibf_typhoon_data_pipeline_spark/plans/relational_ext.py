@@ -2519,12 +2519,21 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(o_custkey % 97 AS BIGINT) AS x",
         "CAST(round(o_totalprice) AS BIGINT) AS y",
     )
-    fm = xy.groupBy("fold").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    # the 5-row moment frame feeds BOTH the global total and the
+    # per-fold train arithmetic — persist it so the moment pass scans
+    # the fact exactly once (two fact passes total, any k)
+    fm = persist_tracked(
+        xy.groupBy("fold").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
     )
     tot = fm.agg(
         F.sum("n").cast("long").alias("gn"),

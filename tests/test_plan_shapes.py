@@ -534,3 +534,32 @@ def test_asymmetric_windfield_rides_grid_prune(spark):
     # explode, so the 17.5 filter can't alias-substitute the trig
     # chain into the join condition
     assert "Generate explode" in plan
+
+
+def test_kcore_rounds_reuse_cached_survivors(spark):
+    # peeling references each survivor set twice (src + dst
+    # membership): both must hit the SAME InMemoryRelation, and the
+    # membership tests stay semi-joins (no row duplication)
+    plan = _plan(spark, "graph_kcore")
+    assert "InMemoryTableScan" in plan
+    assert "LeftSemi" in plan
+
+
+def test_kfold_cv_is_two_passes_not_k_refits(spark):
+    # train moments are global-minus-fold and the 5-row moment frame
+    # is persisted: both its consumers (global total + per-fold train
+    # arithmetic) must read the SAME InMemoryRelation, leaving the
+    # scoring join as the only other fact scan. (executedPlan prints
+    # the cached subtree inside the InMemoryRelation, so the raw
+    # substring count includes one phantom scan.)
+    plan = _plan(spark, "ml_kfold_cv")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("orders.parquet") <= 3
+
+
+def test_migration_thresholds_broadcast(spark):
+    plan = _plan(spark, "orders_segment_migration")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the matrix itself must come from a full outer join so churned /
+    # new customers keep their 'none' bucket
+    assert "FullOuter" in plan
