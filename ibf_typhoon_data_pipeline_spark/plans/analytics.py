@@ -2188,3 +2188,73 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- one-way ANOVA
+# Completes the classical-test trio (z-test, chi-squared, and now F):
+# does event value differ by type? Values quantize once to micro
+# units; group and global sums/sum-of-squares are exact BIGINTs, so
+# SS_between / SS_within / the F statistic and eta-squared divide
+# identical doubles in both engines.
+_ANOVA_SSB = (
+    "(CAST(sum(CAST(s1 AS DOUBLE) * s1 / n) AS DOUBLE)"
+    " - CAST(sum(s1) AS DOUBLE) * sum(s1) / sum(n))"
+)
+_ANOVA_SSW = (
+    "(CAST(sum(s2) AS DOUBLE)"
+    " - CAST(sum(CAST(s1 AS DOUBLE) * s1 / n) AS DOUBLE))"
+)
+
+
+@register(
+    "events_anova_value_by_type",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 1000.0) AS BIGINT) AS v3
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v3) AS BIGINT) AS s1,
+             CAST(sum(v3 * v3) AS BIGINT) AS s2
+      FROM v GROUP BY event_type
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           round({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW}), 6)
+             AS eta_sq,
+           round(({_ANOVA_SSB} / (count(*) - 1))
+                 / ({_ANOVA_SSW} / (sum(n) - count(*))), 6) AS f_stat
+    FROM g
+    """,
+    doc="One-way ANOVA of event value by type: per-group integer "
+        "milli-unit moments (one partial-agg pass — milli, not "
+        "micro: the sum of squared micro-units overflows BIGINT at "
+        "this cardinality), SS_between and "
+        "SS_within as shared-text arithmetic on exact BIGINTs, "
+        "yielding eta-squared effect size and the F statistic — the "
+        "remaining classical test next to events_ab_ztest and "
+        "text_chi2_terms. Group frame is |types|-sized; nothing "
+        "fact-sized crosses the wire after the first agg.",
+)
+def events_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _ev(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 1000.0).cast("long").alias("v3"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v3").cast("long").alias("s1"),
+        F.sum(F.col("v3") * F.col("v3")).cast("long").alias("s2"),
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.expr(
+            f"round({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW}), 6)"
+        ).alias("eta_sq"),
+        F.expr(
+            f"round(({_ANOVA_SSB} / (count(*) - 1))"
+            f" / ({_ANOVA_SSW} / (sum(n) - count(*))), 6)"
+        ).alias("f_stat"),
+    )
