@@ -1478,3 +1478,67 @@ def scan_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("payload_hash_sum"),
     )
+
+
+# ------------------------------------------- checkpoint restart
+@register(
+    "stream_checkpoint_restart",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Exactly-once ACROSS RESTARTS: a first AvailableNow query "
+        "drains batch 1 and stops; batch 2 lands; a SECOND query "
+        "object resumes from the SAME checkpoint and must process "
+        "only the new files. Each micro-batch appends its rows to a "
+        "parquet sink, so any replay of batch 1 would double those "
+        "counts and break the plain full-table oracle — the hash "
+        "match IS the recovery proof. This is the durability "
+        "contract a production file-ingest pipeline runs on "
+        "(offsets in the checkpoint, idempotent downstream "
+        "re-aggregation).",
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_restart_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+
+    def _run_once():
+        stream = spark.readStream.schema(orders.schema).parquet(landing)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run_once()  # drains batch 1, stops
+    _time.sleep(1.1)  # file-source ordering follows modification time
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    _run_once()  # RESTART from the same checkpoint: only new files
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
