@@ -16,6 +16,7 @@ from ibf_typhoon_data_pipeline_spark.plans import (  # noqa: E402,F401
     relational,
     relational_ext,
     temporal,
+    tpch_fill,
     typhoon,
     vectors,
 )

@@ -1,0 +1,676 @@
+"""TPC-H completion — the nine ad-hoc decision-support shapes not yet
+in the catalog (Q2, Q6, Q8, Q9, Q10, Q12, Q14, Q15, Q19, Q20),
+adapted to the synthetic schema (no partsupp / shipmode / commitdate
+columns; each docstring states the adaptation). Together with the
+existing q1/q3/q4/q5/q7/q11/q13/q16/q17/q18/q21/q22 entries this
+closes the full 22-query suite.
+
+Same parity rules as plans/registry.py: identical aliases both sides,
+exact integer cents for money, ppm BIGINT for ratios (integer inputs
+-> identical doubles -> identical rounding), deterministic tiebreakers
+on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibf_typhoon_data_pipeline_spark.plans.registry import register
+from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp_ntz")
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(round(sum(l_extendedprice * l_discount) * 100.0)
+                AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+    doc="TPC-H Q6 (forecast revenue change): pure filter->global-sum, "
+        "zero joins. Every predicate (shipdate year, discount band, "
+        "quantity cap) reaches the parquet scan as a PushedFilter and "
+        "the sum is a map-side partial agg into a 1-row exchange — "
+        "the cheapest possible plan shape at any scale. Discounts are "
+        "discrete stored doubles, so the band compare is exact in "
+        "both engines.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 100.0)
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0)
+                AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting): lost revenue per "
+        "customer over one quarter of orders, top 20. Customer and "
+        "nation broadcast; the only shuffle is lineitem->orders on "
+        "orderkey, then a customer-cardinality agg feeding "
+        "TakeOrderedAndProject (top-k never sorts the full agg). "
+        "Tiebreak on c_custkey keeps the cut deterministic.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100.0
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_lateness",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE date_diff('day', o_orderdate, l_shipdate) >= 60
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus ASC
+    """,
+    doc="TPC-H Q12 (shipping modes and order priority; adapted — the "
+        "schema has no l_shipmode, so the slow-line predicate is "
+        "ship-lag >= 60 days and the pivot runs on l_linestatus): "
+        "conditional counts of high- vs low-priority slow lines. The "
+        "lag predicate needs the join (it references both tables) but "
+        "the shipdate year prunes lineitem at the scan; both engines "
+        "compute the day lag on midnight-aligned timestamps so the "
+        "calendar difference is exact. sum(CASE) is CAST to BIGINT "
+        "both sides (DuckDB would type it HUGEINT).",
+)
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 60
+    )
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy(F.col("l_linestatus").asc())
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    WITH agg AS (
+      SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END) * 100.0)
+                  AS BIGINT) AS promo_cents,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0)
+                  AS BIGINT) AS total_cents
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01'
+    )
+    SELECT promo_cents, total_cents,
+           CAST(round(1000000.0 * promo_cents / total_cents) AS BIGINT)
+             AS promo_ppm
+    FROM agg
+    """,
+    doc="TPC-H Q14 (promotion effect): share of one month's revenue "
+        "from PROMO-type parts (the synthetic p_type is the bare "
+        "class name, no trailing words). Part broadcasts; one "
+        "conditional partial agg. The ratio divides the two "
+        "already-quantized BIGINT cent sums, so both engines divide "
+        "identical integers and the ppm rounding cannot disagree.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0
+            )
+            .cast("long")
+            .alias("promo_cents"),
+            F.round(F.sum(rev) * 100.0).cast("long").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.round(1000000.0 * F.col("promo_cents") / F.col("total_cents"))
+        .cast("long")
+        .alias("promo_ppm"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0)
+                  AS BIGINT) AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_cents
+    FROM supplier
+    JOIN rev ON l_suppkey = s_suppkey
+    WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+    ORDER BY s_suppkey ASC
+    """,
+    doc="TPC-H Q15 (top supplier): the view-plus-scalar-subquery "
+        "shape. Per-supplier quarterly revenue (one shuffle at "
+        "supplier cardinality), the max folded to a 1-row broadcast "
+        "joined back as an equality filter — scalar-subquery "
+        "decorrelation by hand. Equality runs on exact integer cents "
+        "so ties are kept identically in both engines (the classic "
+        "Q15 float-equality trap is gone by construction).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100.0
+        )
+        .cast("long")
+        .alias("total_revenue_cents")
+    )
+    best = rev.agg(F.max("total_revenue_cents").alias("__max_cents"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue_cents") == F.col("__max_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    """
+    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0)
+                AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1.0  AND l_quantity <= 11.0)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20.0 AND l_quantity <= 30.0)
+    """,
+    doc="TPC-H Q19 (discounted revenue, disjunction of brand/size/"
+        "quantity triples; containers adapted to p_size bands). The "
+        "OR references both tables so it must sit above the join, but "
+        "the derivable prefilters ARE pushed: part prunes to the 3 "
+        "brands (broadcast), lineitem prunes to the overall quantity "
+        "envelope [1,30] at the scan — the disjunction then only "
+        "re-checks the residual per-branch pairing.",
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#7", "Brand#13", "Brand#21")
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1.0) & (F.col("l_quantity") <= 30.0)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 5)
+            & (F.col("l_quantity") >= 1.0)
+            & (F.col("l_quantity") <= 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 10.0)
+            & (F.col("l_quantity") <= 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 20.0)
+            & (F.col("l_quantity") <= 30.0)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100.0
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH vols AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ), byyear AS (
+      SELECT o_year,
+             CAST(round(sum(CASE WHEN supp_nation = 'NATION_7'
+                                 THEN volume ELSE 0.0 END) * 100.0)
+                  AS BIGINT) AS nation_cents,
+             CAST(round(sum(volume) * 100.0) AS BIGINT) AS total_cents
+      FROM vols GROUP BY o_year
+    )
+    SELECT o_year, nation_cents, total_cents,
+           CAST(round(1000000.0 * nation_cents / total_cents) AS BIGINT)
+             AS mkt_share_ppm
+    FROM byyear ORDER BY o_year ASC
+    """,
+    doc="TPC-H Q8 (national market share): NATION_7's share of PROMO-"
+        "part revenue sold to ASIA customers, per order year. The "
+        "deepest join tree in the suite (7 tables, nation twice) — "
+        "every dimension broadcasts, so the only shuffle is "
+        "lineitem->orders; the share divides two already-quantized "
+        "BIGINT cent sums per year.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cn = (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("cn_nationkey"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vols = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(cn), cust.c_nationkey == F.col("cn_nationkey")
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(sn), supp.s_nationkey == F.col("sn_nationkey")
+        )
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    byyear = vols.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_7", F.col("volume")
+                ).otherwise(0.0)
+            )
+            * 100.0
+        )
+        .cast("long")
+        .alias("nation_cents"),
+        F.round(F.sum("volume") * 100.0).cast("long").alias("total_cents"),
+    )
+    return byyear.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.round(1000000.0 * F.col("nation_cents") / F.col("total_cents"))
+        .cast("long")
+        .alias("mkt_share_ppm"),
+    ).orderBy(F.col("o_year").asc())
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                          - p_retailprice * 0.6 * l_quantity) * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    ORDER BY nation ASC, o_year DESC
+    """,
+    doc="TPC-H Q9 (product-type profit; no partsupp, so supply cost "
+        "is the 60%%-of-retail proxy p_retailprice*0.6 per unit): "
+        "profit on '%%gear%%' parts by supplier nation and order "
+        "year. The profit expression is written token-for-token "
+        "identically in both engines (same parenthesization, same "
+        "fold order), then quantized PER ROW to integer cents via "
+        "floor(x*100+0.5) — round-of-sum hit a half-cent boundary "
+        "here (sum-order ulps flipped one group), and floor on "
+        "identical doubles is exact, so the integer sum is "
+        "order-independent. Part/supplier/nation broadcast; one "
+        "shuffle on orderkey, one nation x year agg.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    profit_cents = F.expr(
+        "CAST(floor((l_extendedprice * (1 - l_discount)"
+        " - p_retailprice * 0.6 * l_quantity) * 100.0 + 0.5) AS BIGINT)"
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit_cents.alias("__profit_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("__profit_cents").cast("long").alias("profit_cents")
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice / l_quantity * 100.0)
+                      AS BIGINT)) AS supply_cents
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'STANDARD'
+      GROUP BY l_partkey, l_suppkey
+    ), minc AS (
+      SELECT l_partkey AS mc_partkey, min(supply_cents) AS min_cents
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT CAST(round(s_acctbal * 100.0) AS BIGINT) AS acctbal_cents,
+           s_name, n_name, ps.l_partkey AS p_partkey, supply_cents
+    FROM ps
+    JOIN minc ON ps.l_partkey = mc_partkey AND supply_cents = min_cents
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY acctbal_cents DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 (minimum-cost supplier; no partsupp, so the "
+        "observed unit price round(l_extendedprice/l_quantity*100) "
+        "from lineitem stands in for ps_supplycost): for every "
+        "STANDARD part, the supplier(s) matching the per-part minimum "
+        "unit cents, ties kept like the reference query. The "
+        "correlated-min subquery decorrelates into a (part,supplier) "
+        "agg, a per-part min, and an exact-integer equality join "
+        "back; supplier/nation broadcast, top-100 with a full "
+        "deterministic tiebreaker chain.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100.0)
+        .cast("long")
+        .alias("__unit_cents"),
+    )
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__unit_cents").alias("supply_cents"))
+    )
+    minc = ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cents").alias("min_cents")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        ps.join(
+            minc,
+            (ps.l_partkey == minc.mc_partkey)
+            & (ps.supply_cents == minc.min_cents),
+        )
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.round(F.col("s_acctbal") * 100.0)
+            .cast("long")
+            .alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "supply_cents",
+        )
+        .orderBy(
+            F.col("acctbal_cents").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    WITH spq AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ), pavg AS (
+      SELECT l_partkey AS pa_partkey, avg(qty) AS avg_qty
+      FROM spq GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM spq
+        JOIN pavg ON l_partkey = pa_partkey
+        WHERE qty > 1.5 * avg_qty)
+    ORDER BY s_suppkey ASC
+    """,
+    doc="TPC-H Q20 (potential part promotion; no partsupp availqty, "
+        "so 'excess' means shipping > 1.5x the cross-supplier average "
+        "quantity of some PROMO part in 1996): the nested-IN shape "
+        "becomes a left-semi join onto a distinct supplier set. "
+        "Quantities are integral doubles, so sums and the avg are "
+        "exact and the 1.5x compare is bit-identical in both engines. "
+        "Two supplier-x-part-cardinality aggs, then semi-join the "
+        "supplier dim — no fact-table re-scan.",
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    spq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pavg = spq.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.avg("qty").alias("avg_qty")
+    )
+    excess = (
+        spq.join(pavg, spq.l_partkey == pavg.pa_partkey)
+        .filter(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        supp.join(
+            excess, supp.s_suppkey == excess.l_suppkey, "left_semi"
+        )
+        .orderBy(F.col("s_suppkey").asc())
+    )
