@@ -2258,3 +2258,122 @@ def events_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / ({_ANOVA_SSW} / (sum(n) - count(*))), 6)"
         ).alias("f_stat"),
     )
+
+
+# ------------------------------------------- autocorrelation function
+# ACF of the daily event-count series at lags 1..3, per type — the
+# seasonality/momentum diagnostic behind every forecasting model
+# choice. All sufficient statistics (Σx, Σx², n, and per-lag Σxy,
+# Σ(x+y), pair count) are exact BIGINT sums from integer daily counts,
+# so both engines feed identical integers into one shared-text
+# rational expression; only the final ratio is floating, rounded 6dp.
+# Gap days pair only where both endpoints exist (stated definition —
+# the joins are calendar-correct, not row-shifted).
+_ACF_MEAN_SQL = "(CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
+_ACF_R_SQL = (
+    f"round((CAST(pxy AS DOUBLE) - {_ACF_MEAN_SQL} * CAST(t AS DOUBLE)"
+    f" + CAST(c AS DOUBLE) * {_ACF_MEAN_SQL} * {_ACF_MEAN_SQL})"
+    f" / (CAST(s2 AS DOUBLE)"
+    f" - CAST(nd AS DOUBLE) * {_ACF_MEAN_SQL} * {_ACF_MEAN_SQL}), 6)"
+)
+
+
+@register(
+    "events_acf_lags",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day_idx
+    ), stats AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type
+    ), lags AS (
+      SELECT unnest([1, 2, 3]) AS lag
+    ), pairs AS (
+      SELECT a.event_type, a.lag,
+             CAST(sum(a.n * b.n) AS BIGINT) AS pxy,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(a.n + b.n) AS BIGINT) AS t
+      FROM (SELECT d.*, l.lag, d.day_idx + l.lag AS nxt
+            FROM daily d CROSS JOIN lags l) a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day_idx = a.nxt
+      GROUP BY a.event_type, a.lag
+    )
+    SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
+           {_ACF_R_SQL} AS acf_r
+    FROM pairs p JOIN stats st ON st.event_type = p.event_type
+    ORDER BY p.event_type, p.lag
+    """,
+    doc="Autocorrelation of daily event counts at lags 1-3 per type: "
+        "every sufficient statistic (Σx, Σx², n global; Σxy, Σ(x+y), "
+        "pair count per lag) is an exact BIGINT sum of integer "
+        "counts, combined in ONE shared-text rational — the engines "
+        "divide identical integers, rounded 6dp. The lag pairing is "
+        "an equi-join on (type, day+lag) after a 3-way lag explode "
+        "(one shuffle at type x day cardinality); daily reduction is "
+        "the only event-sized agg.",
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    daily = persist_tracked(daily)
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("s"),
+        F.count("*").cast("long").alias("nd"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    a = daily.select(
+        "event_type",
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag"),
+        "day_idx",
+    ).select(
+        "event_type",
+        "n",
+        "lag",
+        (F.col("day_idx") + F.col("lag")).alias("nxt"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day_idx").alias("b_day"),
+        F.col("n").alias("b_n"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b_type") == F.col("event_type"))
+            & (F.col("b_day") == F.col("nxt")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(F.col("n") * F.col("b_n")).cast("long").alias("pxy"),
+            F.count("*").cast("long").alias("c"),
+            F.sum(F.col("n") + F.col("b_n")).cast("long").alias("t"),
+        )
+    )
+    return (
+        pairs.join(stats, "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            F.expr(_ACF_R_SQL).alias("acf_r"),
+        )
+        .orderBy("event_type", "lag")
+    )

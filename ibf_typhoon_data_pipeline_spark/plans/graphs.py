@@ -1351,3 +1351,158 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("core_degree").desc(), F.col("node").asc())
         .limit(50)
     )
+
+
+# --------------------------------------------- weighted SSSP
+# Single-source-set shortest WEIGHTED paths (Bellman-Ford supersteps)
+# on the same symmetrized purchase graph as graph_bfs_hops, with a
+# deterministic integer edge weight derived from the edge's md5 (first
+# hex char banded to 1..5 — same text both engines, no hex→int parse).
+# Each superstep relaxes every edge once: dist⋈edge equi-join,
+# partial-agg min(dist + w) by destination, NULL-aware merge — exact
+# BIGINT path lengths, so the oracle unrolls the supersteps as CTEs.
+_SSSP_ITERS = 4
+_SSSP_W_SQL = (
+    "CAST(CASE WHEN substr(md5(src || '|' || dst), 1, 1) "
+    "IN ('0', '1', '2') THEN 1 "
+    "WHEN substr(md5(src || '|' || dst), 1, 1) IN ('3', '4', '5') THEN 2 "
+    "WHEN substr(md5(src || '|' || dst), 1, 1) IN ('6', '7', '8') THEN 3 "
+    "WHEN substr(md5(src || '|' || dst), 1, 1) IN ('9', 'a', 'b') THEN 4 "
+    "ELSE 5 END AS BIGINT)"
+)
+_SSSP_MIN_SQL = (
+    "CASE WHEN d IS NULL THEN nd WHEN nd IS NULL THEN d "
+    "WHEN nd < d THEN nd ELSE d END"
+)
+
+
+def _sssp_oracle() -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, _SSSP_ITERS + 1):
+        steps.append(
+            f"""d{i} AS (
+      SELECT n.node,
+             CASE WHEN {prev}.dist IS NULL THEN u.nd
+                  WHEN u.nd IS NULL THEN {prev}.dist
+                  WHEN u.nd < {prev}.dist THEN u.nd
+                  ELSE {prev}.dist END AS dist
+      FROM n JOIN {prev} ON {prev}.node = n.node
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(min(p.dist + e.w) AS BIGINT) AS nd
+        FROM e JOIN {prev} p ON p.node = e.src
+        WHERE p.dist IS NOT NULL
+        GROUP BY e.dst
+      ) u ON u.node = n.node
+    )"""
+        )
+        prev = f"d{i}"
+    chain = ", ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), e0 AS (
+      SELECT concat('c', CAST(c AS VARCHAR)) AS src,
+             concat('s', CAST(sp AS VARCHAR)) AS dst FROM pairs
+      UNION ALL
+      SELECT concat('s', CAST(sp AS VARCHAR)) AS src,
+             concat('c', CAST(c AS VARCHAR)) AS dst FROM pairs
+    ), e AS (
+      SELECT src, dst, {_SSSP_W_SQL} AS w FROM e0
+    ), n AS (
+      SELECT DISTINCT src AS node FROM e
+    ), seeds AS (
+      SELECT DISTINCT concat('s', CAST(s_suppkey AS VARCHAR)) AS node
+      FROM supplier WHERE s_nationkey = 0
+    ), d0 AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN CAST(0 AS BIGINT) END
+               AS dist
+      FROM n LEFT JOIN seeds s ON s.node = n.node
+    ), {chain}
+    SELECT node, CAST(coalesce(dist, -1) AS BIGINT) AS dist FROM {prev}
+    """
+
+
+@register(
+    "graph_sssp_weighted",
+    _sssp_oracle(),
+    doc=f"Weighted single-source-set shortest paths by "
+        f"{_SSSP_ITERS} Bellman-Ford supersteps on the symmetrized "
+        "customer-supplier graph, seeded by nation-0 suppliers; edge "
+        "weights 1..5 banded from the edge md5's first hex char "
+        "(identical text both engines). Per superstep: one "
+        "frontier⋈edge equi-join + partial-agg min(dist+w) by "
+        "destination + NULL-aware merge — the Pregel min-plus shape "
+        "with the weighted relaxation, edges persisted once "
+        "pre-partitioned on src, dist persisted per superstep (read "
+        "twice: merge + next frontier). Unreached nodes report -1; "
+        "oracle unrolls the supersteps as CTEs.",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = persist_tracked(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        .withColumn("w", F.expr(_SSSP_W_SQL))
+        .repartition(32, "src")
+    )
+    nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(
+            F.concat(
+                F.lit("s"), F.col("s_suppkey").cast("string")
+            ).alias("node")
+        )
+        .distinct()
+        .withColumn("is_seed", F.lit(1))
+    )
+    dist = persist_tracked(
+        nodes.join(F.broadcast(seeds), "node", "left").select(
+            "node",
+            F.when(F.col("is_seed").isNotNull(), F.lit(0))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
+    for _ in range(_SSSP_ITERS):
+        frontier = dist.filter(F.col("dist").isNotNull()).select(
+            F.col("node").alias("src"), F.col("dist")
+        )
+        upd = (
+            edges.join(frontier, "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).cast("long").alias("nd"))
+        )
+        dist = persist_tracked(
+            dist.join(upd, dist.node == upd.dst, "left")
+            .select("node", F.col("dist").alias("d"), "nd")
+            .select(
+                "node", F.expr(_SSSP_MIN_SQL).cast("long").alias("dist")
+            )
+        )
+    return dist.select(
+        "node", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist")
+    )

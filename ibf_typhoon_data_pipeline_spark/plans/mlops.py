@@ -1542,3 +1542,65 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------------ ORC round-trip
+@register(
+    "scan_orc_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    WHERE l_orderkey % 8 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="ORC round-trip: a lineitem slice (timestamp + double + "
+        "string + pre-quantized BIGINT columns) is written through "
+        "Spark's native ORC sink and read back; the entry aggregates "
+        "the read-back frame while the oracle computes the SAME "
+        "aggregate from the parquet source — equality proves the "
+        "columnar re-encode is lossless across every type in the "
+        "slice. ORC is the second columnar format the engine "
+        "supports end-to-end (parquet being the default); the write "
+        "is per-partition parallel and the read-back scan prunes "
+        "columns like any other columnar source.",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    sel = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 8 == 0)
+        .select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_shipdate",
+            F.round(F.col("l_extendedprice") * 100.0)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    work = _tf.mkdtemp(prefix="ibf_orc_")
+    sel.write.mode("overwrite").orc(work)
+    back = spark.read.orc(work)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("price_cents"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias(
+                "min_shipdate"
+            ),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias(
+                "max_shipdate"
+            ),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2705,3 +2705,93 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_cust"))
         .orderBy("seg_before", "seg_after")
     )
+
+
+# ------------------------------------------------ LATERAL top-k
+@register(
+    "j18_lateral_topk",
+    """
+    SELECT n_name, c.c_name, c.acctbal_cents
+    FROM nation, LATERAL (
+      SELECT c_name,
+             CAST(round(c_acctbal * 100.0) AS BIGINT) AS acctbal_cents
+      FROM customer WHERE c_nationkey = n_nationkey
+      ORDER BY acctbal_cents DESC, c_name ASC LIMIT 2) c
+    ORDER BY n_name ASC, acctbal_cents DESC, c_name ASC
+    """,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT — "
+        "the top-2 customers by account balance per nation, written "
+        "as the SQL-standard lateral join in BOTH engines (Spark 4 "
+        "supports correlated lateral subqueries; its optimizer "
+        "rewrites the per-nation top-k into a join + per-key limit "
+        "rather than executing the subquery per outer row). "
+        "Deterministic inner ordering (cents desc, name asc) makes "
+        "the LIMIT cut reproducible. Same result as a row_number "
+        "window, but exercises the decorrelation path the "
+        "window-function rewrite never touches.",
+)
+def j18_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "__j18_nation"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__j18_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n_name, c.c_name, c.acctbal_cents
+        FROM __j18_nation, LATERAL (
+          SELECT c_name,
+                 CAST(round(c_acctbal * 100.0) AS BIGINT)
+                   AS acctbal_cents
+          FROM __j18_customer WHERE c_nationkey = n_nationkey
+          ORDER BY acctbal_cents DESC, c_name ASC LIMIT 2) c
+        ORDER BY n_name ASC, acctbal_cents DESC, c_name ASC
+        """
+    )
+
+
+# ------------------------------------------- multi-distinct aggregate
+@register(
+    "a23_multi_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                AS BIGINT) AS n_months,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC
+    """,
+    doc="Multiple exact COUNT(DISTINCT) columns over DIFFERENT keys "
+        "in one aggregate — Spark plans this with the Expand "
+        "operator (each input row is replicated once per distinct "
+        "group with the other keys nulled, then two agg passes), the "
+        "one aggregation shape none of the other entries exercise. "
+        "The plain count/sum ride along in the same Expand pass. "
+        "Month keys format identically via date_format/strftime on "
+        "the UTC-pinned session.",
+)
+def a23_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+            F.countDistinct(
+                F.date_format("o_orderdate", "yyyy-MM")
+            )
+            .cast("long")
+            .alias("n_months"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100.0).cast("long")
+            )
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy(F.col("o_orderpriority").asc())
+    )

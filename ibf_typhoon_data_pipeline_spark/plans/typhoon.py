@@ -4203,3 +4203,79 @@ def tc_track_dpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ------------------------------------------- integrated kinetic energy
+# Powell & Reinhold (2007) IKE — the damage-potential metric that
+# replaced pure Vmax scales: 0.5 * rho * U^2 integrated over the area
+# experiencing >= 18 m/s sustained wind (rho = 1.15 kg/m^3). Adapted to
+# the per-member max-wind ENVELOPE on the 0.25-degree analysis grid
+# (cell area 27750 m square, cos(lat) meridian convergence). Each
+# cell's energy term quantizes to integer megajoules BEFORE the member
+# sum, so the reduction is order-free; the TJ output divides exact
+# integers. Rides the same Willoughby kernel + dynamic-extent prune as
+# the duration entry — lossless for the 18 m/s cut since the analysis
+# threshold sits below it.
+_IKE_MJ_SQL = (
+    "CAST(floor(0.5 * 1.15 * u * u"
+    " * (27750.0 * 27750.0 * cos(radians(c_lat)))"
+    " / 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "tc_ike_energy",
+    f"""
+    {WILLOUGHBY_SQL}
+    , env AS (
+      SELECT ens_id, centroid_id, max(wind_ms) AS u
+      FROM wf_w GROUP BY ens_id, centroid_id
+      HAVING max(wind_ms) >= 18.0
+    ), cells AS (
+      SELECT e.ens_id, e.u, c.lat AS c_lat
+      FROM env e JOIN centroids c ON c.centroid_id = e.centroid_id
+    )
+    SELECT ens_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum({_IKE_MJ_SQL}) AS BIGINT) AS ike_mj,
+           round(CAST(sum({_IKE_MJ_SQL}) AS DOUBLE) / 1000000.0, 6)
+             AS ike_tj
+    FROM cells GROUP BY ens_id ORDER BY ens_id
+    """,
+    doc="Integrated kinetic energy (Powell & Reinhold 2007) per "
+        "ensemble member: 0.5*rho*U^2 summed over every 0.25-degree "
+        "cell whose max-envelope sustained wind reaches 18 m/s, "
+        "cos(lat)-corrected cell areas, rho=1.15. Cell terms quantize "
+        "to integer MJ before the member sum (order-free); the "
+        "centroid-latitude join is broadcast at grid cardinality. "
+        "Same Willoughby kernel + grid prune as tc_wind_duration "
+        "(analysis threshold 15 < the 18 cut keeps the prune "
+        "lossless).",
+)
+def tc_ike_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windfield import (
+        windfield_willoughby,
+    )
+
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_willoughby(tracks, cents, threshold_ms=15.0)
+    env = (
+        wf.groupBy("ens_id", "centroid_id")
+        .agg(F.max("wind_ms").alias("u"))
+        .filter(F.col("u") >= 18.0)
+    )
+    clat = cents.select("centroid_id", F.col("lat").alias("c_lat"))
+    cells = env.join(F.broadcast(clat), "centroid_id")
+    mj = F.expr(_IKE_MJ_SQL)
+    return (
+        cells.groupBy("ens_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(mj).cast("long").alias("ike_mj"),
+            F.round(
+                F.sum(mj).cast("double") / 1000000.0, 6
+            ).alias("ike_tj"),
+        )
+        .orderBy("ens_id")
+    )

@@ -2076,3 +2076,144 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "cos_r", "rnk")
         .orderBy("src", "rnk")
     )
+
+
+# ------------------------------------------------ in-engine k-means
+# Lloyd's algorithm run ENTIRELY inside the engine — unlike the IVF
+# codebook (bounded-sample numpy fit shared by both engines), every
+# assignment and centroid update here is a distributed plan, and the
+# whole iteration is exact-integer deterministic: components quantize
+# to micro-units once, distances are BIGINT sums of squared integer
+# diffs (argmin cannot flip on ulps), and each centroid update
+# re-quantizes floor(S/n + 0.5) so the next round's inputs are
+# integers again. k=4 seeded by the 4 smallest vec_ids; 3 assignment
+# rounds (a1 ← seeds, a2 ← c1, a3 ← c2). Max term: (2·5.3e5)² · 64
+# dims ≈ 7e13 per vector — a 100 TB corpus sums to ~7e19/1e6-vec
+# partition only at the final inertia agg, where a per-cluster count
+# rescale would apply; the per-vector distance never overflows.
+_KM_K = 4
+_KM_CQ_SQL = (
+    "CAST(floor(CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    " + 0.5) AS BIGINT)"
+)
+
+
+def _kmeans_oracle() -> str:
+    steps = []
+    prev_c = "c0"
+    for i in (1, 2, 3):
+        steps.append(
+            f"""a{i} AS (
+      SELECT vec_id, cluster, dist2 FROM (
+        SELECT b.vec_id, c.cluster,
+               CAST(sum((b.xq - c.cq) * (b.xq - c.cq)) AS BIGINT)
+                 AS dist2,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY sum((b.xq - c.cq) * (b.xq - c.cq)) ASC,
+                          c.cluster ASC) AS rn
+        FROM base b JOIN {prev_c} c ON b.dim_idx = c.dim_idx
+        GROUP BY b.vec_id, c.cluster
+      ) WHERE rn = 1
+    )"""
+        )
+        if i < 3:
+            steps.append(
+                f"""c{i} AS (
+      SELECT a.cluster, b.dim_idx, {_KM_CQ_SQL} AS cq
+      FROM base b JOIN a{i} a ON a.vec_id = b.vec_id
+      GROUP BY a.cluster, b.dim_idx
+    )"""
+            )
+            prev_c = f"c{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, generate_subscripts(ve, 1) AS dim_idx,
+             CAST(round(unnest(ve) * 1000000.0) AS BIGINT) AS xq
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+      )
+    ), c0 AS (
+      SELECT CAST(vec_id AS BIGINT) AS cluster, dim_idx, xq AS cq
+      FROM base WHERE vec_id < {_KM_K}
+    ),
+    {chain}
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dist2) AS BIGINT) AS inertia_e12
+    FROM a3 GROUP BY cluster ORDER BY cluster ASC
+    """
+
+
+@register(
+    "ml_kmeans_lloyd",
+    _kmeans_oracle(),
+    doc="k-means clustering by 3 unrolled Lloyd rounds run entirely "
+        "in-engine (no driver fit, unlike the IVF codebook entry): "
+        "k=4 seeded by the 4 smallest vec_ids, components quantized "
+        "to integer micro-units once, so every distance is an exact "
+        "BIGINT sum of squared diffs (argmin tie-broken on cluster "
+        "id) and every centroid update re-quantizes floor(S/n+0.5) — "
+        "bit-identical iterates in both engines. Per round: one "
+        "broadcast join of the 256-row centroid frame onto the "
+        "exploded (vec,dim) frame, one (vec,cluster) partial agg, one "
+        "per-vec argmin window, one centroid agg. Assignment frames "
+        "are persisted per round (each feeds the next centroid agg "
+        "AND the final output — the iterative-persist rule). Output: "
+        "per-cluster size and exact integer inertia.",
+)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    base = persist_tracked(
+        emb.select("vec_id", F.posexplode("ve").alias("dim_idx", "x"))
+        .select(
+            "vec_id",
+            "dim_idx",
+            F.round(F.col("x") * 1000000.0).cast("long").alias("xq"),
+        )
+    )
+    cent = base.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("long").alias("cluster"), "dim_idx",
+        F.col("xq").alias("cq"),
+    )
+    assign = None
+    for rnd in (1, 2, 3):
+        if rnd > 1:
+            cent = (
+                base.join(assign.select("vec_id", "cluster"), "vec_id")
+                .groupBy("cluster", "dim_idx")
+                .agg(F.expr(_KM_CQ_SQL).alias("cq"))
+            )
+        pairs = base.join(F.broadcast(cent), "dim_idx")
+        d = pairs.groupBy("vec_id", "cluster").agg(
+            F.sum(
+                (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+            )
+            .cast("long")
+            .alias("dist2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist2").asc(), F.col("cluster").asc()
+        )
+        assign = persist_tracked(
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist2")
+        )
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dist2").cast("long").alias("inertia_e12"),
+        )
+        .orderBy(F.col("cluster").asc())
+    )
