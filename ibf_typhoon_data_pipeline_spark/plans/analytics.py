@@ -2377,3 +2377,229 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# ------------------------------------------- Poisson bootstrap CI
+# Bootstrap confidence interval for the mean purchase value WITHOUT
+# resampling rows — the Poisson bootstrap (each row enters replicate b
+# with an independent ~Poisson(1) multiplicity), the only bootstrap
+# that distributes: weights are derived per (row, replicate) from a
+# hash, so no replicate ever materializes and the whole thing is one
+# exploded agg. Multiplicities come from a CASE ladder on the first
+# two md5 hex chars (256 cells split 94/94/47/16/5 ≈ the Poisson(1)
+# pmf 0.368/0.368/0.184/0.061/0.019); replicate means are ratios of
+# exact BIGINT weighted-cent sums, the CI is the 2.5/97.5 percentile
+# over the 32 replicate means (percentile == quantile_cont parity).
+_BOOT_R = 32
+_BOOT_W_SQL = (
+    "CASE WHEN h2 < 94 THEN 0 WHEN h2 < 188 THEN 1 "
+    "WHEN h2 < 235 THEN 2 WHEN h2 < 251 THEN 3 ELSE 4 END"
+)
+_BOOT_MEAN_SQL = "(CAST(sw_cents AS DOUBLE) / CAST(nw AS DOUBLE))"
+
+
+@register(
+    "events_bootstrap_ci",
+    f"""
+    WITH purch AS (
+      SELECT CAST(event_id AS VARCHAR) AS rid,
+             CAST(round(value * 100.0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), expl AS (
+      SELECT cents, b,
+             CAST(('0x' || substr(md5(rid || ':' || CAST(b AS VARCHAR)),
+                                  1, 2)) AS BIGINT) AS h2
+      FROM purch CROSS JOIN (SELECT unnest(range(0, {_BOOT_R})) AS b) r
+    ), reps AS (
+      SELECT b,
+             CAST(sum(({_BOOT_W_SQL}) * cents) AS BIGINT) AS sw_cents,
+             CAST(sum({_BOOT_W_SQL}) AS BIGINT) AS nw
+      FROM expl GROUP BY b
+    ), pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s_cents
+      FROM purch
+    )
+    SELECT n,
+           round(CAST(s_cents AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS mean_cents,
+           round(CAST(quantile_cont({_BOOT_MEAN_SQL}, 0.025)
+                 AS DOUBLE), 6) AS ci_lo,
+           round(CAST(quantile_cont({_BOOT_MEAN_SQL}, 0.975)
+                 AS DOUBLE), 6) AS ci_hi
+    FROM reps, pt
+    GROUP BY n, s_cents
+    """,
+    doc=f"Poisson-bootstrap 95% CI for the mean purchase value: "
+        f"{_BOOT_R} replicates whose per-row multiplicities are a "
+        "Poisson(1)-matched CASE ladder on two md5 hex chars — no "
+        "replicate is ever materialized, so the estimator runs as "
+        "one explode + one {replicate}-keyed partial agg at ANY "
+        "scale (the Google-scale bootstrap). Replicate means divide "
+        "exact BIGINT cent sums; the interval is the 2.5/97.5 "
+        "interpolated percentile of 32 identical doubles "
+        "(percentile==quantile_cont parity), rounded 6dp.",
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purch = (
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").cast("string").alias("rid"),
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    purch = persist_tracked(purch)
+    expl = purch.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("b"),
+        "rid",
+    ).select(
+        "cents",
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("rid"), F.lit(":"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h2"),
+    )
+    w = F.expr(_BOOT_W_SQL)
+    reps = expl.groupBy("b").agg(
+        F.sum(w * F.col("cents")).cast("long").alias("sw_cents"),
+        F.sum(w).cast("long").alias("nw"),
+    )
+    pt = purch.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s_cents"),
+    )
+    return (
+        reps.crossJoin(F.broadcast(pt))
+        .groupBy("n", "s_cents")
+        .agg(
+            F.round(
+                F.expr("percentile(" + _BOOT_MEAN_SQL + ", 0.025)"), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.expr("percentile(" + _BOOT_MEAN_SQL + ", 0.975)"), 6
+            ).alias("ci_hi"),
+        )
+        .select(
+            "n",
+            F.round(
+                F.col("s_cents").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("mean_cents"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# ------------------------------------------- Theil-Sen robust slope
+# Median-of-pairwise-slopes trend estimate of the daily event-count
+# series, per type — the robust regression that ignores outlier days
+# (29% breakdown point). Slopes are ratios of exact integers (count
+# diff / day diff), so both engines take the median of identical
+# doubles (percentile == quantile_cont parity, 6dp); the intercept is
+# the median residual at the ALREADY-ROUNDED slope, keeping the
+# second pass deterministic too. The pair space is (days choose 2)
+# per type — quadratic in the DAILY frame, never the fact table (the
+# daily reduction is the only event-sized agg; the self-join is
+# calendar-frame-sized).
+@register(
+    "events_theil_sen",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day_idx
+    ), slopes AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / CAST(b.day_idx - a.day_idx
+                                              AS DOUBLE) AS sl
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day_idx > a.day_idx
+    ), fit AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             round(CAST(quantile_cont(sl, 0.5) AS DOUBLE), 6) AS slope_r
+      FROM slopes GROUP BY event_type
+    )
+    SELECT d.event_type, f.n_pairs, f.slope_r,
+           round(CAST(quantile_cont(CAST(d.n AS DOUBLE)
+                 - f.slope_r * CAST(d.day_idx AS DOUBLE), 0.5)
+                 AS DOUBLE), 6) AS intercept_r
+    FROM daily d JOIN fit f ON f.event_type = d.event_type
+    GROUP BY d.event_type, f.n_pairs, f.slope_r
+    ORDER BY d.event_type
+    """,
+    doc="Theil-Sen robust trend of daily event counts per type: "
+        "median of all pairwise slopes (exact-integer ratios -> "
+        "identical doubles, quantile parity at 6dp), intercept = "
+        "median residual at the pre-rounded slope. Self-join runs on "
+        "the (type x day) daily frame only.",
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    daily = persist_tracked(
+        _ev(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day_idx").alias("b_day"),
+        F.col("n").alias("b_n"),
+    )
+    slopes = daily.join(
+        b,
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_day") > F.col("day_idx")),
+    ).select(
+        "event_type",
+        (
+            (F.col("b_n") - F.col("n")).cast("double")
+            / (F.col("b_day") - F.col("day_idx")).cast("double")
+        ).alias("sl"),
+    )
+    fit = slopes.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(sl, 0.5)"), 6).alias("slope_r"),
+    )
+    return (
+        daily.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type", "n_pairs", "slope_r")
+        .agg(
+            F.round(
+                F.expr(
+                    "percentile(CAST(n AS DOUBLE)"
+                    " - slope_r * CAST(day_idx AS DOUBLE), 0.5)"
+                ),
+                6,
+            ).alias("intercept_r")
+        )
+        .orderBy("event_type")
+    )

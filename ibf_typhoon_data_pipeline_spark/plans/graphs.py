@@ -48,7 +48,14 @@ def pagerank_micro(
     ``nodes``: one ``node`` column; ``edges``: directed (src, dst) —
     symmetrize upstream for an undirected walk."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = persist_tracked(edges.join(deg, "src"))
+    # edges persisted ALREADY hash-partitioned on the probe key and
+    # nodes on the merge key: every superstep's edge-side and
+    # node-side exchanges disappear (the cached partitioning is
+    # reused; only the node-sized rank/sum frames shuffle). Without
+    # the node persist, the `nodes` distinct re-executes inside every
+    # superstep's left join — 4 redundant shuffles of the edge list.
+    e = persist_tracked(edges.join(deg, "src").repartition(32, "src"))
+    nodes = persist_tracked(nodes.repartition(32, "node"))
     rank = nodes.select(
         "node", F.lit(_PR_INIT_MICRO).cast("long").alias("rank_micro")
     )

@@ -2795,3 +2795,74 @@ def a23_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderpriority").asc())
     )
+
+
+# ---------------------------------------- full-frame value windows
+@register(
+    "w11_value_frames",
+    """
+    WITH ev AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(round(value * 100.0) AS BIGINT) AS cents,
+             ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), framed AS (
+      SELECT user_id, day,
+             count(*) OVER w AS n_events,
+             first_value(cents) OVER w AS first_cents,
+             last_value(cents) OVER w AS last_cents,
+             nth_value(cents, 2) OVER w AS second_cents,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS rn
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+           first_cents, last_cents, second_cents
+    FROM framed WHERE rn = 1
+    ORDER BY user_id, day
+    """,
+    doc="first_value / last_value / nth_value over an explicit "
+        "UNBOUNDED-to-UNBOUNDED ROWS frame — the window-frame surface "
+        "none of the running-sum entries touch (last_value under the "
+        "DEFAULT frame is the current row, the classic frame bug; "
+        "the explicit full frame is the correct spelling in both "
+        "engines). Per (user, day) purchase session: first, last and "
+        "second value in deterministic (ts, event_id) order, one "
+        "row kept per partition via row_number. second_cents is NULL "
+        "for single-event days in both engines.",
+)
+def w11_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+            "ts",
+            "event_id",
+        )
+    )
+    full = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    framed = ev.select(
+        "user_id",
+        "day",
+        F.count("*").over(full).cast("long").alias("n_events"),
+        F.first("cents").over(full).alias("first_cents"),
+        F.last("cents").over(full).alias("last_cents"),
+        F.nth_value("cents", 2).over(full).alias("second_cents"),
+        F.row_number().over(seq).alias("rn"),
+    )
+    return (
+        framed.filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id", "day")
+    )

@@ -4279,3 +4279,112 @@ def tc_ike_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ens_id")
     )
+
+
+# --------------------------------------------- trigger PR curve
+# Completes the classifier-eval suite (calibration, Brier, ROC-AUC):
+# the precision-recall curve of the ensemble trigger probability vs
+# the control outcome at 9 thresholds. Every point is a pair of exact
+# integer-count ratios from ONE conditional agg over the muni frame
+# crossed with the 9-row threshold list — no sorting, no windows, and
+# the whole curve is one partial-agg pass at any scale.
+@register(
+    "tc_trigger_pr_curve",
+    f"""
+    {DAMAGE_SQL}
+    , vm AS (
+      SELECT adm3_pcode, ens_id,
+             CASE WHEN v_max > 25.0 THEN 1 ELSE 0 END AS ex
+      FROM damage
+    ), p AS (
+      SELECT adm3_pcode, {_P_E6_SQL} AS p_e6,
+             CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END) AS BIGINT)
+               AS o
+      FROM vm GROUP BY adm3_pcode
+      HAVING sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END) > 0
+    ), thr AS (
+      SELECT unnest([100000, 200000, 300000, 400000, 500000,
+                     600000, 700000, 800000, 900000]) AS t
+    ), counts AS (
+      SELECT t,
+             CAST(sum(CASE WHEN p_e6 >= t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_pos,
+             CAST(sum(CASE WHEN p_e6 >= t AND o = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(o) AS BIGINT) AS n_pos
+      FROM p CROSS JOIN thr GROUP BY t
+    )
+    SELECT CAST(t AS BIGINT) AS t, n_pred_pos, tp, n_pos,
+           CAST(round(1000000.0 * tp / nullif(n_pred_pos, 0)) AS BIGINT)
+             AS precision_e6,
+           CAST(round(1000000.0 * tp / nullif(n_pos, 0)) AS BIGINT)
+             AS recall_e6
+    FROM counts ORDER BY t
+    """,
+    doc="Precision-recall curve of the trigger probability vs the "
+        "control outcome at thresholds 0.1..0.9: one conditional "
+        "partial agg over the muni frame crossed with the broadcast "
+        "9-row threshold list; precision/recall are e6 rationals of "
+        "exact BIGINT counts (NULL precision where nothing is "
+        "predicted positive, identically in both engines). With "
+        "calibration, Brier and AUC this closes the standard "
+        "probabilistic-trigger evaluation set.",
+)
+def tc_trigger_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vm = _damage(spark).select(
+        "adm3_pcode",
+        "ens_id",
+        F.when(F.col("v_max") > 25.0, 1).otherwise(0).alias("ex"),
+    )
+    p = (
+        vm.groupBy("adm3_pcode")
+        .agg(
+            F.expr(_P_E6_SQL).alias("p_e6"),
+            F.expr(
+                "CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("o"),
+            F.expr(
+                "sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END)"
+            ).alias("__n_ens"),
+            F.expr(
+                "sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END)"
+            ).alias("__n_obs"),
+        )
+        .filter((F.col("__n_ens") > 0) & (F.col("__n_obs") > 0))
+    )
+    thr = spark.range(1, 10).select(
+        (F.col("id") * 100000).cast("long").alias("t")
+    )
+    counts = (
+        p.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("p_e6") >= F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred_pos"),
+            F.sum(
+                F.when(
+                    (F.col("p_e6") >= F.col("t")) & (F.col("o") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum("o").cast("long").alias("n_pos"),
+        )
+    )
+    return counts.select(
+        "t",
+        "n_pred_pos",
+        "tp",
+        "n_pos",
+        F.round(
+            1000000.0 * F.col("tp") / F.expr("nullif(n_pred_pos, 0)")
+        )
+        .cast("long")
+        .alias("precision_e6"),
+        F.round(1000000.0 * F.col("tp") / F.expr("nullif(n_pos, 0)"))
+        .cast("long")
+        .alias("recall_e6"),
+    ).orderBy("t")
