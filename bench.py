@@ -97,6 +97,13 @@ HEADLINE = [
     "orders_rfm_segments",
     "a20_abc_classification",
     "tc_windfield_asymmetric",
+    # round-4 session-6 families: TPC-H completion rep (deepest join
+    # tree), weighted Pregel relaxation, in-engine Lloyd k-means, and
+    # the Poisson bootstrap (replicate-explode agg)
+    "q8_market_share",
+    "graph_sssp_weighted",
+    "ml_kmeans_lloyd",
+    "events_bootstrap_ci",
 ]
 
 

@@ -2603,3 +2603,47 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ VARIANT extraction
+@register(
+    "events_variant_props",
+    """
+    WITH kk AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM kk GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion of the JSON property bag: "
+        "parse_json(props) -> variant once, then a TYPED "
+        "variant_get(..., '$.k', 'bigint') extraction — the "
+        "schema-on-read path that replaces per-field "
+        "get_json_object re-parsing (one parse per row, not one per "
+        "field, and the binary variant encoding predicate-pushes in "
+        "Parquet at scale). DuckDB twin extracts the same path via "
+        "json_extract_string + CAST; integer stats per event type.",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kk = _ev(spark, sf_dir).select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return (
+        kk.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )

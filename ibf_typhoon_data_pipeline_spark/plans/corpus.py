@@ -1426,3 +1426,75 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness_e6").desc(), F.col("tok").asc())
         .limit(25)
     )
+
+
+# ------------------------------------------------ Python UDTF surface
+# The table-function UDF surface (SURVEY §2.11 lists applyInPandas /
+# pandas_udf / mapInPandas / applyInPandasWithState; Spark 4 adds
+# Python UDTFs — one input row to N output rows with a declared
+# schema, the generator shape LATERAL VIEW explode cannot express when
+# the expansion needs imperative logic). Arrow-optimized UDTF transfer
+# is enabled at the session; the entry is bounded to 100 docs because
+# a Python UDTF still evaluates per row — for corpus-scale chunking
+# the expression-only corpus_chunk_overlap entry is the scale path,
+# and this one exists to pin the SURFACE.
+@register(
+    "corpus_udtf_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE doc_id < 100
+    ), idx AS (
+      SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(len(tk) / 5.0) AS BIGINT)))
+               AS chunk_idx
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(tk[chunk_idx * 5 + 1 : chunk_idx * 5 + 5])
+                AS INTEGER) AS n_tokens,
+           array_to_string(tk[chunk_idx * 5 + 1 : chunk_idx * 5 + 5],
+                           ' ') AS chunk
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Python UDTF (Spark 4 @udtf): each document row expands to "
+        "one row per 5-token chunk with a declared output schema — "
+        "the imperative one-to-N generator surface. The oracle "
+        "re-derives the identical chunking declaratively "
+        "(string_split + range unnest + 1-based list slicing). "
+        "Bounded to 100 docs: a Python UDTF is per-row even with "
+        "Arrow transfer on, so corpus_chunk_overlap's pure-expression "
+        "manifest remains the documented scale path.",
+)
+def corpus_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set(
+        "spark.sql.execution.pythonUDTF.arrow.enabled", "true"
+    )
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, n_tokens int, "
+        "chunk string"
+    )
+    class ChunkSplit:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 5):
+                piece = toks[i : i + 5]
+                yield doc_id, i // 5, len(piece), " ".join(piece)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("__chunk_split", ChunkSplit)
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk
+        FROM __udtf_docs d,
+             LATERAL __chunk_split(d.doc_id, d.text) c
+        ORDER BY c.doc_id, c.chunk_idx
+        """
+    )

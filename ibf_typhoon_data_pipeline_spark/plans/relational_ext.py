@@ -2866,3 +2866,43 @@ def w11_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id", "day")
     )
+
+
+# ------------------------------------------------ calendar functions
+@register(
+    "f23_calendar_functions",
+    """
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')
+             AS plus3m,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    doc="Calendar-function parity surface: quarter, last_day (month "
+        "end), add_months(+3) — including the end-of-month clamp "
+        "both engines apply — ISO week number (Spark weekofyear == "
+        "DuckDB weekofyear, both ISO-8601), and day-of-year. Dates "
+        "render as strings so the hash compares calendar results, "
+        "not epoch micros. Pure per-row projection, zero shuffle; "
+        "the dayofweek() Sun=1-vs-Sun=0 dialect trap documented in "
+        "f22 is exactly why THIS set is the safe calendar surface.",
+)
+def f23_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+            "plus3m"
+        ),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+    ).orderBy("o_orderkey")
