@@ -1513,3 +1513,85 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         "node", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist")
     )
+
+
+# --------------------------------------------- link prediction
+@register(
+    "graph_link_prediction",
+    """
+    WITH adj AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+      SELECT sp, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY sp
+    ), common AS (
+      SELECT a.sp AS sa, b.sp AS sb, CAST(count(*) AS BIGINT) AS cn
+      FROM adj a JOIN adj b ON b.c = a.c AND b.sp > a.sp
+      GROUP BY a.sp, b.sp
+    ), scored AS (
+      SELECT sa, sb, cn, da.d AS deg_a, db.d AS deg_b,
+             CAST(round(1000000.0 * cn / (da.d + db.d - cn)) AS BIGINT)
+               AS jaccard_e6
+      FROM common JOIN deg da ON da.sp = sa
+                  JOIN deg db ON db.sp = sb
+    )
+    SELECT sa, sb, cn, deg_a, deg_b, jaccard_e6
+    FROM scored
+    ORDER BY jaccard_e6 DESC, sa ASC, sb ASC
+    LIMIT 20
+    """,
+    doc="Common-neighbor link prediction on the bipartite purchase "
+        "graph: supplier pairs scored by customer-set Jaccard "
+        "|N(a)∩N(b)| / |N(a)∪N(b)|. Candidates come from the "
+        "inverted index BY CUSTOMER (one equi-join on the shared "
+        "neighbor, cost Σ customer-degree² — the same all-pairs "
+        "formulation as the n-gram dedup family, never a supplier "
+        "cross join), each unordered pair emitted once via sb > sa. "
+        "Counts and degrees exact BIGINTs, the score one e6 "
+        "rational, top-20 with full tiebreaks.",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    adj = persist_tracked(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("sp"))
+        .distinct()
+    )
+    deg = adj.groupBy("sp").agg(F.count("*").cast("long").alias("d"))
+    b = adj.select(F.col("c").alias("bc"), F.col("sp").alias("sb"))
+    common = (
+        adj.join(b, (F.col("bc") == F.col("c")) & (F.col("sb") > F.col("sp")))
+        .groupBy(F.col("sp").alias("sa"), "sb")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    da = deg.select(F.col("sp").alias("sa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("sp").alias("sb"), F.col("d").alias("deg_b"))
+    scored = (
+        common.join(F.broadcast(da), "sa")
+        .join(F.broadcast(db), "sb")
+        .select(
+            "sa",
+            "sb",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.round(
+                1000000.0
+                * F.col("cn")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("jaccard_e6").desc(), F.col("sa").asc(), F.col("sb").asc()
+        )
+        .limit(20)
+    )

@@ -4388,3 +4388,89 @@ def tc_trigger_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_e6"),
     ).orderBy("t")
+
+
+# ------------------------------------------- rolling 24 h rain accum
+@register(
+    "tc_rain_rolling_24h",
+    f"""
+    WITH rain AS ({RAIN_SQL}),
+    cells AS ({CENTROIDS_SQL}),
+    reduced AS (
+      SELECT cell_id, t,
+             CAST(round(median(mm) * 1000000.0) AS BIGINT) AS mm_micro
+      FROM rain GROUP BY cell_id, t
+    ), rolled AS (
+      SELECT cell_id, t,
+             CAST(sum(mm_micro) OVER (
+               PARTITION BY cell_id ORDER BY t
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS accum_micro
+      FROM reduced
+    ), zonal AS (
+      SELECT c.adm3_pcode, r.t,
+             CAST(sum(r.accum_micro) AS BIGINT) AS zsum_micro,
+             CAST(count(*) AS BIGINT) AS zn
+      FROM rolled r JOIN cells c ON r.cell_id = c.centroid_id
+      GROUP BY 1, 2
+    )
+    SELECT adm3_pcode,
+           CAST(max(CAST(floor(CAST(zsum_micro AS DOUBLE)
+                     / CAST(zn AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_accum_micro
+    FROM zonal GROUP BY adm3_pcode
+    """,
+    doc="Peak 24-hour rainfall accumulation per municipality — the "
+        "sliding-window strengthening of tc_rain_zonal's per-step "
+        "max (Rainfall_data.py accumulates 6 h GEFS steps into 24 h "
+        "totals before the zonal max): ensemble median per "
+        "(cell, step) quantized to integer micro-mm FIRST, so the "
+        "4-step ROWS-frame rolling sum is exact in any association "
+        "order (Spark's sliding WindowExec and DuckDB's segment tree "
+        "fold differently — integers make that irrelevant); then "
+        "the zone mean re-quantizes floor(S/n+0.5) to integer "
+        "micro-mm (a 6dp-rounded ratio hit an exact half boundary "
+        "where the engines' round() disagree) and max runs on "
+        "integers. Window "
+        "partitions by cell (30 steps each), never a global order.",
+)
+def tc_rain_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rain = gen_rain(spark)
+    cells = gen_centroids(spark).select(
+        F.col("centroid_id").alias("cell_id"), "adm3_pcode"
+    )
+    reduced = rain.groupBy("cell_id", "t").agg(
+        F.round(F.median("mm") * 1000000.0)
+        .cast("long")
+        .alias("mm_micro")
+    )
+    w = (
+        Window.partitionBy("cell_id")
+        .orderBy("t")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    rolled = reduced.select(
+        "cell_id",
+        "t",
+        F.sum("mm_micro").over(w).cast("long").alias("accum_micro"),
+    )
+    zonal = (
+        rolled.join(F.broadcast(cells), "cell_id")
+        .groupBy("adm3_pcode", "t")
+        .agg(
+            F.sum("accum_micro").cast("long").alias("zsum_micro"),
+            F.count("*").cast("long").alias("zn"),
+        )
+    )
+    return zonal.groupBy("adm3_pcode").agg(
+        F.max(
+            F.expr(
+                "CAST(floor(CAST(zsum_micro AS DOUBLE)"
+                " / CAST(zn AS DOUBLE) + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("max_accum_micro")
+    )
