@@ -1604,3 +1604,184 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------- RocksDB state backend
+@register(
+    "stream_rocksdb_state",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="The windowed-count query under the RocksDB state-store "
+        "provider — the production backend once streaming state "
+        "outgrows executor heap (HDFS-backed in-memory maps OOM at "
+        "100 TB-scale key cardinality; RocksDB spills to local SSD "
+        "with changelog checkpointing). Two single-file micro-batches "
+        "force the second batch to read window state BACK from "
+        "RocksDB; update-mode emissions are collapsed keep-last "
+        "(counts grow monotonically, so max(n) per key is the final "
+        "state), and the result must equal the batch aggregate — "
+        "proving the state contract is backend-independent. The "
+        "provider conf is restored afterward so other queries keep "
+        "the default backend.",
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ibf_typhoon_data_pipeline_spark.streaming.micro_batch import (
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_rocks_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        counts = windowed_event_counts(stream)
+
+        def sink(batch: DataFrame, _bid: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    result = (
+        spark.read.parquet(out)
+        .groupBy(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.max("n").alias("n"))
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+# ------------------------------------------- snapshot manifest audit
+@register(
+    "audit_snapshot_manifest",
+    """
+    SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(sum(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                1, 8)) AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(min(l_orderkey) AS BIGINT),
+           CAST(max(l_orderkey) AS BIGINT),
+           CAST(sum(CAST(('0x' || substr(md5(concat(
+                CAST(l_orderkey AS VARCHAR), ':',
+                CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT))
+             AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer', CAST(count(*) AS BIGINT),
+           CAST(min(c_custkey) AS BIGINT),
+           CAST(max(c_custkey) AS BIGINT),
+           CAST(sum(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                1, 8)) AS BIGINT)) AS BIGINT)
+    FROM customer
+    ORDER BY tbl
+    """,
+    doc="Snapshot integrity manifest — the data-contract gate a "
+        "publish step checks before promoting a snapshot: per table, "
+        "row count, key range, and an order-free content checksum "
+        "(sum of 8-hex-char md5 prefixes over the primary key — "
+        "commutative, so it parallelizes as a plain partial agg and "
+        "any dropped/duplicated row changes it). One scan per table, "
+        "three 1-row aggregates unioned; at 100 TB each checksum is "
+        "a map-side reduction.",
+)
+def audit_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def chk(df: DataFrame, tbl: str, key, keystr) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.min(key).cast("long").alias("min_key"),
+            F.max(key).cast("long").alias("max_key"),
+            F.sum(
+                F.conv(F.substring(F.md5(keystr), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("key_checksum"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        chk(
+            orders,
+            "orders",
+            F.col("o_orderkey"),
+            F.col("o_orderkey").cast("string"),
+        )
+        .unionAll(
+            chk(
+                li,
+                "lineitem",
+                F.col("l_orderkey"),
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+            )
+        )
+        .unionAll(
+            chk(
+                cust,
+                "customer",
+                F.col("c_custkey"),
+                F.col("c_custkey").cast("string"),
+            )
+        )
+        .orderBy("tbl")
+    )
