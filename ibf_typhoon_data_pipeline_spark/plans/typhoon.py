@@ -4474,3 +4474,115 @@ def tc_rain_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_accum_micro")
     )
+
+
+# --------------------------------------------- contingency skill
+# Categorical forecast-verification metrics over municipalities: the
+# ensemble trigger (probability >= 0.5) against the control outcome
+# builds the 2x2 contingency table (hits a, false alarms b, misses c,
+# correct negatives d), then POD, FAR, CSI and the Heidke skill score
+# — the WMO-standard summary a forecast office quotes alongside
+# Brier/AUC. Every cell is an exact BIGINT count; each score is one
+# e6 rational of integer products (HSS's expected-correct term folds
+# to integers before the single division).
+@register(
+    "tc_skill_contingency",
+    f"""
+    {DAMAGE_SQL}
+    , vm AS (
+      SELECT adm3_pcode, ens_id,
+             CASE WHEN v_max > 25.0 THEN 1 ELSE 0 END AS ex
+      FROM damage
+    ), p AS (
+      SELECT adm3_pcode, {_P_E6_SQL} AS p_e6,
+             CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END) AS BIGINT)
+               AS o
+      FROM vm GROUP BY adm3_pcode
+      HAVING sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END) > 0
+    ), cells AS (
+      SELECT
+        CAST(sum(CASE WHEN p_e6 >= 500000 AND o = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(sum(CASE WHEN p_e6 >= 500000 AND o = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(sum(CASE WHEN p_e6 < 500000 AND o = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(sum(CASE WHEN p_e6 < 500000 AND o = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM p
+    )
+    SELECT a, b, c, d,
+           CAST(round(1000000.0 * a / nullif(a + c, 0)) AS BIGINT)
+             AS pod_e6,
+           CAST(round(1000000.0 * b / nullif(a + b, 0)) AS BIGINT)
+             AS far_e6,
+           CAST(round(1000000.0 * a / nullif(a + b + c, 0)) AS BIGINT)
+             AS csi_e6,
+           CAST(round(1000000.0 * 2 * (a * d - b * c)
+                / nullif((a + c) * (c + d) + (a + b) * (b + d), 0))
+             AS BIGINT) AS hss_e6
+    FROM cells
+    """,
+    doc="WMO categorical verification of the >= 0.5 ensemble trigger "
+        "vs the control outcome: the 2x2 contingency table as exact "
+        "BIGINT counts from ONE conditional agg over the muni frame, "
+        "then POD = a/(a+c), FAR = b/(a+b), CSI = a/(a+b+c) and the "
+        "Heidke skill score 2(ad-bc)/((a+c)(c+d)+(a+b)(b+d)) as e6 "
+        "rationals of integer products. Completes the verification "
+        "suite (calibration, Brier, AUC, PR curve, CRPS, rank "
+        "histogram, spread-skill, MASE, DPE).",
+)
+def tc_skill_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vm = _damage(spark).select(
+        "adm3_pcode",
+        "ens_id",
+        F.when(F.col("v_max") > 25.0, 1).otherwise(0).alias("ex"),
+    )
+    p = (
+        vm.groupBy("adm3_pcode")
+        .agg(
+            F.expr(_P_E6_SQL).alias("p_e6"),
+            F.expr(
+                "CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("o"),
+            F.expr(
+                "sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END)"
+            ).alias("__n_ens"),
+            F.expr(
+                "sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END)"
+            ).alias("__n_obs"),
+        )
+        .filter((F.col("__n_ens") > 0) & (F.col("__n_obs") > 0))
+    )
+    hit = F.col("p_e6") >= 500000
+    cells = p.agg(
+        F.sum(F.when(hit & (F.col("o") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(hit & (F.col("o") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~hit & (F.col("o") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~hit & (F.col("o") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    return cells.selectExpr(
+        "a",
+        "b",
+        "c",
+        "d",
+        "CAST(round(1000000.0 * a / nullif(a + c, 0)) AS BIGINT)"
+        " AS pod_e6",
+        "CAST(round(1000000.0 * b / nullif(a + b, 0)) AS BIGINT)"
+        " AS far_e6",
+        "CAST(round(1000000.0 * a / nullif(a + b + c, 0)) AS BIGINT)"
+        " AS csi_e6",
+        "CAST(round(1000000.0 * 2 * (a * d - b * c)"
+        " / nullif((a + c) * (c + d) + (a + b) * (b + d), 0))"
+        " AS BIGINT) AS hss_e6",
+    )
