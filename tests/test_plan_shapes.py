@@ -563,3 +563,52 @@ def test_migration_thresholds_broadcast(spark):
     # the matrix itself must come from a full outer join so churned /
     # new customers keep their 'none' bucket
     assert "FullOuter" in plan
+
+
+def test_lateral_topk_decorrelates_no_cartesian(spark):
+    plan = _plan(spark, "j18_lateral_topk")
+    # the correlated LATERAL subquery must decorrelate to a join +
+    # per-key limit, never execute per outer row via nested loops over
+    # the full customer table per nation
+    assert "CartesianProduct" not in plan
+    # per-nation top-2 compiles to a window/rank or partitioned limit —
+    # either way the customer side is scanned ONCE
+    assert plan.count("FileScan") <= 2
+
+
+def test_rain_rolling_window_partitions_by_cell(spark):
+    plan = _plan(spark, "tc_rain_rolling_24h")
+    # the 24h rolling sum must run per cell, never as a global-order
+    # window (the packing-entry scale-killer shape)
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        frag = m.group(0)
+        assert "cell_id" in frag or "adm3_pcode" in frag, frag
+
+
+def test_multi_distinct_uses_expand(spark):
+    plan = _plan(spark, "a23_multi_distinct")
+    # two COUNT(DISTINCT x), COUNT(DISTINCT y) in one agg must compile
+    # to the Expand operator (row replication per distinct group), not
+    # two separate scans joined back
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_link_prediction_is_inverted_index_join(spark):
+    plan = _plan(spark, "graph_link_prediction")
+    # candidates come from the equi-join on the shared customer —
+    # never a supplier-supplier cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_centroid_join_is_broadcast(spark):
+    plan = _plan(spark, "ml_kmeans_lloyd")
+    # the k x dim centroid frame must arrive broadcast at the
+    # assignment join every round — a shuffle there would co-partition
+    # the whole exploded vector frame per iteration
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
