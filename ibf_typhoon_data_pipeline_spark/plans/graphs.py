@@ -1595,3 +1595,70 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ------------------------------------------- native recursive CTE
+# Spark 4.1 executes WITH RECURSIVE natively (UnionLoop / UnionLoopRef
+# physical operators, SPARK-24497); DuckDB has supported it since 0.3.
+# That makes the STRONGEST parity form possible: one shared SQL text
+# for the whole query, recursion included — the engines differ only in
+# the table binding (a temp view here, the pre-registered parquet view
+# in the oracle). The synthetic hierarchy is the binary-heap parent
+# map parent(k) = floor(k/2): every customer hangs off one tree rooted
+# at custkey 1, depth = floor(log2(k)).  Each edge carries an integer
+# multiplicity (k % 3 + 1), and the recursion threads the path
+# PRODUCT root→node — the bill-of-materials costing shape (total
+# quantity of a leaf part per root assembly) that plain joins cannot
+# express for unbounded depth. All carried state is BIGINT, so every
+# iterate is exact in both engines; the final rollup re-casts the
+# DuckDB HUGEINT sums per the round-4 type rule.
+#
+# Scale: each recursive step is one equi-join of the full table
+# against the previous frontier — a hash join per level, parallel
+# across partitions; depth is log2(n) so a 100 TB dim hierarchy is
+# ~40 bounded supersteps driven by the engine's own loop operator
+# (no driver round-trips, unlike the hand-rolled Pregel loops which
+# exist for ALGORITHMS with aggregation inside the recursion, which
+# SQL recursion cannot express portably).
+_REC_HIER_SQL = """
+WITH RECURSIVE h(custkey, depth, mult, bal_cents) AS (
+  SELECT c_custkey, 0, CAST(1 AS BIGINT),
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+  FROM {customer} WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, h.depth + 1,
+         h.mult * (CAST(c.c_custkey % 3 AS BIGINT) + 1),
+         CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+  FROM {customer} c
+  JOIN h ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = h.custkey
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(custkey) AS BIGINT) AS min_key,
+       CAST(max(custkey) AS BIGINT) AS max_key,
+       CAST(sum(mult) AS BIGINT) AS sum_mult,
+       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+FROM h GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "rec_cte_hierarchy",
+    _REC_HIER_SQL.format(customer="customer"),
+    doc="Native WITH RECURSIVE hierarchy traversal (Spark 4.1 "
+        "UnionLoop, SPARK-24497): the binary-heap parent map over "
+        "customer keys walked root->leaf, threading an integer path "
+        "PRODUCT (per-edge multiplicity k%3+1) — the bill-of-"
+        "materials costing shape joins of fixed depth cannot "
+        "express. ONE shared SQL text runs verbatim in both engines "
+        "(only the table binding differs), so the recursion itself "
+        "is oracle-checked, not a hand-unrolled twin. Each level is "
+        "one hash equi-join of the dim against the previous "
+        "frontier; depth is log2(n), and the loop runs inside the "
+        "engine with no driver round-trips.",
+)
+def rec_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).createOrReplaceTempView("rec_cte_customer")
+    return spark.sql(_REC_HIER_SQL.format(customer="rec_cte_customer"))
