@@ -1785,3 +1785,74 @@ def audit_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+# --------------------------------------- Python DataSource (Spark 4)
+@register(
+    "scan_python_datasource",
+    """
+    SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid,
+           CAST(sum(floor(epoch(ts))) AS BIGINT) AS sum_epoch,
+           CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_milli
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Custom source through the Python DataSource API (Spark 4.0 "
+        "spark.dataSource.register): events round-trip a bespoke "
+        "pipe-delimited advisory-log text format (the reference's "
+        "agency-product ingest shape, tc_tracks_forecast.py:126-185) "
+        "and come back via spark.read.format('advisorylog') — one "
+        "InputPartition per file so the scan parallelizes like the "
+        "native file sources, and the event_type EqualTo predicate "
+        "is PUSHED into the reader (4.1 pushFilters) and dropped "
+        "from the residual, so the oracle match proves pushdown "
+        "executed (a non-filtering reader would return 5x the rows). "
+        "All fields ride as integers/text (value pre-quantized to "
+        "milli-units), making the format round-trip lossless.",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile as _tf
+
+    from ibf_typhoon_data_pipeline_spark.sources.pyds import (
+        register_advisorylog,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id"),
+            F.unix_timestamp("ts").cast("long"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 1000.0 + 0.5).cast("long"),
+        ).alias("value")
+    )
+    work = _tf.mkdtemp(prefix="ibf_pyds_")
+    lines.repartition(8).write.mode("overwrite").text(work)
+    register_advisorylog(spark)
+    back = (
+        spark.read.format("advisorylog")
+        .option("path", work)
+        .load()
+        .filter(F.col("event_type") == "purchase")
+    )
+    result = (
+        back.groupBy((F.col("user_id") % 16).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_eid"),
+            F.sum("epoch_s").cast("long").alias("sum_epoch"),
+            F.sum("value_milli").cast("long").alias("sum_milli"),
+        )
+        .orderBy("bucket")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
