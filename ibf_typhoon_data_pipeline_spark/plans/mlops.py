@@ -1856,3 +1856,93 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_python_datasource",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid,
+           CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_milli
+    FROM events
+    WHERE event_id % 4 = 0
+    GROUP BY event_type
+    """,
+    doc="Custom STREAMING source through the Python DataSource API "
+        "(SimpleDataSourceStreamReader, Spark 4.0): the advisory-log "
+        "landing directory replays one micro-batch per file (the "
+        "offset is an index into the sorted manifest and each read() "
+        "advances it by one — source-side rate limiting), a running "
+        "per-type aggregate streams through foreachBatch in update "
+        "mode, and the keep-last state must equal the batch "
+        "aggregate — the same order-independence contract as the "
+        "file-source streaming entries, now carried by a source THIS "
+        "repo defines end-to-end including exact readBetweenOffsets "
+        "replay for recovery. Mirrors the reference's agency-feed "
+        "polling loop (Check_for_active_typhoon.py), which lands one "
+        "small advisory product at a time.",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from ibf_typhoon_data_pipeline_spark.sources.pyds import (
+        register_advisorylog,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 4 == 0
+    )
+    lines = ev.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id"),
+            F.unix_timestamp("ts").cast("long"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 1000.0 + 0.5).cast("long"),
+        ).alias("value")
+    )
+    work = _tf.mkdtemp(prefix="ibf_pyds_stream_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    # three immutable advisory drops -> three micro-batches
+    for k in range(3):
+        lines.filter(
+            F.abs(F.hash("value")) % 3 == k
+        ).coalesce(1).write.mode("append").text(landing)
+    register_advisorylog(spark)
+    stream = (
+        spark.readStream.format("advisorystream")
+        .option("path", landing)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+        F.sum("value_milli").cast("long").alias("sum_milli"),
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    result = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n", "sum_eid", "sum_milli")).alias("st"))
+        .select("event_type", "st.n", "st.sum_eid", "st.sum_milli")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 if TYPE_CHECKING:
@@ -46,6 +47,16 @@ ADVISORY_SCHEMA = (
     "event_id bigint, epoch_s bigint, user_id bigint, "
     "event_type string, value_milli bigint"
 )
+
+
+def _parse_lines(path: str) -> Iterator[tuple]:
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            eid, ep, uid, et, vm = line.split("|")
+            yield (int(eid), int(ep), int(uid), et, int(vm))
 
 
 class AdvisoryLogReader(DataSourceReader):
@@ -82,15 +93,10 @@ class AdvisoryLogReader(DataSourceReader):
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         want = self._type_eq
-        with open(partition.value, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                if not line:
-                    continue
-                eid, ep, uid, et, vm = line.split("|")
-                if want is not None and et != want:
-                    continue
-                yield (int(eid), int(ep), int(uid), et, int(vm))
+        for row in _parse_lines(partition.value):
+            if want is not None and row[3] != want:
+                continue
+            yield row
 
 
 class AdvisoryLogDataSource(DataSource):
@@ -105,6 +111,68 @@ class AdvisoryLogDataSource(DataSource):
         return AdvisoryLogReader(self.options)
 
 
+class AdvisoryLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the offset is an index into
+    the sorted file manifest, and each ``read`` call advances it by
+    exactly ONE file — source-side rate limiting, so a finite landing
+    directory replays as one micro-batch per file (the batch-boundary
+    determinism the oracle check needs). ``readBetweenOffsets``
+    re-reads any [start, end) span for failure recovery, which is
+    exact because the manifest is sorted and files are immutable.
+
+    SimpleDataSourceStreamReader reads on the DRIVER by design
+    (per-advisory products are KB-sized; the reference polls one
+    agency feed at a time) — the partition-planned
+    DataSourceStreamReader is the scale path if a feed ever became
+    executor-worthy."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("advisorystream requires a path option")
+        self._path = path
+
+    def _files(self) -> list[str]:
+        return sorted(
+            f
+            for f in os.listdir(self._path)
+            if f.endswith(".txt") or f.endswith(".log")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict) -> tuple:
+        files = self._files()
+        i = start["idx"]
+        if i >= len(files):
+            return iter([]), {"idx": i}
+        rows = list(_parse_lines(os.path.join(self._path, files[i])))
+        return iter(rows), {"idx": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = self._files()
+        rows: list[tuple] = []
+        for i in range(start["idx"], end["idx"]):
+            rows.extend(_parse_lines(os.path.join(self._path, files[i])))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class AdvisoryLogStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "advisorystream"
+
+    def schema(self) -> str:
+        return ADVISORY_SCHEMA
+
+    def simpleStreamReader(self, schema) -> AdvisoryLogStreamReader:
+        return AdvisoryLogStreamReader(self.options)
+
+
 def register_advisorylog(spark) -> None:
     """Idempotent registration of the format for this session.
 
@@ -115,3 +183,4 @@ def register_advisorylog(spark) -> None:
     driver builds a plain one)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(AdvisoryLogDataSource)
+    spark.dataSource.register(AdvisoryLogStreamDataSource)
