@@ -1946,3 +1946,76 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "scan_state_store",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_milli,
+           CAST(max(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS max_milli
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Checkpoint state introspection via the State Data Source "
+        "(Spark 4 spark.read.format('statestore')): a streaming "
+        "per-type aggregate runs to completion, then its state store "
+        "is read BACK as a batch DataFrame straight from the "
+        "checkpoint — key struct, aggregation buffer (count/sum/max) "
+        "and partition_id — and must equal the batch aggregate over "
+        "the same input. This is the production debugging surface "
+        "for stateful pipelines (inspect what a query believes "
+        "without replaying it); the read is partition-parallel over "
+        "the store's shuffle partitions. The buffer-vs-batch "
+        "equality also proves state durability across the "
+        "foreachBatch commit path.",
+)
+def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile as _tf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("long").alias("vm"),
+    )
+    work = _tf.mkdtemp(prefix="ibf_statestore_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    ev.coalesce(1).write.parquet(landing)
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    counts = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vm").alias("s"),
+        F.max("vm").alias("mx"),
+    )
+    q = (
+        counts.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n"),
+            F.col("value.sum").cast("long").alias("sum_milli"),
+            F.col("value.max").cast("long").alias("max_milli"),
+        )
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
