@@ -2647,3 +2647,81 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------ OHLC candles
+@register(
+    "events_ohlc_candles",
+    """
+    WITH b AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, hr
+                                ORDER BY es, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, hr
+                                ORDER BY es DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CASE WHEN rn_a = 1 THEN vm END) AS BIGINT)
+             AS open_milli,
+           CAST(max(vm) AS BIGINT) AS high_milli,
+           CAST(min(vm) AS BIGINT) AS low_milli,
+           CAST(min(CASE WHEN rn_d = 1 THEN vm END) AS BIGINT)
+             AS close_milli
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="OHLC candle aggregation (hourly open/high/low/close per "
+        "event type) — the time-series downsampling shape every "
+        "monitoring or market frame needs. Spark computes open/close "
+        "as min/max over a (epoch-second, event_id, value) struct — "
+        "ONE partial-aggregable groupBy, no window, no second pass "
+        "over the fact table (the same max(struct) keep-last idiom "
+        "as A9); the oracle takes the row_number twin (DuckDB max_by "
+        "rejects struct ordering keys). Tiebreak inside a second is "
+        "(epoch, event_id) in BOTH engines, so first/last are "
+        "deterministic; values quantized to milli-units.",
+)
+def events_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        _ev(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hr"),
+            F.unix_timestamp("ts").cast("long").alias("es"),
+            "event_id",
+            F.floor(F.col("value") * 1000.0 + 0.5)
+            .cast("long")
+            .alias("vm"),
+        )
+    )
+    return (
+        b.groupBy("event_type", "hr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(F.struct("es", "event_id", "vm"))
+            .getField("vm")
+            .cast("long")
+            .alias("open_milli"),
+            F.max("vm").cast("long").alias("high_milli"),
+            F.min("vm").cast("long").alias("low_milli"),
+            F.max(F.struct("es", "event_id", "vm"))
+            .getField("vm")
+            .cast("long")
+            .alias("close_milli"),
+        )
+        .select(
+            "event_type", "hr", "n", "open_milli", "high_milli",
+            "low_milli", "close_milli",
+        )
+        .orderBy("event_type", "hr")
+    )

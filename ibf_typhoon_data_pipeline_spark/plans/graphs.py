@@ -1662,3 +1662,123 @@ def rec_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_acctbal"
     ).createOrReplaceTempView("rec_cte_customer")
     return spark.sql(_REC_HIER_SQL.format(customer="rec_cte_customer"))
+
+
+# ------------------------------------------- label propagation (LPA)
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled LPA oracle: one (count, argmax) CTE pair per round —
+    the CLAUDE.md unrolled-iteration rule (aggregation inside the
+    recursive term is not portable recursive SQL)."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+      SELECT c AS src, s AS dst FROM e0
+      UNION ALL
+      SELECT s AS src, c AS dst FROM e0
+    ), l0 AS (
+      SELECT DISTINCT dst AS node, dst AS label FROM e
+    )"""
+    ]
+    for k in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""", s{k} AS (
+      SELECT e.dst AS node, l.label, count(*) AS c
+      FROM e JOIN l{k - 1} l ON e.src = l.node
+      GROUP BY 1, 2
+    ), l{k} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM s{k}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM l{_LPA_ROUNDS}
+    GROUP BY label ORDER BY n_members DESC, community LIMIT 15"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle(),
+    doc="Label-propagation community detection (Raghavan 2007, the "
+        "GraphFrames labelPropagation twin) over the symmetrized "
+        "customer-supplier purchase graph: every node starts as its "
+        "own label; each synchronous round re-labels a node with the "
+        "most frequent neighbor label (tie -> smallest label — the "
+        "deterministic tiebreak the published algorithm leaves "
+        "random). Labels are integers end-to-end, so rounds are "
+        "exact in both engines; the oracle unrolls the fixed round "
+        "count. Per round: ONE equi-join of the persisted edge list "
+        "onto the label frame + one partial-agg count + one "
+        "node-partitioned argmax window — the same bounded-superstep "
+        "shape as PageRank/SSSP; bipartite oscillation is why the "
+        "round count is FIXED rather than run-to-convergence. "
+        "Output: top-15 communities by size.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = persist_tracked(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        .repartition(32, "src")
+    )
+    labels = edges.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count("*").alias("c"))
+            .withColumnRenamed("node2", "node")
+        )
+        labels = persist_tracked(
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").cast("long").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(15)
+    )

@@ -2019,3 +2019,130 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_stream_left_outer",
+    """
+    SELECT CAST(c.user_id % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(p.event_id) AS BIGINT) AS n_matched,
+           CAST(sum(c.event_id) AS BIGINT) AS sum_click_ids,
+           CAST(coalesce(sum(p.event_id), 0) AS BIGINT) AS sum_purchase_ids
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Stream-stream LEFT OUTER interval join — the semantics "
+        "surface beyond the inner join (stream_stream_interval_join): "
+        "matches emit eagerly, but an UNMATCHED click can only emit "
+        "its NULL-extended row once the global watermark proves no "
+        "purchase can still arrive inside its [0, 30 min] band — "
+        "i.e. null emission is a watermark-driven state EVICTION, "
+        "not a batch-end default. A finite replay would strand every "
+        "late unmatched row, so a +30-day sentinel pair (user_id "
+        "-1, filtered from the result) lands as a second "
+        "maxFilesPerTrigger=1 micro-batch on BOTH sides to advance "
+        "the min-of-sources watermark and flush the outer state — "
+        "the same sentinel pattern stream_session_windows pinned. "
+        "Oracle is the identical batch left join; equality proves "
+        "eager matches and watermark-evicted nulls together "
+        "reconstruct it exactly. State stays bounded at production "
+        "cardinality: both sides evict once the opposite watermark "
+        "passes their band.",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_ssloj_")
+    land_c = os.path.join(work, "clicks")
+    land_p = os.path.join(work, "purchases")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    clicks_b.coalesce(1).write.mode("overwrite").parquet(land_c)
+    purch_b.coalesce(1).write.mode("overwrite").parquet(land_p)
+    # watermark-advancing sentinel pair: one row per side, 30 days past
+    # the corpus max, landed as a SECOND file so it forms its own
+    # micro-batch and flushes the outer-join state
+    sentinel = ev.agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.expr("mx + INTERVAL 30 DAYS").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(land_c)
+    sentinel.coalesce(1).write.mode("append").parquet(land_p)
+
+    clicks = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land_c)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land_p)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = (
+        spark.read.parquet(os.path.join(out, "*"))
+        .filter(F.col("c_user") >= 0)  # drop the sentinel's own pair
+        .groupBy((F.col("c_user") % 8).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("purchase_id").cast("long").alias("n_matched"),
+            F.sum("click_id").cast("long").alias("sum_click_ids"),
+            F.coalesce(F.sum("purchase_id"), F.lit(0))
+            .cast("long")
+            .alias("sum_purchase_ids"),
+        )
+        .orderBy("bucket")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
