@@ -4586,3 +4586,123 @@ def tc_skill_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / nullif((a + c) * (c + d) + (a + b) * (b + d), 0))"
         " AS BIGINT) AS hss_e6",
     )
+
+
+# ------------------------------------------------------- geohash cells
+def _geohash5_interleave_sql(lat: str, lon: str) -> str:
+    """25-bit geohash interleave (13 lon bits, 12 lat bits, MSB
+    first) as ONE integer expression — the token-for-token shared
+    text both engines evaluate (`>>`/`&` agree on BIGINT in Spark
+    and DuckDB; verified like the simhash entry's bit ops). The
+    base-32 character mapping is applied to the MATERIALIZED column,
+    never inline — repeating this expression five times would
+    re-evaluate 25 shift terms per character (the nested-expression
+    blowup rule)."""
+    lon_q = f"CAST(floor(({lon} + 180.0) / 360.0 * 8192.0) AS BIGINT)"
+    lat_q = f"CAST(floor(({lat} + 90.0) / 180.0 * 4096.0) AS BIGINT)"
+    terms = []
+    for k in range(25):
+        if k % 2 == 0:
+            b = 12 - k // 2
+            terms.append(f"((({lon_q}) >> {b}) & 1) * {1 << (24 - k)}")
+        else:
+            b = 11 - (k - 1) // 2
+            terms.append(f"((({lat_q}) >> {b}) & 1) * {1 << (24 - k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_CHARS_SQL = "concat(" + ", ".join(
+    f"substr('{_GEOHASH_ALPHABET}', "
+    f"CAST((gh >> {20 - 5 * g}) & 31 AS INT) + 1, 1)"
+    for g in range(5)
+) + ")"
+
+
+@register(
+    "geo_geohash_cells",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    g AS (
+      SELECT ens_id, vmax,
+             {_geohash5_interleave_sql('lat', 'lon')} AS gh
+      FROM tracks
+    ), c AS (
+      SELECT ens_id, vmax, {_GEOHASH_CHARS_SQL} AS cell FROM g
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT ens_id) AS BIGINT) AS n_members,
+           CAST(sum(CAST(round(vmax * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_vmax_micro
+    FROM c GROUP BY cell ORDER BY cell
+    """,
+    doc="Geohash-5 spatial bucketing of the ensemble track cloud: "
+        "standard 25-bit lat/lon interleave + base-32 encoding, "
+        "built from ONE shared SQL text (the bit interleave is "
+        "exact-integer in both engines, same contract as the Morton "
+        "z-order entry) with the interleave materialized before the "
+        "five character lookups. The cell id is the shuffle key — "
+        "at 100 TB this is the standard geo-partitioning scheme "
+        "(neighboring points share prefixes, so range scans prune "
+        "by cell prefix like the zone-map entry). Output: per-cell "
+        "point count, member spread, integer-micro intensity mass.",
+)
+def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    g = tracks.select(
+        "ens_id",
+        "vmax",
+        F.expr(_geohash5_interleave_sql("lat", "lon")).alias("gh"),
+    )
+    c = g.select(
+        "ens_id", "vmax", F.expr(_GEOHASH_CHARS_SQL).alias("cell")
+    )
+    return (
+        c.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.countDistinct("ens_id").cast("long").alias("n_members"),
+            F.sum(F.round(F.col("vmax") * 1000000.0).cast("long"))
+            .cast("long")
+            .alias("sum_vmax_micro"),
+        )
+        .orderBy("cell")
+    )
+
+
+# --------------------------------------------- strike probability map
+@register(
+    "tc_strike_probability",
+    f"""
+    {WINDFIELD_SQL}
+    SELECT centroid_id,
+           CAST(count(DISTINCT ens_id) AS BIGINT) AS n_members_hit,
+           CAST(floor(count(DISTINCT ens_id) * 1000000.0 / {N_MEMBERS}.0
+             + 0.5) AS BIGINT) AS strike_prob_micro
+    FROM wf WHERE wind_ms > 17.5
+    GROUP BY centroid_id
+    """,
+    doc="Per-cell strike probability map (the NHC wind-speed- "
+        "probability product; A4's per-muni fraction re-expressed on "
+        "the raw centroid grid): fraction of ensemble members that "
+        "bring tropical-storm-force wind (> 17.5 m/s) to each grid "
+        "cell at any forecast step. Rides the SAME grid-pruned "
+        "windfield machinery as tc_windfield_holland (count DISTINCT "
+        "member per cell is one partial-agg over the sparse "
+        "above-threshold pairs); the probability quantizes as "
+        "floor(n*1e6/52 + 0.5) — the integer-ratio rule, never "
+        "round() on the division.",
+)
+def tc_strike_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    cents = gen_centroids(spark).select("centroid_id", "lat", "lon")
+    wf = windfield_expr(tracks, cents)
+    return wf.groupBy("centroid_id").agg(
+        F.countDistinct("ens_id").cast("long").alias("n_members_hit"),
+        F.floor(
+            F.countDistinct("ens_id") * 1000000.0 / float(N_MEMBERS) + 0.5
+        )
+        .cast("long")
+        .alias("strike_prob_micro"),
+    )
