@@ -2906,3 +2906,45 @@ def f23_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
         F.dayofyear("o_orderdate").cast("long").alias("doy"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------- SQL pipe syntax
+@register(
+    "sql_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="SQL pipe syntax (Spark 4.0 |> operators, SPARK-49555): the "
+        "Q1-shaped pricing rollup written as a linear FROM |> WHERE "
+        "|> EXTEND |> AGGREGATE |> ORDER BY pipeline — each stage "
+        "consumes the previous one top-to-bottom, the form ETL "
+        "authors read in data order instead of inside-out SQL. "
+        "Catalyst plans it identically to the nested form (same "
+        "partial-agg + exchange), which the oracle (classic SQL, "
+        "DuckDB has no pipe parser) proves value-for-value. Revenue "
+        "pre-quantized per ROW to cents via floor (the q9 rule: "
+        "floor of identical doubles is exact; round-of-sum is not).",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> EXTEND CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100.0 + 0.5) AS BIGINT) AS rev_cents_row
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev_cents_row) AS BIGINT) AS rev_cents
+             GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
