@@ -104,6 +104,13 @@ HEADLINE = [
     "graph_sssp_weighted",
     "ml_kmeans_lloyd",
     "events_bootstrap_ci",
+    # round-4 session-7 families: native recursive CTE (UnionLoop),
+    # LPA communities (argmax-window Pregel), the Python DataSource
+    # round-trip, and the geohash spatial bucketing rep
+    "rec_cte_hierarchy",
+    "graph_label_propagation",
+    "scan_python_datasource",
+    "geo_geohash_cells",
 ]
 
 
