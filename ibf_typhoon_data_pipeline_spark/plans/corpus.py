@@ -1498,3 +1498,121 @@ def corpus_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.doc_id, c.chunk_idx
         """
     )
+
+
+# ----------------------------------------- span-corruption manifest
+@register(
+    "corpus_span_corruption",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(n_tokens * 0.15 / 3.0) AS BIGINT) AS n_spans
+      FROM d
+    ), starts AS (
+      SELECT s.doc_id, s.n_tokens, s.n_spans, t.k,
+             CAST(('0x' || substr(md5(concat('span:',
+                 CAST(s.doc_id AS VARCHAR), ':',
+                 CAST(t.k AS VARCHAR))), 1, 5)) AS BIGINT)
+               % greatest(s.n_tokens - 2, 1) AS start_pos
+      FROM spans s, unnest(range(1, CAST(s.n_spans AS BIGINT) + 1))
+        AS t(k)
+      WHERE s.n_spans > 0
+    ), masked AS (
+      SELECT doc_id, n_tokens, n_spans,
+             count(DISTINCT start_pos + o.off) AS n_masked
+      FROM starts, unnest([0, 1, 2]) AS o(off)
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_masked AS BIGINT) AS n_masked,
+           CAST(floor(n_masked * 1000000.0 / n_tokens + 0.5) AS BIGINT)
+             AS masked_ratio_micro
+    FROM masked ORDER BY doc_id
+    """,
+    doc="T5/UL2-style span-corruption manifest: each doc gets "
+        "floor(15%/3) deterministic 3-token mask spans, start "
+        "positions drawn by salted md5 mod (n-2) — the reproducible "
+        "pretraining-objective data-prep step (which tokens a "
+        "denoising run masks), with overlap handled by counting "
+        "DISTINCT masked positions. Pure expression + one explode "
+        "per span slot: span starts are per-row hashes (zero "
+        "shuffle), the only aggregate is the per-doc distinct-"
+        "position count. Ratio quantized floor(m*1e6/n + 0.5) per "
+        "the integer-ratio rule. Only docs long enough for >= 1 "
+        "span appear (n_tokens >= 20).",
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    spans = d.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("n_tokens") * 0.15 / 3.0).cast("long").alias(
+            "n_spans"
+        ),
+    ).filter(F.col("n_spans") > 0)
+    starts = spans.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.explode(F.expr("sequence(1, n_spans)")).alias("k"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("span:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.greatest(F.col("n_tokens") - 2, F.lit(1))
+        ).alias("start_pos"),
+    )
+    masked = (
+        starts.select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
+            "start_pos",
+        )
+        .groupBy("doc_id", "n_tokens", "n_spans")
+        .agg(
+            F.countDistinct(F.col("start_pos") + F.col("off"))
+            .cast("long")
+            .alias("n_masked")
+        )
+    )
+    return masked.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "n_masked",
+        F.floor(
+            F.col("n_masked") * 1000000.0 / F.col("n_tokens") + 0.5
+        )
+        .cast("long")
+        .alias("masked_ratio_micro"),
+    ).orderBy("doc_id")
