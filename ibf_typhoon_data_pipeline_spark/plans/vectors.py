@@ -2217,3 +2217,87 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cluster").asc())
     )
+
+
+# ------------------------------------------- binary Hamming retrieval
+@register(
+    "sim_binary_hamming_topk",
+    """
+    WITH packed AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 62),
+               i -> CASE WHEN embedding[i + 1] >= 0
+                    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
+                    END)) AS BIGINT) AS sig
+      FROM embeddings
+    ), queries AS (
+      SELECT vec_id AS query_id, sig AS qsig FROM packed
+      WHERE query_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             CAST(bit_count((q.qsig | p.sig) - (q.qsig & p.sig))
+               AS BIGINT) AS hamming
+      FROM queries q JOIN packed p ON p.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Binary-embedding retrieval: 62 sign bits packed into ONE "
+        "BIGINT fingerprint per vector (bit 63 left clear so the "
+        "word stays non-negative in signed arithmetic), query set "
+        "broadcast, Hamming distance = bit_count of the portable "
+        "XOR (a|b)-(a&b) — the modern binary-quantized ANN path "
+        "(32x memory cut vs float32, distance is one popcount "
+        "instead of 64 multiplies). Fully integer end-to-end: no "
+        "float rounding anywhere. Top-5 per query with the "
+        "(hamming, neighbor_id) deterministic tiebreak; at corpus "
+        "scale the fingerprint column is the scan payload and the "
+        "candidate join inherits any LSH/IVF bucketing upstream.",
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    packed = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 61), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + IF(element_at(embedding, i + 1) >= 0, "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        ).alias("sig"),
+    )
+    queries = packed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    scored = (
+        packed.join(
+            F.broadcast(queries),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(
+                (F.col("qsig").bitwiseOR(F.col("sig")))
+                - (F.col("qsig").bitwiseAND(F.col("sig")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
