@@ -2725,3 +2725,75 @@ def events_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ------------------------------------------------ peak concurrency
+@register(
+    "events_peak_concurrency",
+    """
+    WITH pts AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) + 1800,
+             -1, event_id
+      FROM events
+    ), run AS (
+      SELECT t,
+             sum(delta) OVER (ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conc
+      FROM pts
+    )
+    SELECT CAST(floor((t - (t % 86400)) / 86400.0) AS BIGINT)
+             AS day_idx,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY 1 ORDER BY 1
+    """,
+    doc="Peak concurrency by sweep-line: every event opens a 30-min "
+        "session, each endpoint becomes a (+1/-1) point, and the "
+        "GLOBAL running sum of deltas in (t, delta, event_id) order "
+        "is the live-session count after each boundary (ends sort "
+        "before starts at a shared instant, so touching sessions "
+        "never double-count; ROWS frame, never RANGE — peers must "
+        "accumulate one at a time). The global order rides "
+        "operators.windows.global_running_sum with the epoch-day as "
+        "the monotone integer bucket — ONE hash exchange + broadcast "
+        "offsets, no single-partition window over the fact table. "
+        "Output: per-day peak concurrent sessions — the capacity-"
+        "planning number an ops team actually asks for.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    ev = _ev(spark, sf_dir).select(
+        F.unix_timestamp("ts").cast("long").alias("t0"), "event_id"
+    )
+    pts = ev.select(
+        F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        ev.select(
+            (F.col("t0") + 1800).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    run = global_running_sum(
+        pts,
+        ["t", "delta", "event_id"],
+        "delta",
+        "conc",
+        bucket=F.expr("CAST(t div 86400 AS INT)"),
+    )
+    return (
+        run.groupBy(
+            F.floor((F.col("t") - (F.col("t") % 86400)) / 86400.0)
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .orderBy("day_idx")
+    )
