@@ -2948,3 +2948,46 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+# ------------------------------------------ boolean/conditional aggs
+@register(
+    "a24_boolean_aggregates",
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 150000.0) AS BIGINT)
+             AS n_large,
+           bool_and(o_totalprice > 900.0) AS all_above_floor,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Boolean/conditional aggregate surface: count_if, bool_and, "
+        "bool_or — spelled IDENTICALLY in Spark SQL and DuckDB (both "
+        "engines alias every/any onto bool_and/bool_or; count_if "
+        "avoids the sum(CASE) HUGEINT export trap entirely since it "
+        "returns BIGINT natively in Spark). All three fold into the "
+        "same partial-aggregate pipeline as count/min/max — one "
+        "exchange on the group key, and the boolean lattice "
+        "(and=min, or=max) makes map-side combine exact.",
+)
+def a24_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("count_if(o_totalprice > 150000.0)")
+            .cast("long")
+            .alias("n_large"),
+            F.expr("bool_and(o_totalprice > 900.0)").alias(
+                "all_above_floor"
+            ),
+            F.expr("bool_or(o_orderstatus = 'F')").alias("any_finished"),
+            F.countDistinct("o_orderstatus")
+            .cast("long")
+            .alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
