@@ -1876,3 +1876,79 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), F.col("community").asc())
         .limit(15)
     )
+
+
+# ------------------------------------------- compaction planning
+_COMPACT_TARGET = 4000  # chars per output file (stand-in for ~256 MB)
+
+
+@register(
+    "layout_compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT lang, doc_id, length(text) AS sz FROM documents
+    ), cum AS (
+      SELECT lang, doc_id, sz,
+             CAST(coalesce(sum(sz) OVER (PARTITION BY lang
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM files
+    )
+    SELECT lang,
+           CAST(floor(cum_before / {_COMPACT_TARGET}.0) AS BIGINT)
+             AS target_file,
+           CAST(count(*) AS BIGINT) AS n_inputs,
+           CAST(sum(sz) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Small-file compaction plan — the OPTIMIZE/maintenance job "
+        "every 100 TB lake runs: inputs (here one per document, size "
+        "= chars, the stand-in for parquet footer stats) are packed "
+        "in key order into ~{0}-char target files by a running-sum "
+        "assignment — target = floor(cumulative-size-before / "
+        "target-size), the deterministic sequential-fill bin packing "
+        "that preserves sort order (so compaction never breaks "
+        "zone-map clustering, unlike FFD). The running sum is "
+        "per-partition (lang) — the realistic layout, since "
+        "compaction planning is per-partition and never needs a "
+        "global window. Output: the copy manifest (inputs, bytes, "
+        "key range per target file) a compactor would execute."
+        .format(_COMPACT_TARGET),
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    files = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.length("text").alias("sz")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = files.select(
+        "lang",
+        "doc_id",
+        "sz",
+        F.coalesce(F.sum("sz").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    return (
+        cum.groupBy(
+            "lang",
+            F.floor(F.col("cum_before") / float(_COMPACT_TARGET))
+            .cast("long")
+            .alias("target_file"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_inputs"),
+            F.sum("sz").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("lang", "target_file")
+    )
