@@ -1616,3 +1616,126 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("masked_ratio_micro"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------- exact-substring removal ranges
+@register(
+    "corpus_exactsubstr_ranges",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+      FROM documents
+    ), nn AS (
+      SELECT doc_id, tk, len(tk) AS n FROM d WHERE len(tk) >= 8
+    ), blocks AS (
+      SELECT doc_id, p.pos,
+             md5(array_to_string(tk[p.pos:p.pos + 7], ' ')) AS key
+      FROM nn, unnest(range(1, n - 6)) AS p(pos)
+    ), dups AS (
+      SELECT key FROM blocks GROUP BY key
+      HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT b.doc_id, b.pos FROM blocks b JOIN dups USING (key)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM (
+        SELECT doc_id, pos,
+               max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_end
+        FROM hits
+      )
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT doc_id, CAST(island AS BIGINT) AS range_id,
+           CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(max(pos) + 8 AS BIGINT) AS end_tok,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens_removed
+    FROM isl GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="ExactSubstr dedup removal ranges (Lee et al. 2022, "
+        "'Deduplicating Training Data Makes Language Models "
+        "Better'): every 8-token block at EVERY stride-1 position is "
+        "hashed (the distributed stand-in for their suffix array), "
+        "blocks occurring in >= 2 distinct docs mark hit positions, "
+        "and per doc the overlapping/adjacent hits MERGE into "
+        "maximal removal intervals by the gaps-and-islands running "
+        "max — the [start, end) token ranges their tool actually "
+        "emits, which passage_dedup's fixed-grid blocks cannot "
+        "produce (a duplicate straddling two grid cells is invisible "
+        "to it). Cost: Sigma(n) block rows, one hash shuffle for the "
+        "frequency pass, doc-partitioned windows for the merge; the "
+        "candidate key is bounded (md5), so it survives the "
+        "prune_common_shingles skew treatment if a block goes viral.",
+)
+def corpus_exactsubstr_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("tk")
+    )
+    nn = d.select("doc_id", "tk", F.size("tk").alias("n")).filter(
+        F.col("n") >= 8
+    )
+    blocks = nn.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, n - 7)")).alias("pos"),
+        "tk",
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.expr("array_join(slice(tk, pos, 8), ' ')")).alias("key"),
+    )
+    dups = (
+        blocks.groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("key")
+    )
+    hits = blocks.join(dups, "key").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        F.max(F.col("pos") + 8).over(w_prev).alias("prev_end"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("prev_end").isNull()
+            | (F.col("pos") > F.col("prev_end")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_isl"),
+    )
+    isl = flagged.select(
+        "doc_id", "pos", F.sum("new_isl").over(w_run).alias("island")
+    )
+    return (
+        isl.groupBy("doc_id", F.col("island").cast("long").alias("range_id"))
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + 8).cast("long").alias("end_tok"),
+            (F.max("pos") + 8 - F.min("pos"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+        .orderBy("doc_id", "range_id")
+    )
