@@ -4706,3 +4706,125 @@ def tc_strike_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("strike_prob_micro"),
     )
+
+
+# --------------------------------------------- cost-loss value score
+# Richardson (2000) relative economic value of the trigger system:
+# with hits a, false alarms b, misses c, correct negatives d,
+# N = a+b+c+d, base rate s = (a+c)/N and cost-loss ratio alpha = p/10,
+# V = (E_climate - E_forecast) / (E_climate - E_perfect) where
+# E_climate = min(alpha, s), E_forecast = ((a+b)*alpha + c)/N,
+# E_perfect = s*alpha. Multiplying through by 10*N folds everything
+# into EXACT integer cross-products (the HSS trick extended), so the
+# only float op is the final e6 quantization of an integer ratio.
+_VALUE_E6_SQL = (
+    "CAST(floor(1000000.0 * "
+    "(least(pp * nn, 10 * (a + c)) - ((a + b) * pp + c * 10)) / "
+    "nullif(least(pp * nn, 10 * (a + c)) - (a + c) * pp, 0) + 0.5) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "tc_value_score",
+    f"""
+    {DAMAGE_SQL}
+    , vm AS (
+      SELECT adm3_pcode, ens_id,
+             CASE WHEN v_max > 25.0 THEN 1 ELSE 0 END AS ex
+      FROM damage
+    ), p AS (
+      SELECT adm3_pcode, {_P_E6_SQL} AS p_e6,
+             CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END) AS BIGINT)
+               AS o
+      FROM vm GROUP BY adm3_pcode
+      HAVING sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END) > 0
+    ), cells AS (
+      SELECT
+        CAST(sum(CASE WHEN p_e6 >= 500000 AND o = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(sum(CASE WHEN p_e6 >= 500000 AND o = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(sum(CASE WHEN p_e6 < 500000 AND o = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(sum(CASE WHEN p_e6 < 500000 AND o = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM p
+    ), v AS (
+      SELECT t.pp, a, b, c, d, a + b + c + d AS nn
+      FROM cells CROSS JOIN unnest([1, 3, 5, 7]) AS t(pp)
+    )
+    SELECT CAST(pp * 10 AS BIGINT) AS alpha_pct, a, b, c, d,
+           {_VALUE_E6_SQL} AS value_e6
+    FROM v ORDER BY alpha_pct
+    """,
+    doc="Relative economic value of the >= 0.5 ensemble trigger "
+        "(Richardson 2000) — the cost-loss economics underneath "
+        "anticipatory action: for cost/loss ratios 0.1/0.3/0.5/0.7, "
+        "how much of the perfect-forecast saving does the trigger "
+        "capture vs always/never acting on climatology? V folds to a "
+        "ratio of exact BIGINT cross-products of the contingency "
+        "cells (multiply E_climate/E_forecast/E_perfect through by "
+        "10N), shared as ONE SQL text with the oracle; only the "
+        "final e6 quantization touches floats. Completes the "
+        "verification suite with the decision-theoretic score the "
+        "IBF trigger design (settings.py trigger thresholds) "
+        "implicitly optimizes.",
+)
+def tc_value_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vm = _damage(spark).select(
+        "adm3_pcode",
+        "ens_id",
+        F.when(F.col("v_max") > 25.0, 1).otherwise(0).alias("ex"),
+    )
+    p = (
+        vm.groupBy("adm3_pcode")
+        .agg(
+            F.expr(_P_E6_SQL).alias("p_e6"),
+            F.expr(
+                "CAST(sum(CASE WHEN ens_id = 0 THEN ex ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("o"),
+            F.expr(
+                "sum(CASE WHEN ens_id > 0 THEN 1 ELSE 0 END)"
+            ).alias("__n_ens"),
+            F.expr(
+                "sum(CASE WHEN ens_id = 0 THEN 1 ELSE 0 END)"
+            ).alias("__n_obs"),
+        )
+        .filter((F.col("__n_ens") > 0) & (F.col("__n_obs") > 0))
+    )
+    hit = F.col("p_e6") >= 500000
+    cells = p.agg(
+        F.sum(F.when(hit & (F.col("o") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(hit & (F.col("o") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~hit & (F.col("o") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~hit & (F.col("o") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    v = cells.select(
+        F.explode(F.array(F.lit(1), F.lit(3), F.lit(5), F.lit(7))).alias(
+            "pp"
+        ),
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("nn"),
+    )
+    return v.selectExpr(
+        "CAST(pp * 10 AS BIGINT) AS alpha_pct",
+        "a",
+        "b",
+        "c",
+        "d",
+        f"{_VALUE_E6_SQL} AS value_e6",
+    ).orderBy("alpha_pct")
