@@ -2146,3 +2146,68 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "scan_binaryfile_blobs",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE doc_id % 16 = 0
+    ORDER BY doc_id
+    """,
+    doc="binaryFile source — the ingestion path multimodal blobs "
+        "(images/audio/shards) actually take into the engine: a "
+        "sample of documents lands as one .bin FILE each, "
+        "spark.read.format('binaryFile') scans them as (path, "
+        "modificationTime, length, content BINARY) rows, the doc id "
+        "is parsed back out of the path, and per blob the byte "
+        "length plus md5(content) must match the source text's "
+        "strlen(bytes)/md5 — proving the file round-trip is "
+        "byte-exact for multi-byte UTF-8 content (zh/ru docs "
+        "included). Spark's md5 hashes raw bytes while DuckDB's "
+        "hashes the string's UTF-8 encoding — the same bytes, which "
+        "is exactly why the blob is written as the text's UTF-8. At "
+        "100 TB this scan shape parallelizes file-per-task and "
+        "carries `pathGlobFilter`/`recursiveFileLookup` pruning.",
+)
+def scan_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile as _tf
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 16 == 0)
+        .select("doc_id", "text")
+    )
+    work = _tf.mkdtemp(prefix="ibf_binfiles_")
+    # one file per blob, written executor-side (foreachPartition) —
+    # the landing contract a media pipeline has on arrival
+    def _write_part(rows):
+        for r in rows:
+            with open(
+                os.path.join(work, f"doc_{r['doc_id']}.bin"), "wb"
+            ) as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(_write_part)
+    back = spark.read.format("binaryFile").load(work)
+    result = (
+        back.select(
+            F.regexp_extract(
+                F.col("path"), "doc_([0-9]+)[.]bin", 1
+            )
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("digest"),
+        )
+        .orderBy("doc_id")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
