@@ -4828,3 +4828,131 @@ def tc_value_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         f"{_VALUE_E6_SQL} AS value_e6",
     ).orderBy("alpha_pct")
+
+
+# --------------------------------------------- IDF order statistics
+@register(
+    "tc_rain_idf_curves",
+    f"""
+    WITH rain AS ({RAIN_SQL}),
+    reduced AS (
+      SELECT cell_id, t,
+             CAST(round(median(mm) * 1000000.0) AS BIGINT) AS mm_micro
+      FROM rain GROUP BY cell_id, t
+    ), sums AS (
+      SELECT cell_id, mm_micro,
+             sum(mm_micro) OVER (PARTITION BY cell_id ORDER BY t
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2,
+             sum(mm_micro) OVER (PARTITION BY cell_id ORDER BY t
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s4
+      FROM reduced
+    ), rolled AS (
+      SELECT cell_id,
+             CAST(max(mm_micro) AS BIGINT) AS d1,
+             CAST(max(s2) AS BIGINT) AS d2,
+             CAST(max(s4) AS BIGINT) AS d4
+      FROM sums GROUP BY cell_id
+    ), up AS (
+      SELECT cell_id, 1 AS duration_steps, d1 AS accum_micro FROM rolled
+      UNION ALL
+      SELECT cell_id, 2, d2 FROM rolled
+      UNION ALL
+      SELECT cell_id, 4, d4 FROM rolled
+    ), ranked AS (
+      SELECT duration_steps, accum_micro, cell_id,
+             row_number() OVER (PARTITION BY duration_steps
+               ORDER BY accum_micro DESC, cell_id) AS rn,
+             count(*) OVER (PARTITION BY duration_steps) AS n_cells
+      FROM up
+    )
+    SELECT CAST(duration_steps AS BIGINT) AS duration_steps,
+           CAST(rn AS BIGINT) AS exceed_rank,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           accum_micro, CAST(cell_id AS BIGINT) AS cell_id
+    FROM ranked WHERE rn IN (1, 10, 50)
+    ORDER BY duration_steps, exceed_rank
+    """,
+    doc="Rainfall IDF (intensity-duration-frequency) order "
+        "statistics: per grid cell the maximum 6 h / 12 h / 24 h "
+        "accumulation (1/2/4-step ROWS-frame rolling sums of the "
+        "integer-micro ensemble median — same quantization discipline "
+        "as tc_rain_rolling_24h), then per duration the 1st / 10th / "
+        "50th largest cell maxima with their exceedance rank — the "
+        "exact-order-statistic form of the IDF curve an infra "
+        "designer reads return periods off (rank k of n cells = "
+        "empirical exceedance k/n), chosen over interpolated "
+        "percentiles so every output stays an exact BIGINT. Windows "
+        "partition by cell; the final selection is a per-duration "
+        "rank over the bounded cell set with a deterministic "
+        "(value desc, cell_id) tiebreak.",
+)
+def tc_rain_idf_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rain = gen_rain(spark)
+    reduced = rain.groupBy("cell_id", "t").agg(
+        F.round(F.expr("median(mm)") * 1000000.0)
+        .cast("long")
+        .alias("mm_micro")
+    )
+    w2 = (
+        Window.partitionBy("cell_id")
+        .orderBy("t")
+        .rowsBetween(-1, Window.currentRow)
+    )
+    w4 = (
+        Window.partitionBy("cell_id")
+        .orderBy("t")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    rolled = (
+        reduced.select(
+            "cell_id",
+            "mm_micro",
+            F.sum("mm_micro").over(w2).alias("s2"),
+            F.sum("mm_micro").over(w4).alias("s4"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.max("mm_micro").cast("long").alias("d1"),
+            F.max("s2").cast("long").alias("d2"),
+            F.max("s4").cast("long").alias("d4"),
+        )
+    )
+    up = (
+        rolled.select(
+            "cell_id",
+            F.lit(1).alias("duration_steps"),
+            F.col("d1").alias("accum_micro"),
+        )
+        .unionAll(
+            rolled.select(
+                "cell_id", F.lit(2), F.col("d2").alias("accum_micro")
+            )
+        )
+        .unionAll(
+            rolled.select(
+                "cell_id", F.lit(4), F.col("d4").alias("accum_micro")
+            )
+        )
+    )
+    wr = Window.partitionBy("duration_steps").orderBy(
+        F.col("accum_micro").desc(), F.col("cell_id").asc()
+    )
+    wn = Window.partitionBy("duration_steps")
+    ranked = up.select(
+        "duration_steps",
+        "accum_micro",
+        "cell_id",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_cells"),
+    )
+    return (
+        ranked.filter(F.col("rn").isin(1, 10, 50))
+        .select(
+            F.col("duration_steps").cast("long").alias("duration_steps"),
+            F.col("rn").cast("long").alias("exceed_rank"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            "accum_micro",
+            F.col("cell_id").cast("long").alias("cell_id"),
+        )
+        .orderBy("duration_steps", "exceed_rank")
+    )
