@@ -2991,3 +2991,78 @@ def a24_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------ null-safe join + FILTER clause
+@register(
+    "j19_null_safe_join",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_custkey % 10 END AS bucket
+      FROM orders
+    ), b AS (
+      SELECT DISTINCT bucket,
+             coalesce('b' || CAST(bucket AS VARCHAR), 'unassigned')
+               AS bucket_label
+      FROM a
+    )
+    SELECT b.bucket_label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE a.o_totalprice > 150000.0)
+             AS BIGINT) AS n_large,
+           CAST(sum(CAST(floor(a.o_totalprice * 100.0 + 0.5) AS BIGINT))
+             FILTER (WHERE a.o_orderkey % 2 = 0) AS BIGINT)
+             AS even_cents
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    GROUP BY b.bucket_label
+    ORDER BY b.bucket_label
+    """,
+    doc="Null-safe equi-join (Spark <=> / SQL IS NOT DISTINCT FROM) "
+        "plus the FILTER clause on aggregates — two surfaces a "
+        "dimensional model with an 'unassigned' bucket needs "
+        "constantly: rows with a NULL key must MATCH the NULL dim "
+        "row (a plain = join silently drops them — the classic "
+        "lost-fact bug), and per-group conditional aggregates read "
+        "as declared filters instead of sum(CASE) (also dodging the "
+        "HUGEINT export trap for counts). Spark plans <=> as a "
+        "regular hash join on a null-safe key — still one exchange, "
+        "broadcastable dim side.",
+)
+def j19_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 10)
+        .alias("bucket"),
+    )
+    b = a.select("bucket").distinct().select(
+        "bucket",
+        F.coalesce(
+            F.concat(F.lit("b"), F.col("bucket").cast("string")),
+            F.lit("unassigned"),
+        ).alias("bucket_label"),
+    )
+    return (
+        a.join(
+            F.broadcast(b), a["bucket"].eqNullSafe(b["bucket"])
+        )
+        .groupBy("bucket_label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "count(*) FILTER (WHERE o_totalprice > 150000.0)"
+            )
+            .cast("long")
+            .alias("n_large"),
+            F.expr(
+                "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))"
+                " FILTER (WHERE o_orderkey % 2 = 0)"
+            )
+            .cast("long")
+            .alias("even_cents"),
+        )
+        .orderBy("bucket_label")
+    )
