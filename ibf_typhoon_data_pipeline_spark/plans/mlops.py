@@ -2211,3 +2211,84 @@ def scan_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "scan_xml_native",
+    """
+    SELECT event_type AS kind,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_milli
+    FROM events
+    WHERE event_id % 8 = 0
+    GROUP BY event_type ORDER BY kind
+    """,
+    doc="Native XML data source (Spark 4 built-in, SPARK-44265): an "
+        "agency-advisory-style XML feed (the S10 alternate-agency "
+        "surface, tc_tracks_forecast.py's bespoke products) is "
+        "landed as well-formed per-partition documents, scanned "
+        "straight back with spark.read.format('xml') + rowTag — no "
+        "mapInPandas decode (xml_track_decode remains the twin for "
+        "formats the schema inferencer can't hold) — and the typed "
+        "rollup must equal the source aggregate, proving the "
+        "XML round-trip preserves every integer-quantized field. "
+        "Schema is declared explicitly (inference over 100 TB of "
+        "feed files would be its own scan).",
+)
+def scan_xml_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile as _tf
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 8 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 1000.0 + 0.5)
+            .cast("long")
+            .alias("milli"),
+        )
+    )
+    work = _tf.mkdtemp(prefix="ibf_xml_")
+
+    def _write_part(idx, rows):
+        path = os.path.join(work, f"feed_{idx}.xml")
+        chunks = ["<advisories>"]
+        n = 0
+        for r in rows:
+            chunks.append(
+                f"<advisory><id>{r['event_id']}</id>"
+                f"<kind>{r['event_type']}</kind>"
+                f"<milli>{r['milli']}</milli></advisory>"
+            )
+            n += 1
+        chunks.append("</advisories>")
+        if n:
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write("".join(chunks))
+        return iter([])
+
+    ev.repartition(4).rdd.mapPartitionsWithIndex(_write_part).count()
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "advisory")
+        .schema("id bigint, kind string, milli bigint")
+        .load(work)
+    )
+    result = (
+        back.groupBy(F.col("kind"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.sum("milli").cast("long").alias("sum_milli"),
+        )
+        .orderBy("kind")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return result
