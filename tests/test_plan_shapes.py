@@ -612,3 +612,63 @@ def test_kmeans_centroid_join_is_broadcast(spark):
     # the whole exploded vector frame per iteration
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_superstep_shape(spark):
+    plan = _plan(spark, "graph_pagerank")
+    # session-7 rewrite: integer node ids + no per-superstep join-back
+    # on a symmetrized graph. The string labels appear only in the
+    # final projection, so no join in the plan should hash strings —
+    # and with the join-back gone, the only joins left are the edge
+    # build + 4 superstep rank joins (no per-superstep LEFT join onto
+    # the node set).
+    assert "CartesianProduct" not in plan
+    # the identity join-back was a left outer join per superstep
+    assert plan.count("LeftOuter") == 0, plan[:2000]
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        release_caches,
+    )
+
+    release_caches()
+
+
+def test_bfs_frontier_is_broadcast(spark):
+    plan = _plan(spark, "graph_bfs_hops")
+    # delta frontiers broadcast against the persisted edge list —
+    # at least one BroadcastHashJoin per superstep
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        release_caches,
+    )
+
+    release_caches()
+
+
+def test_compaction_plan_window_is_partitioned(spark):
+    plan = _plan(spark, "layout_compaction_plan")
+    import re
+
+    # the running-size window must partition by lang — compaction
+    # planning never needs a global order over the file manifest
+    assert "Window" in plan
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        assert "lang" in m.group(0), m.group(0)
+
+
+def test_exactsubstr_windows_partition_by_doc(spark):
+    plan = _plan(spark, "corpus_exactsubstr_ranges")
+    import re
+
+    # the interval-merge windows run per doc; the candidate pass is
+    # an equi-join on the block hash, never a cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        assert "doc_id" in m.group(0), m.group(0)
+
+
+def test_binary_hamming_query_side_broadcast(spark):
+    plan = _plan(spark, "sim_binary_hamming_topk")
+    # the sampled query fingerprints must broadcast; the corpus side
+    # is scanned once and never shuffled for the candidate join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
