@@ -2185,7 +2185,11 @@ def scan_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = _tf.mkdtemp(prefix="ibf_binfiles_")
     # one file per blob, written executor-side (foreachPartition) —
-    # the landing contract a media pipeline has on arrival
+    # the landing contract a media pipeline has on arrival. The local
+    # tempdir stands in for shared storage (works because local-mode
+    # executors share the filesystem); on a cluster the landing path
+    # is object storage and this fixture write is the upstream
+    # producer's job — the SCAN below is the part under test.
     def _write_part(rows):
         for r in rows:
             with open(
@@ -2253,6 +2257,9 @@ def scan_xml_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("milli"),
         )
     )
+    # local tempdir stands in for shared storage (local-mode executors
+    # share the filesystem; on a cluster the feed lands on object
+    # storage) — the native-XML SCAN is the part under test
     work = _tf.mkdtemp(prefix="ibf_xml_")
 
     def _write_part(idx, rows):
