@@ -143,3 +143,27 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     # quantization must remove a real share of the energy (uniform
     # vectors are the hardest case — measured ratio ≈ 0.75)
     assert 0.0 < stats["e"] < 0.9 * stats["s"], stats
+
+
+def test_binary_hamming_recall_floor(spark):
+    """62-bit sign fingerprints must recover a meaningful share of
+    the true cosine top-5 for the sampled queries — the claim that
+    makes the 32x-compressed popcount search a valid first-pass
+    retriever. Measured 0.28 at sf0.01 on the iid-uniform fixture
+    (the ANN worst case; in line with ivf_p1's 0.26)."""
+    from ibf_typhoon_data_pipeline_spark import plans
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, k=5).collect()
+        if r.query_id % 50 == 0
+    }
+    assert truth
+    got = _pairs(
+        plans.QUERIES["sim_binary_hamming_topk"].fn(
+            spark, "/root/testdata/sf0.01"
+        )
+    )
+    recall = len(got & truth) / len(truth)
+    assert recall > 0.15, recall
