@@ -189,6 +189,63 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str,
+    bucket: Column,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Running MAX in a GLOBAL total order without the single-partition
+    window — max is associative, so the exact ``global_running_sum``
+    two-pass shape applies (VERDICT r4 item #7: this is the variant a
+    fact-scale Pareto skyline needs instead of ``Window.orderBy`` with
+    no partitionBy):
+
+    1. a window partitioned by ``bucket`` (an INTEGER monotone
+       coarsening of ``order_cols``) computes the local running max —
+       one hash exchange of the fact table;
+    2. per-bucket maxima (tiny) become prior-bucket offsets via a
+       broadcast triangle join and fold in with ``greatest`` (which
+       skips NULLs, so the first bucket / first row stay NULL under
+       ``exclusive``).
+
+    ``exclusive=True`` ends the frame at 1 PRECEDING (strictly-before
+    semantics, e.g. "best among strictly cheaper"); with a ROWS frame
+    this requires the order keys to be unique within a bucket —
+    collapse ties (groupBy the order key) first, as the skyline does.
+    Values equal ``max(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING .. {1 PRECEDING|CURRENT ROW})`` for ANY bucketing, so a
+    plain global-window oracle is unchanged.
+    """
+    df = df.withColumn("__pid", bucket)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    local = cache.persist_tracked(
+        df.withColumn("__local_max", F.max(value_col).over(w_local))
+    )
+    totals = local.groupBy("__pid").agg(F.max(value_col).alias("__ptot"))
+    lower = totals.select(
+        F.col("__pid").alias("__lo_pid"), F.col("__ptot").alias("__lo_tot")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(lower), F.col("__lo_pid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.max("__lo_tot").alias("__off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest("__local_max", "__off"))
+        .drop("__pid", "__local_max", "__off")
+    )
+
+
 def top1_per_group(
     df: DataFrame, keys: Sequence[str], order: Sequence[Column]
 ) -> DataFrame:

@@ -797,25 +797,25 @@ _VOCAB_SIZE = 64
         "global frequency (term-asc tiebreak) become the vocab; each "
         "document reports its token count, OOV count, and coverage "
         "ratio. The tokenizer-budget diagnostic run before any BPE "
-        "training. The global rank window runs over the vocab-sized "
-        "frequency frame (bounded), the vocab joins back as a "
-        "broadcast, and the per-doc agg is one partial-aggregated "
-        "shuffle on doc_id.",
+        "training. The vocab is extracted with orderBy+limit "
+        "(TakeOrderedAndProject: each partition keeps its local "
+        f"top-{_VOCAB_SIZE}, the driver merges — no single-partition "
+        "sort over the term-frequency frame, which scales with the "
+        "corpus), joins back as a broadcast, and the per-doc agg is "
+        "one partial-aggregated shuffle on doc_id.",
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), " +")).alias("term"),
     )
     freq = tk.groupBy("term").agg(F.count("*").cast("long").alias("n"))
-    # global window over the vocab-sized term-frequency frame only
-    wv = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    # top-k via TakeOrderedAndProject, never a global rank window:
+    # distinct terms scale with the corpus (same shape as text_zipf_fit)
     vocab = (
-        freq.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= _VOCAB_SIZE)
+        freq.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(_VOCAB_SIZE)
         .select("term")
     )
     marked = tk.join(

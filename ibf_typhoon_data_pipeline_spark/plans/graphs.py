@@ -70,6 +70,23 @@ def pagerank_micro(
     # superstep's left join — 4 redundant shuffles of the edge list.
     e = persist_tracked(edges.join(deg, "src").repartition(32, "src"))
     nodes = persist_tracked(nodes.repartition(32, "node"))
+    if full_coverage:
+        # one-time validation OUTSIDE the loop: the identity-join-back
+        # elision is only sound when every node has in-degree >= 1.
+        # A caller passing a non-symmetrized graph would otherwise get
+        # silently wrong ranks (dropped nodes) with no error. One
+        # cheap anti-join on the persisted frames, run once.
+        n_sinks = nodes.join(
+            e.select(F.col("dst").alias("node")),
+            "node",
+            "left_anti",
+        ).count()
+        if n_sinks:
+            raise ValueError(
+                f"pagerank_micro(full_coverage=True): {n_sinks} node(s) "
+                "have in-degree 0; symmetrize the graph or call with "
+                "full_coverage=False"
+            )
     rank = nodes.select(
         "node", F.lit(_PR_INIT_MICRO).cast("long").alias("rank_micro")
     )

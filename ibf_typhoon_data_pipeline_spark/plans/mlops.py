@@ -43,6 +43,15 @@ from ibf_typhoon_data_pipeline_spark.streaming import (
 )
 
 
+def _pin(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Detach a result frame from its temp-dir backing files before
+    the rmtree below: collect the (result-sized, bounded by
+    construction) rows and rebuild the frame driver-side, so a cache
+    eviction can never trigger recomputation against a deleted path
+    (ADVICE r4). All frames pinned here are aggregate/output-sized."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 @register(
     "ml_ols_inference",
     """
@@ -187,9 +196,8 @@ def stream_forecast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lon", 6).alias("lon"),
             F.round("vmax", 6).alias("vmax"),
         )
-        .cache()
     )
-    result.count()  # materialize before the temp dir is removed
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -263,9 +271,8 @@ def stream_stateful_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__final.peak_vmax"), 6).alias("peak_vmax"),
             F.col("__final.first_trigger_step").alias("first_trigger_step"),
         )
-        .cache()
     )
-    result.count()  # materialize before the temp dir is removed
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -438,9 +445,8 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (
         spark.read.parquet(out)
         .select("ens_id", "step", F.round("vmax", 6).alias("vmax"))
-        .cache()
     )
-    result.count()  # materialize before the temp dir is removed
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -552,9 +558,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
         )
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -675,9 +680,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value_cents",
             "duration_s",
         )
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -774,9 +778,8 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("secs_after"),
         )
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -866,9 +869,8 @@ def stream_incremental_digest_ingest(
     result = (
         spark.read.parquet(os.path.join(out, "*"))
         .select("doc_id", "digest", "accepted_batch")
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -938,9 +940,8 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("long").alias("n"),
         )
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -1114,9 +1115,8 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (
         spark.read.parquet(os.path.join(state, f"b{last_bid['v']}"))
         .select("o_custkey", "o_orderkey", "status", "price_cents")
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -1177,8 +1177,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    result = spark.read.parquet(out).cache()
-    result.count()
+    result = spark.read.parquet(out)
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -1259,9 +1259,8 @@ def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = (
         _summarize(ok_dir, "ok").unionByName(_summarize(dlq_dir, "dlq"))
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -1336,9 +1335,8 @@ def scan_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.sum("value_cents").cast("long").alias("value_cents"),
         )
-        .cache()
     )
-    out.count()
+    out = _pin(spark, out)
     shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -1414,9 +1412,8 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("priority").cast("long").alias("n_priorities"),
         )
         .orderBy("generation")
-        .cache()
     )
-    out.count()
+    out = _pin(spark, out)
     shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -1693,9 +1690,8 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.max("n").alias("n"))
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -1851,9 +1847,8 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_milli").cast("long").alias("sum_milli"),
         )
         .orderBy("bucket")
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -1911,9 +1906,11 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
     # three immutable advisory drops -> three micro-batches
+    # pmod, not abs(hash) % 3: abs(Integer.MIN_VALUE) overflows
+    # negative and that row would match no k (silent drop)
     for k in range(3):
         lines.filter(
-            F.abs(F.hash("value")) % 3 == k
+            F.pmod(F.hash("value"), F.lit(3)) == k
         ).coalesce(1).write.mode("append").text(landing)
     register_advisorylog(spark)
     stream = (
@@ -1941,9 +1938,8 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max(F.struct("n", "sum_eid", "sum_milli")).alias("st"))
         .select("event_type", "st.n", "st.sum_eid", "st.sum_milli")
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -2014,9 +2010,8 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value.sum").cast("long").alias("sum_milli"),
             F.col("value.max").cast("long").alias("max_milli"),
         )
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -2079,8 +2074,26 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("sentinel").alias("event_type"),
     )
+
+    def _listing(d: str) -> set[str]:
+        return {
+            os.path.join(r, f)
+            for r, _dirs, fs in os.walk(d)
+            for f in fs
+        }
+
+    before = {d: _listing(d) for d in (land_c, land_p)}
     sentinel.coalesce(1).write.mode("append").parquet(land_c)
     sentinel.coalesce(1).write.mode("append").parquet(land_p)
+    # FileStreamSource orders batches by file MODIFICATION TIME and
+    # same-second writes tie — pin the sentinel files strictly LATER
+    # than every data file so the watermark can't advance before the
+    # data batch and evict the real rows as late (ADVICE r4 / CLAUDE.md
+    # replay-order rule; stream_session_windows sleeps for the same)
+    for d in (land_c, land_p):
+        data_mx = max(os.stat(p).st_mtime for p in before[d])
+        for p in _listing(d) - before[d]:
+            os.utime(p, (data_mx + 2.0, data_mx + 2.0))
 
     clicks = (
         spark.readStream.schema(ev.schema)
@@ -2141,9 +2154,8 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_purchase_ids"),
         )
         .orderBy("bucket")
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -2210,9 +2222,8 @@ def scan_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("digest"),
         )
         .orderBy("doc_id")
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -2294,8 +2305,7 @@ def scan_xml_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("milli").cast("long").alias("sum_milli"),
         )
         .orderBy("kind")
-        .cache()
     )
-    result.count()
+    result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result

@@ -66,13 +66,22 @@ _STALE_BEFORE_ROUND: dict[str, int] = {
 }
 
 
-def _driver_green_names() -> set[str]:
-    """Names already confirmed by a prior round's driver sample — a
-    green hash row, or a completed rows-only check for an entry that
-    STILL has no oracle, in any CORRECTNESS_r*.json at the repo root.
-    Used only for ordering. A `no_oracle` row for an entry that has
-    since gained an oracle does NOT count: the new oracle has never
-    been driver-hashed, so the entry floats to the front again."""
+def _driver_row_status() -> tuple[set[str], set[str]]:
+    """Scan CORRECTNESS_r*.json at the repo root and classify every
+    catalog name by its driver history:
+
+    - green: confirmed by a prior driver sample — a green hash row, or
+      a completed rows-only check for an entry that STILL has no
+      oracle. A `no_oracle` row for an entry that has since gained an
+      oracle does NOT count: the new oracle has never been
+      driver-hashed. Green rows recorded before an entry's
+      `_STALE_BEFORE_ROUND` round don't count either.
+    - red: ever produced a FAILED driver row (hash/row/schema mismatch
+      or an error), or was green only before a semantics change
+      (`_STALE_BEFORE_ROUND`) — i.e. the driver has concrete evidence
+      of a problem with some shipped version of this entry.
+
+    A name that later turned green leaves the red set."""
     import glob
     import json
     import os
@@ -81,7 +90,8 @@ def _driver_green_names() -> set[str]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    seen: set[str] = set()
+    green: set[str] = set()
+    red: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -91,27 +101,41 @@ def _driver_green_names() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if rnd < _STALE_BEFORE_ROUND.get(name, 0):
-                continue
-            if row.get("hash_match") is True:
-                seen.add(name)
-            elif (
+            stale = rnd < _STALE_BEFORE_ROUND.get(name, 0)
+            ok = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
                 and name in QUERIES
                 and QUERIES[name].oracle is None
-            ):
-                seen.add(name)
-    return seen
+            )
+            if ok and not stale:
+                green.add(name)
+            elif not ok:
+                # a stale-green row is neither proof nor failure; an
+                # actual mismatch/error row is a red mark
+                red.add(name)
+    # entries marked stale that never re-greened carry a red mark too:
+    # the driver checked an older semantics and the new one is unproven
+    for name, rnd in _STALE_BEFORE_ROUND.items():
+        if name in QUERIES and name not in green:
+            red.add(name)
+    return green, red - green
 
 
 def _ordered_names() -> list[str]:
-    """Registration order, but queries with no green driver row yet
-    float to the front: if the driver samples a prefix of the catalog
-    under a time cap, the unproven entries get checked first."""
-    green = _driver_green_names()
+    """Registration order within three tiers: (a) previously-RED
+    entries — any failed driver row or a `_STALE_BEFORE_ROUND` mark
+    without a post-fix green row — float to the very front, so a fix
+    gets its confirming driver row the round after it ships; then
+    (b) never-driver-checked entries; then (c) proven-green entries.
+    The driver samples a prefix of this list under a time cap."""
+    green, red = _driver_row_status()
     names = list(QUERIES)
-    return [n for n in names if n not in green] + [n for n in names if n in green]
+    return (
+        [n for n in names if n in red]
+        + [n for n in names if n not in red and n not in green]
+        + [n for n in names if n in green]
+    )
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -23,7 +23,10 @@ from ibf_typhoon_data_pipeline_spark.functions.geo import haversine_km
 from ibf_typhoon_data_pipeline_spark.operators.interpolation import (
     resample_interpolate,
 )
-from ibf_typhoon_data_pipeline_spark.operators.windows import lead_kinematics
+from ibf_typhoon_data_pipeline_spark.operators.windows import (
+    global_running_max,
+    lead_kinematics,
+)
 from ibf_typhoon_data_pipeline_spark.plans.registry import register
 from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
 
@@ -1921,6 +1924,68 @@ def o5_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_size", "price_cents")
         .orderBy("price_cents", "p_partkey")
+    )
+
+
+# --------------------------------------- fact-scale Pareto skyline
+@register(
+    "o6_skyline_fact",
+    """
+    WITH p AS (
+      SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+             CAST(floor(max(l_quantity) + 0.5) AS BIGINT) AS best_qty
+      FROM lineitem GROUP BY 1
+    ), d AS (
+      SELECT price_cents, best_qty,
+             max(best_qty) OVER (
+               ORDER BY price_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper
+      FROM p
+    )
+    SELECT price_cents, best_qty FROM d
+    WHERE best_cheaper IS NULL OR best_cheaper < best_qty
+    ORDER BY price_cents
+    """,
+    doc="FACT-scale 2-D Pareto skyline (minimize price, maximize "
+        "quantity) over lineitem — the scale-safe sibling of "
+        "o5_pareto_skyline (VERDICT r4 item #7). Same-price ties "
+        "collapse in a partial-aggregated groupBy FIRST (distinct "
+        "prices only survive), then the strictly-cheaper dominance "
+        "test is operators.windows.global_running_max with "
+        "exclusive=True: a bucketed two-pass running max — local "
+        "window per contiguous price bucket (price_cents div 50000, "
+        "a monotone coarsening, one hash exchange), prior-bucket "
+        "maxima folded in via a broadcast triangle join. No "
+        "single-partition window anywhere; the oracle stays the plain "
+        "global ROWS-frame window because the two-pass values are "
+        "identical for any bucketing.",
+)
+def o6_skyline_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.select(
+        F.round(F.col("l_extendedprice") * 100.0)
+        .cast("long")
+        .alias("price_cents"),
+        "l_quantity",
+    ).groupBy("price_cents").agg(
+        F.floor(F.max("l_quantity") + 0.5).cast("long").alias("best_qty")
+    )
+    d = global_running_max(
+        p,
+        ["price_cents"],
+        "best_qty",
+        "best_cheaper",
+        bucket=F.expr("CAST(price_cents div 50000 AS INT)"),
+        exclusive=True,
+    )
+    return (
+        d.filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("best_cheaper") < F.col("best_qty"))
+        )
+        .select("price_cents", "best_qty")
+        .orderBy("price_cents")
     )
 
 
