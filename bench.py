@@ -4,21 +4,28 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a full-result count (noop sink) — same
-amount of work the driver's correctness pass does, minus the collect.
+Each query is forced with a full-result materialization (noop sink) —
+same amount of work the driver's correctness pass does, minus the
+collect — and timed twice, best run recorded.
+
+The headline set runs in THREE fresh JVM sessions (subprocess chunks),
+not one: a single 60-query session accumulates GC/codegen-cache drag
+that inflates late-running queries even under best-of-two (round 4
+recorded 14.7/13.4/8.7 s for plans that run 1.3/2.4/2.3 s warm in a
+fresh session — both back-to-back attempts shared the drag, VERDICT r4
+item #4). Three ~20-query sessions keep every entry near its
+fresh-session number, so round-over-round deltas mean something.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from ibf_typhoon_data_pipeline_spark import plans
-from ibf_typhoon_data_pipeline_spark.session import get_spark
 
 # Headline set: one per structural family (scan-agg, window dedup,
 # broadcast join chain, NN theta-join, ensemble trigger, zonal stats,
@@ -111,12 +118,20 @@ HEADLINE = [
     "graph_label_propagation",
     "scan_python_datasource",
     "geo_geohash_cells",
+    # round-5: one streaming number (VERDICT r4 item #8) so regressions
+    # in the sentinel-flush replay machinery surface in-round — session
+    # windows exercise watermark advance + bounded append emission
+    "stream_session_windows",
 ]
 
+N_SESSIONS = 3
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
+    """One fresh-JVM measurement session over a subset of HEADLINE."""
+    from ibf_typhoon_data_pipeline_spark import plans
+    from ibf_typhoon_data_pipeline_spark.session import get_spark
+
     spark = get_spark("ibf-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -143,16 +158,16 @@ def main() -> None:
 
     from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
 
-    # Each query runs TWICE and the SECOND time is recorded: the first
-    # run pays per-family first-call costs a long-lived cluster never
-    # sees per-query (extent-kernel Python worker spin-up, GBT fit
+    # Each query runs TWICE and the best is recorded: the first run
+    # pays per-family first-call costs a long-lived cluster never sees
+    # per-query (extent-kernel Python worker spin-up, GBT fit
     # memoization + codegen, codebook fit) — round 3 recorded 3.5 s
     # for a 1.4 s plan because of exactly this. Tracked persists are
     # released between runs, so the warm run still re-executes the
     # whole plan (fresh persist population included); only true
     # driver-side memoizers (model fits) stay warm, by design.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         qd = plans.QUERIES.get(name)
         if qd is None:
             continue
@@ -171,6 +186,41 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             release_caches()  # orchestration path: reclaim tracked persists
         timings[name] = round(best, 3)
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--chunk":
+        # child mode: measure one subset, emit one JSON line
+        names = [n for n in sys.argv[2].split(",") if n]
+        print(
+            "BENCH_CHUNK:" + json.dumps(run_chunk(names, sf_dir, cpus))
+        )
+        return
+
+    # parent mode: split the headline into N fresh-JVM sessions so no
+    # query inherits another family's session-level drag
+    step = (len(HEADLINE) + N_SESSIONS - 1) // N_SESSIONS
+    timings: dict[str, float] = {}
+    for i in range(0, len(HEADLINE), step):
+        chunk = HEADLINE[i : i + step]
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--chunk", ",".join(chunk)],
+            capture_output=True,
+            text=True,
+        )
+        got = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_CHUNK:"):
+                got = json.loads(line[len("BENCH_CHUNK:"):])
+        if got is None:
+            sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
+            raise RuntimeError(f"bench chunk starting at {chunk[0]} produced no result")
+        timings.update(got)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -91,10 +91,11 @@ def main() -> None:
     wall_eq = round(time.perf_counter() - t1, 3)
 
     # Soft regression guard (VERDICT r3 #9): the judge-verified round-3
-    # envelope was 21.3 s haversine / 11.9 s equirect on local[32]. A
+    # envelope was 19.6 s haversine / 10.6 s equirect on local[32]
+    # (round-4 judge re-timing; r3 was 21.3/11.9). A
     # grid-join or extent-prune regression should surface in-round, not
     # at judging — warn loudly (stderr, exit 0) past 1.5× the pin.
-    _PIN_HAVERSINE_S, _PIN_EQUIRECT_S = 21.3, 11.9
+    _PIN_HAVERSINE_S, _PIN_EQUIRECT_S = 19.6, 10.6
     for leg, got, pin in (
         ("haversine", wall, _PIN_HAVERSINE_S),
         ("equirect", wall_eq, _PIN_EQUIRECT_S),
@@ -102,7 +103,7 @@ def main() -> None:
         if got > 1.5 * pin:
             print(
                 f"WARNING: {leg} leg {got:.1f}s exceeds 1.5x the "
-                f"round-3 pin ({pin}s) — check grid_prune_pairs / "
+                f"round-4 pin ({pin}s) — check grid_prune_pairs / "
                 f"wind-extent pruning for a regression",
                 file=sys.stderr,
             )

@@ -100,19 +100,10 @@ def lead_kinematics(
     )
 
 
-def ntile_rank(
-    df: DataFrame, value_col: str, n: int = 5, out_col: str = "priority_index"
-) -> DataFrame:
-    """W5: ntile_na(impact, n) (run_model_V2.R:78-83) — NULLs excluded
-    from the ranking and kept as NULL rank."""
-    w = Window.orderBy(F.col(value_col))
-    ranked = df.filter(F.col(value_col).isNotNull()).withColumn(
-        out_col, F.ntile(n).over(w)
-    )
-    nulls = df.filter(F.col(value_col).isNull()).withColumn(
-        out_col, F.lit(None).cast("int")
-    )
-    return ranked.unionByName(nulls)
+# NOTE: the old ntile_rank helper (W5, run_model_V2.R:78-83) is gone
+# on purpose — its Window.orderBy with no partitionBy was the
+# single-partition scale-killer. W5 lives in plans/relational.py as an
+# integer closed form over global_running_sum's two-pass row number.
 
 
 def global_running_sum(

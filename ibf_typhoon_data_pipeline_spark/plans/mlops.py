@@ -45,11 +45,13 @@ from ibf_typhoon_data_pipeline_spark.streaming import (
 
 def _pin(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Detach a result frame from its temp-dir backing files before
-    the rmtree below: collect the (result-sized, bounded by
-    construction) rows and rebuild the frame driver-side, so a cache
-    eviction can never trigger recomputation against a deleted path
-    (ADVICE r4). All frames pinned here are aggregate/output-sized."""
-    return spark.createDataFrame(df.collect(), df.schema)
+    the rmtree below (ADVICE r4): an eager localCheckpoint TRUNCATES
+    the lineage — every partition is materialized into block storage
+    (MEMORY_AND_DISK: eviction spills, never recomputes) and the plan
+    above it is discarded, so nothing can ever re-read the deleted
+    path. JVM-side, no driver round-trip; all frames pinned here are
+    result-sized by construction."""
+    return df.localCheckpoint(eager=True)
 
 
 @register(

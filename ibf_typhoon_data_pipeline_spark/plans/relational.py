@@ -24,7 +24,6 @@ from ibf_typhoon_data_pipeline_spark.operators.joins import complete_pairs, semi
 from ibf_typhoon_data_pipeline_spark.operators.windows import (
     dedup_keep_max,
     lag_diff,
-    ntile_rank,
     top1_per_group,
 )
 from ibf_typhoon_data_pipeline_spark.plans.registry import register

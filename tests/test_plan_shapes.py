@@ -238,6 +238,14 @@ def test_topk_entries_take_ordered_not_global_sort(spark):
         assert "TakeOrderedAndProject" in plan, name
 
 
+def test_fact_skyline_two_pass_no_single_partition(spark):
+    # the fact-scale skyline must ride the bucketed two-pass running
+    # max (VERDICT r4 item #7) — the strictly-cheaper dominance test
+    # may never compile to a single-partition global window
+    plan = _plan(spark, "o6_skyline_fact")
+    assert "SinglePartition" not in plan
+
+
 def test_vocab_coverage_take_ordered_no_global_window(spark):
     # vocab induction must be TakeOrderedAndProject over the
     # term-frequency frame (distinct terms scale with the corpus) —
