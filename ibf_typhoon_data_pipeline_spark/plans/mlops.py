@@ -43,6 +43,25 @@ from ibf_typhoon_data_pipeline_spark.streaming import (
 )
 
 
+def _landing_files(d: str) -> set[str]:
+    """Every regular file under a landing dir (part files + commit
+    markers — FileStreamSource itself ignores _-prefixed paths)."""
+    return {
+        os.path.join(r, f) for r, _dirs, fs in os.walk(d) for f in fs
+    }
+
+
+def _bump_mtime_after(landing: str, before: set[str]) -> None:
+    """Pin every file added since ``before`` was listed to a strictly
+    LATER modification time than all pre-existing files.
+    FileStreamSource orders batches by mtime and same-second writes
+    tie (CLAUDE.md replay-order rule) — deterministic utime instead of
+    the old sleep(1.1) wall-clock gamble, and 1.1 s faster per drop."""
+    base = max(os.stat(p).st_mtime for p in before)
+    for p in _landing_files(landing) - before:
+        os.utime(p, (base + 2.0, base + 2.0))
+
+
 def _pin(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Detach a result frame from its temp-dir backing files before
     the rmtree below (ADVICE r4): an eager localCheckpoint TRUNCATES
@@ -610,7 +629,6 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time as _time
 
     from ibf_typhoon_data_pipeline_spark.streaming.micro_batch import (
         session_event_rollups,
@@ -629,7 +647,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max ts clears gap (30 min) + watermark delay (2 h), so every
     # real session finalizes and appends before the query drains
     max_ts = ev.agg(F.max("ts")).first()[0]
-    _time.sleep(1.1)  # file-source ordering is by modification time
+    before = _landing_files(landing)
     (
         spark.createDataFrame(
             [(int(-1), max_ts, int(-1), 0.0)], schema=ev.schema
@@ -639,6 +657,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("append")
         .parquet(landing)
     )
+    _bump_mtime_after(landing, before)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -815,7 +834,6 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_incremental_digest_ingest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import time as _time
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="ibf_stream_digest_")
@@ -826,10 +844,11 @@ def stream_incremental_digest_ingest(
     docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
         "overwrite"
     ).parquet(landing)
-    _time.sleep(1.1)  # file-source batch order follows modification time
+    before = _landing_files(landing)
     docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
         "append"
     ).parquet(landing)
+    _bump_mtime_after(landing, before)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -1037,7 +1056,6 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the same rule.",
 )
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
 
     cutoff = F.lit("1999-01-01").cast("timestamp_ntz")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1056,10 +1074,11 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.filter(F.col("o_orderdate") < cutoff).coalesce(1).write.mode(
         "overwrite"
     ).parquet(landing)
-    _time.sleep(1.1)  # file-source batch order follows modification time
+    before = _landing_files(landing)
     orders.filter(F.col("o_orderdate") >= cutoff).coalesce(1).write.mode(
         "append"
     ).parquet(landing)
+    _bump_mtime_after(landing, before)
 
     stream = (
         spark.readStream.schema(orders.schema)
@@ -1501,7 +1520,6 @@ def scan_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-aggregation).",
 )
 def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -1529,10 +1547,11 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     _run_once()  # drains batch 1, stops
-    _time.sleep(1.1)  # file-source ordering follows modification time
+    before = _landing_files(landing)
     orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
         "append"
     ).parquet(landing)
+    _bump_mtime_after(landing, before)
     _run_once()  # RESTART from the same checkpoint: only new files
 
     return (
@@ -2077,25 +2096,14 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sentinel").alias("event_type"),
     )
 
-    def _listing(d: str) -> set[str]:
-        return {
-            os.path.join(r, f)
-            for r, _dirs, fs in os.walk(d)
-            for f in fs
-        }
-
-    before = {d: _listing(d) for d in (land_c, land_p)}
+    # pin the sentinel files strictly LATER than every data file so
+    # the watermark can't advance before the data batch and evict the
+    # real rows as late (ADVICE r4 / CLAUDE.md replay-order rule)
+    before = {d: _landing_files(d) for d in (land_c, land_p)}
     sentinel.coalesce(1).write.mode("append").parquet(land_c)
     sentinel.coalesce(1).write.mode("append").parquet(land_p)
-    # FileStreamSource orders batches by file MODIFICATION TIME and
-    # same-second writes tie — pin the sentinel files strictly LATER
-    # than every data file so the watermark can't advance before the
-    # data batch and evict the real rows as late (ADVICE r4 / CLAUDE.md
-    # replay-order rule; stream_session_windows sleeps for the same)
     for d in (land_c, land_p):
-        data_mx = max(os.stat(p).st_mtime for p in before[d])
-        for p in _listing(d) - before[d]:
-            os.utime(p, (data_mx + 2.0, data_mx + 2.0))
+        _bump_mtime_after(d, before[d])
 
     clicks = (
         spark.readStream.schema(ev.schema)
