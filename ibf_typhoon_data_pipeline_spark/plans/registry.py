@@ -138,8 +138,26 @@ def _ordered_names() -> list[str]:
     )
 
 
+def _released(fn: Callable) -> Callable:
+    """Driver-surface wrapper: unpersist the PREVIOUS entry's tracked
+    frames before building the next plan. The driver samples ~50
+    entries sequentially in one session and never calls
+    release_caches() itself; without this, every persist-using plan's
+    caches accumulate across the whole sample. Safe because the driver
+    collects each result before asking for the next (and an early
+    unpersist is a recompute, never a wrong answer)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.cache import release_caches
+
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: QUERIES[name].fn for name in _ordered_names()}
+    return {name: _released(QUERIES[name].fn) for name in _ordered_names()}
 
 
 def oracle_text(name: str) -> str | None:
