@@ -27,12 +27,23 @@ def _enable_cached_plan_aqe(df: DataFrame) -> None:
     kilobyte partitions (measured: graph_triangle_count 27 s → 2.3 s
     at sf0.01 with this one conf). Runtime-settable; pinned here so
     every persist-using plan gets it regardless of session factory,
-    mirroring how sources.tables.load_table pins nanosAsLong."""
+    mirroring how sources.tables.load_table pins nanosAsLong.
+
+    Gated on the session actually being over-partitioned (> 64
+    shuffle partitions): in a tuned 32-partition session there is
+    nothing for AQE to coalesce, and letting it re-plan cached graph
+    frames measurably HURTS the supersteps (label_propagation 5.0 →
+    6.1 s at sf0.1/local[32], A/B 2026-08-15) — the re-planned cached
+    output drops below the loop's useful parallelism. The pin is a
+    fix for kilobyte-partition fan-out, so apply it only where that
+    fan-out exists."""
     try:
-        df.sparkSession.conf.set(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        conf = df.sparkSession.conf
+        if int(conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+            conf.set(
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true",
+            )
     except Exception:
         pass  # conf became static in some future build: keep working
 
