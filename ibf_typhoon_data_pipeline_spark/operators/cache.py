@@ -39,11 +39,17 @@ def _enable_cached_plan_aqe(df: DataFrame) -> None:
     fan-out exists."""
     try:
         conf = df.sparkSession.conf
-        if int(conf.get("spark.sql.shuffle.partitions", "200")) > 64:
-            conf.set(
-                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-                "true",
-            )
+        # Two-way: follow the CURRENT session tuning. A one-way pin
+        # would leak 'true' from an earlier over-partitioned window
+        # into a later tuned one (label_propagation 5.0 → 6.1 s when
+        # the re-planned cached output drops below the loop's useful
+        # parallelism) — so a <=64-partition session actively resets.
+        conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true"
+            if int(conf.get("spark.sql.shuffle.partitions", "200")) > 64
+            else "false",
+        )
     except Exception:
         pass  # conf became static in some future build: keep working
 

@@ -43,21 +43,37 @@ def test_release_caches_leaves_no_persistent_rdds(spark):
 
 
 def test_persist_tracked_enables_cached_plan_aqe(spark):
-    """persist_tracked pins `canChangeCachedPlanOutputPartitioning=true`
-    (default false): without it NO shuffle under a persist() is ever
-    AQE-coalesced, so in an untuned 200-partition session the cached
-    graph frames run 200-task stages over kilobyte partitions
-    (graph_triangle_count measured 27 s → 2.3 s at sf0.01 from this
-    one conf). Any refactor that drops the pin re-fails here."""
+    """persist_tracked pins `canChangeCachedPlanOutputPartitioning`
+    (default false) — but only in OVER-partitioned sessions (> 64
+    shuffle partitions), where un-coalesced 200-task stages over
+    kilobyte cached partitions dominate (graph_triangle_count measured
+    27 s → 2.3 s at sf0.01 from this one conf). In a tuned <=64
+    session the pin measurably HURTS iterative loops
+    (label_propagation 5.0 → 6.1 s at sf0.1), so the gate must also
+    RESET to false there — one-way leakage from an earlier
+    over-partitioned window re-fails here."""
     from ibf_typhoon_data_pipeline_spark.operators.cache import (
         persist_tracked,
     )
 
     key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    spark.conf.set(key, "false")
-    df = persist_tracked(spark.range(10))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
     try:
+        # over-partitioned session: the pin engages
+        spark.conf.set(part_key, "200")
+        spark.conf.set(key, "false")
+        df = persist_tracked(spark.range(10))
         assert spark.conf.get(key) == "true"
-    finally:
         df.unpersist()
+        release_caches()
+
+        # tuned session: the gate actively resets (no one-way leak)
+        spark.conf.set(part_key, "32")
+        df = persist_tracked(spark.range(10))
+        assert spark.conf.get(key) == "false"
+        df.unpersist()
+        release_caches()
+    finally:
+        spark.conf.set(part_key, saved)
         release_caches()
