@@ -9,12 +9,15 @@ same amount of work the driver's correctness pass does, minus the
 collect — and timed twice, best run recorded.
 
 The headline set runs in THREE fresh JVM sessions (subprocess chunks),
-not one: a single 60-query session accumulates GC/codegen-cache drag
-that inflates late-running queries even under best-of-two (round 4
-recorded 14.7/13.4/8.7 s for plans that run 1.3/2.4/2.3 s warm in a
-fresh session — both back-to-back attempts shared the drag, VERDICT r4
-item #4). Three ~20-query sessions keep every entry near its
-fresh-session number, so round-over-round deltas mean something.
+not one: a single 60-query session accumulates drag that inflates
+late-running queries even under best-of-two (round 4 recorded
+14.7/13.4/8.7 s for plans that run 1.3/2.4/2.3 s warm in a fresh
+session — both back-to-back attempts shared the drag, VERDICT r4
+item #4). Root cause (diagnosed round 6): Spark's ContextCleaner only
+frees dead broadcast/shuffle state when a JVM GC collects the weak
+references, and a big-heap local session rarely GCs naturally — so
+run_chunk also forces one System.gc() per query, which restores
+fresh-session numbers for every position in the chunk.
 """
 
 from __future__ import annotations
@@ -185,6 +188,15 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
             ).save()
             best = min(best, time.perf_counter() - t0)
             release_caches()  # orchestration path: reclaim tracked persists
+        # Spark's ContextCleaner frees stale broadcast/shuffle state
+        # only when a JVM GC collects the weak references — a 16g-heap
+        # local session rarely GCs on its own, so dead state from ~18
+        # predecessor queries piled up and inflated late entries 4-5×
+        # (sim_ivf_topk recorded 7.7 s in-chunk vs 1.5 s fresh, round
+        # 5). One explicit GC per query restores fresh-session numbers
+        # for the whole chunk (verified A/B 2026-08-15).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
     spark.stop()
     return timings

@@ -97,14 +97,86 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec: Column, m: int = 6) -> Column:
-    """Sign-LSH bucket key: '+'/'-' per first m dims. Deterministic
+def sign_bucket(vec: Column, m: int = 6, offset: int = 1) -> Column:
+    """Sign-LSH bucket key: '+'/'-' per m dims starting at ``offset``
+    (1-based, matching DuckDB list slicing). Deterministic
     axis-aligned hyperplanes; swap in seeded random projections when a
-    real ANN recall target matters."""
+    real ANN recall target matters. Distinct offsets give independent
+    LSH bands for OR-amplification (range_search_banded)."""
     signs = F.transform(
-        F.slice(vec, 1, m), lambda x: F.when(x >= 0, F.lit("+")).otherwise(F.lit("-"))
+        F.slice(vec, offset, m),
+        lambda x: F.when(x >= 0, F.lit("+")).otherwise(F.lit("-")),
     )
     return F.array_join(signs, "")
+
+
+def range_search_banded(
+    df: DataFrame,
+    threshold: float,
+    m: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search: ALL id-ordered pairs with
+    round(cosine, 6) >= threshold — the other fundamental ANN query
+    shape next to top-k (fixed-radius neighbors, not fixed-count).
+
+    Candidates come from TWO independent sign-LSH bands (dims
+    [1, m] and [m+1, 2m]) OR-amplified: a pair qualifies when it
+    collides in either band, which raises recall the way banded
+    MinHash-LSH does for Jaccard. Duplicate candidates are avoided
+    WITHOUT a DISTINCT shuffle by the canonical-bucket rule (the
+    grid-join trick from the windfield family): a pair is emitted by
+    band 2 only when its band-1 keys DIFFER, so every colliding pair
+    has exactly one emitting band. Pair space is Σ bucket₁² +
+    Σ bucket₂² — never n²; each band join is one equi-join shuffle on
+    a bounded key, the 100 TB path.
+
+    Output: (a_id, b_id, cosine_sim) with a_id > b_id.
+    """
+    base = spread(df).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).select(
+        F.col(id_col),
+        "__v",
+        sign_bucket(F.col("__v"), m, 1).alias("__b1"),
+        sign_bucket(F.col("__v"), m, m + 1).alias("__b2"),
+        l2_norm(F.col("__v")).alias("__n"),
+    )
+    a = base.select(
+        F.col(id_col).alias("a_id"),
+        F.col("__v").alias("__av"),
+        F.col("__n").alias("__an"),
+        F.col("__b1").alias("__ab1"),
+        F.col("__b2").alias("__ab2"),
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"),
+        F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"),
+        F.col("__b1").alias("__bb1"),
+        F.col("__b2").alias("__bb2"),
+    )
+    p1 = a.join(b, F.col("__ab1") == F.col("__bb1")).filter(
+        F.col("b_id") < F.col("a_id")
+    )
+    # canonical band: band 2 emits only band-1-divergent pairs, so the
+    # union is duplicate-free by construction (no DISTINCT shuffle)
+    p2 = a.join(b, F.col("__ab2") == F.col("__bb2")).filter(
+        (F.col("b_id") < F.col("a_id"))
+        & (F.col("__ab1") != F.col("__bb1"))
+    )
+    cols = [
+        "a_id",
+        "b_id",
+        F.round(
+            dot(F.col("__av"), F.col("__bv"))
+            / (F.col("__an") * F.col("__bn")),
+            6,
+        ).alias("cosine_sim"),
+    ]
+    scored = p1.select(*cols).unionByName(p2.select(*cols))
+    return scored.filter(F.col("cosine_sim") >= F.lit(threshold))
 
 
 def ivf_cell(vec: Column, n_cells: int = 8, seg: int = 8) -> Column:

@@ -2797,3 +2797,84 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").cast("long").alias("peak_concurrency"))
         .orderBy("day_idx")
     )
+
+
+# ------------------------------------------- Holt linear-trend smoothing
+# Double exponential smoothing (Holt 1957) over daily event counts per
+# type — the classic trend-following forecaster next to the EWMA/MASE
+# entries. The recursion l_t = α·y_t + (1-α)(l+b), b_t = β(l_t-l') +
+# (1-β)b' is inherently sequential per series, which plain SQL windows
+# cannot express for unbounded length — so it rides native WITH
+# RECURSIVE (Spark 4.1 UnionLoop) over the per-type STEP index, ONE
+# shared SQL text in both engines (the rec_cte_hierarchy parity form).
+# Every iterate re-quantizes to integer micro-units with the rational
+# weights folded to integers (α=0.3 → 3/7 over 10, β=0.2 → 2/8 over
+# 10 — the MMR integer-mix trick), so the state is BIGINT-exact and
+# engine-independent at any depth. floor(x/10.0 + 0.5) stays exact
+# while |x| < 2^53 (micro-counts up to ~9e14/day — doc'd bound).
+# Scale: the recursion is over DAYS within type — each step joins the
+# (type × day)-sized frame, never the fact table; the fact-sized work
+# is one partial-agg groupBy to day granularity.
+_HW_SQL = """
+WITH RECURSIVE hw(event_type, step, day_idx, n_events,
+                  level_micro, trend_micro) AS (
+  SELECT d0.event_type, d0.step, d0.day_idx, d0.y,
+         d0.y * 1000000, CAST(0 AS BIGINT)
+  FROM {daily} d0 WHERE d0.step = 1
+  UNION ALL
+  SELECT d.event_type, d.step, d.day_idx, d.y,
+         CAST(floor((3 * d.y * 1000000
+                     + 7 * (hw.level_micro + hw.trend_micro)) / 10.0
+                    + 0.5) AS BIGINT),
+         CAST(floor((2 * (CAST(floor((3 * d.y * 1000000
+                     + 7 * (hw.level_micro + hw.trend_micro)) / 10.0
+                    + 0.5) AS BIGINT) - hw.level_micro)
+                     + 8 * hw.trend_micro) / 10.0 + 0.5) AS BIGINT)
+  FROM {daily} d
+  JOIN hw ON d.event_type = hw.event_type AND d.step = hw.step + 1
+)
+SELECT event_type, CAST(step AS BIGINT) AS step, day_idx,
+       CAST(n_events AS BIGINT) AS n_events,
+       level_micro, trend_micro,
+       level_micro + trend_micro AS forecast_next_micro
+FROM hw
+"""
+
+_HW_DAILY_DUCK = """(
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY day_idx) AS BIGINT) AS step,
+         day_idx, y
+  FROM (SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2)
+)"""
+
+
+@register(
+    "events_holt_winters",
+    _HW_SQL.format(daily=_HW_DAILY_DUCK),
+    doc="Holt double exponential smoothing (level + trend) of daily "
+        "event counts per type, via native WITH RECURSIVE over the "
+        "per-type step index — ONE shared SQL text in both engines, "
+        "recursion included. Each iterate re-quantizes to BIGINT "
+        "micro-units with α=0.3/β=0.2 folded to integer weights, so "
+        "the sequential state is exact at any depth. The recursion "
+        "runs on the (type × day) frame; the only fact-sized work is "
+        "the daily groupBy.",
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    daily = daily.withColumn(
+        "step",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day_idx"))
+        .cast("long"),
+    )
+    daily.createOrReplaceTempView("hw_daily")
+    return spark.sql(_HW_SQL.format(daily="hw_daily"))

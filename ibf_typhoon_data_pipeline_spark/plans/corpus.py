@@ -1739,3 +1739,125 @@ def corpus_exactsubstr_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "range_id")
     )
+
+
+# ------------------------------------------- RAKE keyword phrases
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal runs of non-stopword tokens (stopword/delimiter
+# islands); each word scores degree/frequency where degree sums the
+# lengths of the phrases containing it, and a phrase scores the sum of
+# its member-word scores. The degree/frequency RATIO re-quantizes to
+# integer micro-units per word (floor(deg*1e6/freq + 0.5) — the
+# ratio-of-integers rule: round() at 6dp can half-tie), so phrase
+# scores are exact BIGINT sums in both engines. The gaps-and-islands
+# group key (pos - row_number) is offset-invariant, so Spark's 0-based
+# posexplode and DuckDB's 1-based generate_subscripts agree without
+# reconciliation.
+_RAKE_STOP = "('a', 'the')"
+_RAKE_TOPK = 25
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), ' +'), 1)
+               AS pos
+      FROM documents WHERE length(trim(text)) > 0
+    ), members AS (
+      SELECT doc_id, tok, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM toks WHERE tok NOT IN {_RAKE_STOP}
+    ), sized AS (
+      SELECT doc_id, grp, tok, pos,
+             count(*) OVER (PARTITION BY doc_id, grp) AS len
+      FROM members
+    ), wscore AS (
+      SELECT tok,
+             CAST(floor(CAST(sum(len) AS BIGINT) * 1000000.0
+                        / count(*) + 0.5) AS BIGINT) AS s_e6
+      FROM sized GROUP BY tok
+    ), occ AS (
+      SELECT s.doc_id, s.grp, CAST(sum(w.s_e6) AS BIGINT) AS occ_score
+      FROM sized s JOIN wscore w ON w.tok = s.tok
+      GROUP BY s.doc_id, s.grp
+    ), ptext AS (
+      SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase
+      FROM sized GROUP BY doc_id, grp
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(o.occ_score) AS BIGINT) AS rake_score_e6
+    FROM ptext p JOIN occ o ON o.doc_id = p.doc_id AND o.grp = p.grp
+    GROUP BY phrase
+    ORDER BY rake_score_e6 DESC, phrase ASC
+    LIMIT {_RAKE_TOPK}
+    """,
+    doc="RAKE keyword extraction: stopword-delimited phrase islands "
+        "(gaps-and-islands over the token stream), word score = "
+        "degree/frequency in integer micro-units, phrase score = "
+        "BIGINT sum of member scores; global top-25 phrases with "
+        "deterministic ties. Scale shape: doc-partitioned windows "
+        "only, word stats shuffle on the bounded vocabulary, phrase "
+        "keys are doc-bounded, and the top-k is order+limit "
+        "(TakeOrderedAndProject) — no global window.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    )
+    members = toks.filter(~F.col("tok").isin("a", "the")).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    sized = persist_tracked(
+        members.withColumn(
+            "len", F.count("*").over(Window.partitionBy("doc_id", "grp"))
+        )
+    )
+    wscore = sized.groupBy("tok").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(len) AS BIGINT) * 1000000.0"
+            " / count(*) + 0.5) AS BIGINT)"
+        ).alias("s_e6")
+    )
+    occ = (
+        sized.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("s_e6").cast("long").alias("occ_score"))
+    )
+    ptext = sized.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("phrase")
+    )
+    return (
+        ptext.join(occ, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("occ_score").cast("long").alias("rake_score_e6"),
+        )
+        .orderBy(F.col("rake_score_e6").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOPK)
+    )

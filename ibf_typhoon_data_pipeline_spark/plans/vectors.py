@@ -2301,3 +2301,57 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ------------------------------------------- banded radius (range) search
+# The fixed-radius counterpart of the top-k entries: return EVERY pair
+# within a cosine radius. Candidates are OR-amplified across two
+# independent sign-LSH bands (dims [1,6] and [7,12]); band 2 emits
+# only pairs whose band-1 keys differ (canonical-band rule), so the
+# union is duplicate-free with no DISTINCT shuffle. Reference-class
+# op: radius search is how near-dup thresholds, geo radiuses, and
+# recall-floor audits query an embedding store.
+_RANGE_T = 0.25  # exactly representable in binary — threshold-safe
+
+
+@register(
+    "sim_range_search",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, ve,
+             array_to_string(list_transform(ve[1:6],
+               x -> CASE WHEN x >= 0 THEN '+' ELSE '-' END), '') AS b1,
+             array_to_string(list_transform(ve[7:12],
+               x -> CASE WHEN x >= 0 THEN '+' ELSE '-' END), '') AS b2
+      FROM v
+    ), cand AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.ve AS av, b.ve AS bv
+      FROM bucketed a JOIN bucketed b
+        ON a.b1 = b.b1 AND b.vec_id < a.vec_id
+      UNION ALL
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.ve AS av, b.ve AS bv
+      FROM bucketed a JOIN bucketed b
+        ON a.b2 = b.b2 AND b.vec_id < a.vec_id AND a.b1 <> b.b1
+    )
+    SELECT a_id, b_id,
+           round(list_cosine_similarity(av, bv), 6) AS cosine_sim
+    FROM cand
+    WHERE round(list_cosine_similarity(av, bv), 6) >= CAST({_RANGE_T} AS DOUBLE)
+    """,
+    doc="Fixed-radius (range) similarity search: every id-ordered "
+        "pair with round(cosine,6) >= 0.25. Two independent sign-LSH "
+        "bands OR-amplify recall (banded-LSH, the MinHash-band idea "
+        "applied to hyperplane LSH); the canonical-band rule (band 2 "
+        "emits only band-1-divergent pairs) makes the union "
+        "duplicate-free with no DISTINCT shuffle. Pair space is "
+        "Σ bucket² per band — never n².",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        range_search_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return range_search_banded(emb, threshold=_RANGE_T, m=6)
