@@ -641,18 +641,33 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(work, "landing")
     out = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
-    ev.write.mode("overwrite").parquet(landing)
+    # TWO landing files, not the session's partition count: with
+    # maxFilesPerTrigger=1 every landing file is its own micro-batch,
+    # and each micro-batch pays a fixed checkpoint-commit cost — a
+    # 32-file landing meant 33 commits (~7 s of pure offset-log I/O at
+    # sf0.1). Two data batches + the sentinel batch still exercise
+    # everything the entry pins (multi-batch watermark advance,
+    # bounded per-batch append emission) at ~1/10 the commit count.
+    ev.coalesce(2).write.mode("overwrite").parquet(landing)
     # watermark-advancing sentinel, landed as a LATER file so the
     # file source serves it as its own micro-batch: 5 h past the real
     # max ts clears gap (30 min) + watermark delay (2 h), so every
     # real session finalizes and appends before the query drains
     max_ts = ev.agg(F.max("ts")).first()[0]
     before = _landing_files(landing)
+    # pure-JVM single-row frame: createDataFrame(local list) routes
+    # through parallelize with defaultParallelism (32) PYTHON
+    # partitions, and the per-partition Python worker round-trips cost
+    # 6-7 s for ONE row (measured 2026-08-15); range(1)+lits plans
+    # entirely JVM-side and writes in ~0.2 s
     (
-        spark.createDataFrame(
-            [(int(-1), max_ts, int(-1), 0.0)], schema=ev.schema
+        spark.range(1)
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr("INTERVAL 5 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
         )
-        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 HOURS"))
         .coalesce(1)
         .write.mode("append")
         .parquet(landing)
