@@ -1861,3 +1861,78 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score_e6").desc(), F.col("phrase").asc())
         .limit(_RAKE_TOPK)
     )
+
+
+# ------------------------------------------- Arrow-native batch kernel
+# §2.11 surface: mapInArrow — the zero-copy sibling of mapInPandas.
+# Batches arrive as pyarrow RecordBatches and never materialize a
+# pandas object; the token statistics below run entirely on Arrow
+# compute kernels + numpy over the ListArray's offsets buffer
+# (np.add.reduceat on the flattened lengths — no per-row Python). This
+# is the right surface for byte-level / columnar-native extraction at
+# 100 TB: Arrow IPC in, Arrow IPC out, one copy fewer than pandas and
+# no object boxing. The semantics stay SQL-expressible on purpose so
+# the kernel is oracle-checked exactly (token split on space runs =
+# the whitespace-split kernel on pre-trimmed text).
+def _arrow_token_stats(batches):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.utf8_split_whitespace(text)
+        n_tokens = pc.list_value_length(toks).cast(pa.int64())
+        n_bytes = pc.binary_length(batch.column("text")).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        # segment-sum the flattened token lengths back to rows via the
+        # list offsets — empty trailing segments need explicit zeros
+        starts = offs[:-1]
+        sums = np.zeros(len(starts), dtype=np.int64)
+        nz = starts < len(lens)
+        if lens.size:
+            sums[nz] = np.add.reduceat(lens, starts[nz])
+        sums[offs[:-1] == offs[1:]] = 0
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                n_tokens,
+                n_bytes,
+                pa.array(sums, type=pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "n_bytes", "sum_token_chars"],
+        )
+
+
+@register(
+    "corpus_arrow_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+             AS n_tokens,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(
+                  string_split_regex(trim(text), ' +'),
+                  x -> length(x))) AS BIGINT) AS sum_token_chars
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    doc="mapInArrow token statistics: per-doc token count, byte "
+        "length, and summed token chars computed on zero-copy Arrow "
+        "RecordBatches (pyarrow compute kernels + np.add.reduceat "
+        "over the ListArray offsets — no pandas, no per-row Python). "
+        "The §2.11 Arrow-native surface next to mapInPandas/UDTF; "
+        "embarrassingly parallel per batch, no shuffle.",
+)
+def corpus_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    ).select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_token_stats,
+        "doc_id bigint, n_tokens bigint, n_bytes bigint, "
+        "sum_token_chars bigint",
+    )

@@ -3131,3 +3131,60 @@ def j19_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_label")
     )
+
+
+# ------------------------------------------- collated grouping (Spark 4)
+# Spark 4 string collations (SPARK-46830): a UTF8_LCASE-collated key
+# makes grouping/joins case-insensitive INSIDE the engine — the hash
+# exchange itself uses the collation-aware key, so no lower()
+# projection materializes and downstream consumers keep the original
+# strings. DuckDB has no collated grouping, so the oracle is the
+# lower()-key twin; the mixed-case synthesis is ONE shared SQL text
+# (initcap spelled portably as upper(substr(x,1,1)) || substr(x,2) —
+# DuckDB has no initcap). n_case_variants pins that the engine really
+# merged distinct binary strings (3 variants per type), not
+# pre-lowered input.
+_MIXED_CASE_SQL = (
+    "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN upper(event_type) "
+    "WHEN 1 THEN upper(substr(event_type, 1, 1)) || "
+    "substr(event_type, 2) ELSE event_type END"
+)
+
+
+@register(
+    "f24_collated_grouping",
+    f"""
+    SELECT lower(et_mixed) AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT et_mixed) AS BIGINT) AS n_case_variants
+    FROM (SELECT {_MIXED_CASE_SQL} AS et_mixed FROM events)
+    GROUP BY lower(et_mixed)
+    """,
+    doc="Case-insensitive aggregation via a UTF8_LCASE collated "
+        "grouping key (Spark 4 collations) over deterministically "
+        "mixed-cased event types; the oracle is the classic "
+        "lower()-key twin. n_case_variants = 3 proves the collation "
+        "merged distinct binary strings. The collated key rides the "
+        "normal hash exchange — no extra projection, same shuffle "
+        "shape as any groupBy.",
+)
+def f24_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_MIXED_CASE_SQL).alias("et_mixed")
+    )
+    return (
+        ev.groupBy(
+            F.expr("collate(et_mixed, 'UTF8_LCASE')").alias("k")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("et_mixed").cast("long").alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.expr("collate(lower(k), 'UTF8_BINARY')").alias("event_type"),
+            "n_events",
+            "n_case_variants",
+        )
+    )
