@@ -167,3 +167,80 @@ def test_binary_hamming_recall_floor(spark):
     )
     recall = len(got & truth) / len(truth)
     assert recall > 0.15, recall
+
+
+def test_range_search_precision_exact_and_banded_recall(spark):
+    """Range-search contract: every emitted pair must truly clear the
+    radius (precision 1.0 — the residual filter is exact), the banded
+    candidate union must be duplicate-free (the canonical-band rule),
+    and two OR-amplified bands must strictly beat either single band's
+    recall of the TRUE radius pair set."""
+    from pyspark.sql import functions as F
+
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+        range_search_banded,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    t = 0.25
+
+    got = range_search_banded(emb, threshold=t, m=6)
+    rows = got.collect()
+    pairs = {(r.a_id, r.b_id) for r in rows}
+    # duplicate-free union without a DISTINCT
+    assert len(rows) == len(pairs)
+    # precision: the residual cosine filter is exact by construction
+    assert all(r.cosine_sim >= t for r in rows)
+
+    # ground truth: brute-force all-pairs radius set
+    base = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", l2_norm(F.col("v")).alias("n"))
+    a = base.selectExpr("vec_id AS a_id", "v AS av", "n AS an")
+    b = base.selectExpr("vec_id AS b_id", "v AS bv", "n AS bn")
+    truth_df = (
+        a.join(b, F.col("b_id") < F.col("a_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+                6,
+            ).alias("s"),
+        )
+        .filter(F.col("s") >= t)
+    )
+    truth = {(r.a_id, r.b_id) for r in truth_df.collect()}
+    assert pairs <= truth  # no false positives vs brute force either
+    recall2 = len(pairs) / len(truth)
+
+    # single-band baseline: band-1 (dims 1..6) hits only — the
+    # OR-amplified two-band union must strictly beat it
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        sign_bucket,
+    )
+
+    bb = base.select(
+        "vec_id", "v", "n", sign_bucket(F.col("v"), 6, 1).alias("b1")
+    )
+    a1 = bb.selectExpr("vec_id AS a_id", "v AS av", "n AS an", "b1")
+    b1 = bb.selectExpr("vec_id AS b_id", "v AS bv", "n AS bn", "b1 AS bb1")
+    single = (
+        a1.join(b1, F.col("b1") == F.col("bb1"))
+        .filter(F.col("b_id") < F.col("a_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+                6,
+            ).alias("s"),
+        )
+        .filter(F.col("s") >= t)
+    )
+    recall1 = len({(r.a_id, r.b_id) for r in single.collect()}) / len(truth)
+    assert recall2 > recall1, (recall2, recall1)
+    assert recall2 > 0.04, recall2  # floor on uniform-random worst case
