@@ -2878,3 +2878,215 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily.createOrReplaceTempView("hw_daily")
     return spark.sql(_HW_SQL.format(daily="hw_daily"))
+
+
+# ------------------------------------- item-item CF recommender
+_CF_K = 5
+_CF_MIN_SUPPORT = 2
+
+
+@register(
+    "orders_item_cf_topk",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM li GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {_CF_MIN_SUPPORT}
+    ), mirrored AS (
+      SELECT id_a AS item_id, id_b AS neighbor_id, support FROM pair
+      UNION ALL
+      SELECT id_b AS item_id, id_a AS neighbor_id, support FROM pair
+    ), scored AS (
+      SELECT m.item_id, m.neighbor_id, m.support,
+             (m.support * m.support * 1000000) // (ia.n_item * ib.n_item)
+               AS cos2_micro
+      FROM mirrored m
+      JOIN item ia ON ia.l_partkey = m.item_id
+      JOIN item ib ON ib.l_partkey = m.neighbor_id
+    )
+    SELECT item_id, neighbor_id, support, cos2_micro, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY item_id
+               ORDER BY cos2_micro DESC, support DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {_CF_K}
+    """,
+    doc=f"Item-item collaborative-filtering recommender: top-{_CF_K} "
+        "neighbors per part by co-purchase cosine similarity "
+        "cos(i,j) = support_ij / sqrt(n_i * n_j), ranked via its "
+        "square in exact integer micro-units (support²·10⁶ div "
+        "n_i·n_j — monotone in cosine, pure BIGINT, no sqrt or "
+        "double ever formed). Candidate pairs come from the basket "
+        "self-join on the order key — pair space bounded by basket "
+        "size (Σ per-order lines²), never items² — mined once as "
+        f"i<j with support ≥ {_CF_MIN_SUPPORT}, then mirrored by "
+        "projection (no second join). Item frequencies broadcast "
+        "back; the per-item rank is a partitioned window keyed by "
+        "item id, which shards freely at 100 TB.",
+)
+def orders_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = persist_tracked(li)
+    item = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_item")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_b")
+    )
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= _CF_MIN_SUPPORT)
+    )
+    mirrored = pair.select(
+        F.col("id_a").alias("item_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "support",
+    ).unionByName(
+        pair.select(
+            F.col("id_b").alias("item_id"),
+            F.col("id_a").alias("neighbor_id"),
+            "support",
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("item_id"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("neighbor_id"),
+        F.col("n_item").alias("n_b"),
+    )
+    scored = (
+        mirrored.join(F.broadcast(ia), "item_id")
+        .join(F.broadcast(ib), "neighbor_id")
+        .select(
+            "item_id",
+            "neighbor_id",
+            "support",
+            F.expr(
+                "(support * support * 1000000) div (n_a * n_b)"
+            ).alias("cos2_micro"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(
+        F.col("cos2_micro").desc(),
+        F.col("support").desc(),
+        F.col("neighbor_id").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _CF_K)
+        .select("item_id", "neighbor_id", "support", "cos2_micro", "rank")
+    )
+
+
+# ------------------------------- classical seasonal decomposition
+@register(
+    "events_classical_decompose",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT hr, n,
+             sum(n) OVER w AS s,
+             count(*) OVER w AS c
+      FROM hourly
+      WINDOW w AS (ORDER BY hr RANGE BETWEEN 12 PRECEDING
+                                         AND 12 FOLLOWING)
+    ), tr2 AS (
+      SELECT hr, n,
+             CAST((2 * s * 1000000 + c) // (2 * c) AS BIGINT)
+               AS trend_micro,
+             CAST(n * 1000000 - ((2 * s * 1000000 + c) // (2 * c))
+               AS BIGINT) AS detr_micro
+      FROM tr
+    ), seas AS (
+      SELECT hr % 24 AS hod,
+             CAST((2 * (sum(detr_micro) + count(*) * 1000000000000)
+                + count(*)) // (2 * count(*)) - 1000000000000
+               AS BIGINT) AS seas_micro
+      FROM tr2 GROUP BY 1
+    )
+    SELECT t.hr, t.n, t.trend_micro, s.seas_micro,
+           CAST(t.n * 1000000 - t.trend_micro - s.seas_micro
+             AS BIGINT) AS remainder_micro
+    FROM tr2 t JOIN seas s ON s.hod = t.hr % 24
+    ORDER BY t.hr
+    """,
+    doc="Classical (moving-average) seasonal decomposition of the "
+        "hourly event-count series: trend = centered 25-hour mean "
+        "(RANGE ±12 on the integer hour key, gap-safe), seasonal = "
+        "hour-of-day mean of the detrended series, remainder = "
+        "value − trend − seasonal. Every division re-quantizes to "
+        "BIGINT micro-units with round-half-up folded into integers "
+        "(floor((2S+c)/2c)); the seasonal mean adds a 10¹² offset "
+        "first so the numerator stays positive — truncating and "
+        "flooring division agree on positives, so the engines "
+        "cannot diverge on negative detrended sums. The only "
+        "fact-sized work is the hourly groupBy; the global RANGE "
+        "window runs on the hour dimension (span-bounded, not "
+        "fact-sized — partition by series id when decomposing many "
+        "series).",
+)
+def events_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("hr").rangeBetween(-12, 12)
+    tr = hourly.select(
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.count("*").over(w).alias("c"),
+    )
+    tr2 = tr.select(
+        "hr",
+        "n",
+        F.expr("(2 * s * 1000000 + c) div (2 * c)").alias("trend_micro"),
+        F.expr(
+            "n * 1000000 - ((2 * s * 1000000 + c) div (2 * c))"
+        ).alias("detr_micro"),
+    )
+    seas = tr2.groupBy((F.col("hr") % 24).alias("hod")).agg(
+        F.expr(
+            "(2 * (sum(detr_micro) + count(*) * 1000000000000)"
+            " + count(*)) div (2 * count(*)) - 1000000000000"
+        ).alias("seas_micro")
+    )
+    return (
+        tr2.join(F.broadcast(seas), tr2["hr"] % 24 == seas["hod"])
+        .select(
+            "hr",
+            "n",
+            "trend_micro",
+            "seas_micro",
+            F.expr(
+                "n * 1000000 - trend_micro - seas_micro"
+            ).alias("remainder_micro"),
+        )
+        .orderBy("hr")
+    )

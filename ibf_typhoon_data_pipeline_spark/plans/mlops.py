@@ -2186,6 +2186,135 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_full_outer",
+    """
+    SELECT CAST(coalesce(c.user_id, p.user_id) % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(c.event_id) AS BIGINT) AS n_click_rows,
+           CAST(count(p.event_id) AS BIGINT) AS n_purchase_rows,
+           CAST(coalesce(sum(c.event_id), 0) AS BIGINT) AS sum_click_ids,
+           CAST(coalesce(sum(p.event_id), 0) AS BIGINT) AS sum_purchase_ids
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Stream-stream FULL OUTER interval join — completes the "
+        "join-family (inner: stream_stream_interval_join, left: "
+        "stream_stream_left_outer). Null-extended rows now flow from "
+        "BOTH states: an unmatched click emits once the watermark "
+        "clears its [0, +30 min] band, an unmatched purchase once it "
+        "clears the mirrored [−30 min, 0] band — both are "
+        "watermark-driven state evictions, so the same +30-day "
+        "sentinel pair (user −1, filtered out by "
+        "coalesce(c,p) ≥ 0) lands as a second maxFilesPerTrigger=1 "
+        "micro-batch on each side to flush a finite replay. Oracle "
+        "is the identical batch FULL JOIN; equality proves eager "
+        "matches plus both eviction paths reconstruct it exactly. "
+        "State stays bounded: each side evicts once the opposite "
+        "watermark passes its band.",
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="ibf_stream_ssfoj_")
+    land_c = os.path.join(work, "clicks")
+    land_p = os.path.join(work, "purchases")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    clicks_b.coalesce(1).write.mode("overwrite").parquet(land_c)
+    purch_b.coalesce(1).write.mode("overwrite").parquet(land_p)
+    sentinel = ev.agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.expr("mx + INTERVAL 30 DAYS").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+    )
+    before = {d: _landing_files(d) for d in (land_c, land_p)}
+    sentinel.coalesce(1).write.mode("append").parquet(land_c)
+    sentinel.coalesce(1).write.mode("append").parquet(land_p)
+    for d in (land_c, land_p):
+        _bump_mtime_after(d, before[d])
+
+    clicks = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land_c)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land_p)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    )
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = (
+        spark.read.parquet(os.path.join(out, "*"))
+        .filter(F.coalesce("c_user", "p_user") >= 0)
+        .groupBy(
+            (F.coalesce("c_user", "p_user") % 8).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("click_id").cast("long").alias("n_click_rows"),
+            F.count("purchase_id").cast("long").alias("n_purchase_rows"),
+            F.coalesce(F.sum("click_id"), F.lit(0))
+            .cast("long")
+            .alias("sum_click_ids"),
+            F.coalesce(F.sum("purchase_id"), F.lit(0))
+            .cast("long")
+            .alias("sum_purchase_ids"),
+        )
+        .orderBy("bucket")
+    )
+    result = _pin(spark, result)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+@register(
     "scan_binaryfile_blobs",
     """
     SELECT doc_id,
