@@ -125,6 +125,10 @@ HEADLINE = [
     # in the sentinel-flush replay machinery surface in-round — session
     # windows exercise watermark advance + bounded append emission
     "stream_session_windows",
+    # round-6: new families — item-item CF (basket self-join + integer
+    # cosine² rank) and classical decomposition (RANGE-window trend)
+    "orders_item_cf_topk",
+    "events_classical_decompose",
 ]
 
 N_SESSIONS = 3
