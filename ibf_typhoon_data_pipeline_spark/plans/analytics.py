@@ -3090,3 +3090,70 @@ def events_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+# --------------------------------------------- time-weighted average
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+      FROM events
+    ), seg AS (
+      SELECT event_type, vm,
+             lead(sec) OVER (PARTITION BY event_type
+                             ORDER BY sec, vm) - sec AS dur_s
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+           CAST((2 * (sum(vm * dur_s) + sum(dur_s) * 1000000000000)
+                 + sum(dur_s)) // (2 * sum(dur_s)) - 1000000000000
+             AS BIGINT) AS twa_milli
+    FROM seg
+    WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Time-weighted average (TWAP-style): each observation's value "
+        "holds until the next observation of the same type, so the "
+        "mean weights each value by its holding duration — the "
+        "correct aggregate for irregularly-sampled state series "
+        "where the plain mean over-weights bursts. Values quantize "
+        "once to integer milli-units (floor(v·1000+0.5) on identical "
+        "parquet doubles is exact); the weighted mean is a pure "
+        "BIGINT rounding division with the 10^12 positivity offset. "
+        "Zero-duration segments (simultaneous ties, already ordered "
+        "deterministically by (sec, vm)) drop out with weight 0. One "
+        "type-partitioned sort window + one keyed agg — shards "
+        "freely at 100 TB.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "vm")
+    seg = ev.select(
+        "event_type",
+        "vm",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dur_s"),
+    )
+    return (
+        seg.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("dur_s").cast("long").alias("total_dur_s"),
+            F.expr(
+                "CAST((2 * (sum(vm * dur_s)"
+                " + sum(dur_s) * 1000000000000) + sum(dur_s))"
+                " div (2 * sum(dur_s)) - 1000000000000 AS BIGINT)"
+            ).alias("twa_milli"),
+        )
+        .orderBy("event_type")
+    )

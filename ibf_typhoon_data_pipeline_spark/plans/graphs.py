@@ -1969,3 +1969,120 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "target_file")
     )
+
+
+# ------------------------------------------- clustering-depth audit
+@register(
+    "layout_clustering_depth",
+    """
+    WITH keyed AS (
+      SELECT CAST((instr('0123456789abcdef',
+               substr(md5(concat('cd:', CAST(l_orderkey AS STRING))),
+                      1, 1)) - 1) AS INTEGER) AS hash_file,
+             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents
+      FROM lineitem
+    ), manifests AS (
+      SELECT 'hash' AS layout, hash_file AS file_id,
+             min(price_cents) AS lo, max(price_cents) AS hi
+      FROM keyed GROUP BY 1, 2
+      UNION ALL
+      SELECT 'clustered' AS layout,
+             CAST(price_cents // 700000 AS INTEGER) AS file_id,
+             min(price_cents) AS lo, max(price_cents) AS hi
+      FROM keyed GROUP BY 1, 2
+    ), per_file AS (
+      SELECT a.layout, a.file_id,
+             CAST(count(b.file_id) AS BIGINT) AS n_overlap
+      FROM manifests a LEFT JOIN manifests b
+        ON a.layout = b.layout AND a.file_id <> b.file_id
+       AND a.lo <= b.hi AND b.lo <= a.hi
+      GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST((2 * sum(n_overlap) * 1000000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS avg_overlap_micro,
+           CAST(max(n_overlap) AS BIGINT) AS max_overlap
+    FROM per_file
+    GROUP BY layout ORDER BY layout
+    """,
+    doc="Clustering-depth audit — the lakehouse metric for how well a "
+        "table's file layout serves range predicates on a column "
+        "(Delta OPTIMIZE / Snowflake clustering_information shape): "
+        "per file, how many OTHER files' [min,max] price zones "
+        "overlap it. A hash write layout (md5 nibble of the write "
+        "key, 16 'files') interleaves the full price range into "
+        "every file — every zone overlaps every other and zone maps "
+        "skip nothing; a range-clustered layout (fixed-width "
+        "price_cents buckets) has near-disjoint zones and skips "
+        "almost everything. Both manifests come from ONE fact pass "
+        "(partial-agg min/max per file); the overlap self-join runs "
+        "on the manifest, which is file-count-sized metadata — at "
+        "100 TB that is ~10⁵ rows, not a fact-table join. Outputs "
+        "per layout: file count, mean overlap degree (exact integer "
+        "micro), and worst file. Companion to layout_zone_maps (the "
+        "stats) and layout_zorder_key (the fix).",
+)
+def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    keyed = li.select(
+        F.expr(
+            "CAST((instr('0123456789abcdef',"
+            " substr(md5(concat('cd:', CAST(l_orderkey AS STRING))),"
+            " 1, 1)) - 1) AS INT)"
+        ).alias("hash_file"),
+        F.round(F.col("l_extendedprice") * 100.0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    hash_m = keyed.groupBy(
+        F.lit("hash").alias("layout"),
+        F.col("hash_file").alias("file_id"),
+    ).agg(
+        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
+    )
+    clus_m = keyed.groupBy(
+        F.lit("clustered").alias("layout"),
+        F.expr("CAST(price_cents div 700000 AS INT)").alias("file_id"),
+    ).agg(
+        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
+    )
+    manifests = hash_m.unionByName(clus_m)
+    a = manifests.select(
+        "layout",
+        "file_id",
+        F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = manifests.select(
+        F.col("layout").alias("b_layout"),
+        F.col("file_id").alias("b_file"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    per_file = (
+        a.join(
+            F.broadcast(b),
+            (F.col("layout") == F.col("b_layout"))
+            & (F.col("file_id") != F.col("b_file"))
+            & (F.col("a_lo") <= F.col("b_hi"))
+            & (F.col("b_lo") <= F.col("a_hi")),
+            "left",
+        )
+        .groupBy("layout", "file_id")
+        .agg(F.count("b_file").cast("long").alias("n_overlap"))
+    )
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.expr(
+                "CAST((2 * sum(n_overlap) * 1000000 + count(*))"
+                " div (2 * count(*)) AS BIGINT)"
+            ).alias("avg_overlap_micro"),
+            F.max("n_overlap").cast("long").alias("max_overlap"),
+        )
+        .orderBy("layout")
+    )

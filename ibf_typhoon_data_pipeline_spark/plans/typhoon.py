@@ -4956,3 +4956,77 @@ def tc_rain_idf_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_steps", "exceed_rank")
     )
+
+
+# ------------------------------------------- intensity verification
+@register(
+    "tc_intensity_mae",
+    f"""
+    WITH tracks AS ({TRACKS_SQL}),
+    ctrl AS (
+      SELECT step, vmax AS cvm FROM tracks WHERE ens_id = 0
+    ), members AS (
+      SELECT t.step,
+             CAST(floor(t.vmax * 1000.0 + 0.5) AS BIGINT)
+               - CAST(floor(c.cvm * 1000.0 + 0.5) AS BIGINT) AS diff_milli
+      FROM tracks t JOIN ctrl c ON c.step = t.step
+      WHERE t.ens_id > 0
+    )
+    SELECT step,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST((2 * sum(abs(diff_milli)) * 1000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS mae_micro,
+           CAST((2 * (sum(diff_milli) * 1000
+                      + count(*) * 1000000000000) + count(*))
+                // (2 * count(*)) - 1000000000000 AS BIGINT) AS bias_micro,
+           CAST(max(abs(diff_milli)) AS BIGINT) AS max_abs_milli
+    FROM members
+    GROUP BY step
+    ORDER BY step
+    """,
+    doc="Intensity-error verification by lead step — the Vmax twin of "
+        "tc_track_dpe (position) completing the deterministic "
+        "verification suite: per-member wind-speed error vs the "
+        "control, quantized ONCE to integer milli-m/s "
+        "(floor(v*1000+0.5) on token-identical doubles is exact in "
+        "both engines), then exact integer MAE, mean bias (10^12 "
+        "offset keeps the rounding division on positives — "
+        "truncating vs flooring division cannot diverge), and "
+        "worst-member absolute error per step. Control frame "
+        "broadcasts; one step-keyed agg, member-parallel at any "
+        "ensemble size. Reference: verification of "
+        "forecast_process.py's ensemble intensity handling.",
+)
+def tc_intensity_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark)
+    ctrl = tracks.filter(F.col("ens_id") == 0).select(
+        "step", F.col("vmax").alias("cvm")
+    )
+    members = (
+        tracks.filter(F.col("ens_id") > 0)
+        .join(F.broadcast(ctrl), "step")
+        .selectExpr(
+            "step",
+            "CAST(floor(vmax * 1000.0 + 0.5) AS BIGINT)"
+            " - CAST(floor(cvm * 1000.0 + 0.5) AS BIGINT) AS diff_milli",
+        )
+    )
+    return (
+        members.groupBy("step")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.expr(
+                "CAST((2 * sum(abs(diff_milli)) * 1000 + count(*))"
+                " div (2 * count(*)) AS BIGINT)"
+            ).alias("mae_micro"),
+            F.expr(
+                "CAST((2 * (sum(diff_milli) * 1000"
+                " + count(*) * 1000000000000) + count(*))"
+                " div (2 * count(*)) - 1000000000000 AS BIGINT)"
+            ).alias("bias_micro"),
+            F.expr("CAST(max(abs(diff_milli)) AS BIGINT)").alias(
+                "max_abs_milli"
+            ),
+        )
+        .orderBy("step")
+    )
