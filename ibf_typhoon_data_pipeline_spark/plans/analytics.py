@@ -3071,6 +3071,14 @@ def events_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n * 1000000 - ((2 * s * 1000000 + c) div (2 * c))"
         ).alias("detr_micro"),
     )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    # tr2 feeds BOTH the seasonal fit and the output join (no CTE
+    # sharing in Spark) — persist the hour-dimension-sized frame so
+    # the fact scan + hourly agg run once
+    tr2 = persist_tracked(tr2)
     seas = tr2.groupBy((F.col("hr") % 24).alias("hod")).agg(
         F.expr(
             "(2 * (sum(detr_micro) + count(*) * 1000000000000)"

@@ -689,3 +689,38 @@ def test_binary_hamming_query_side_broadcast(spark):
     # the sampled query fingerprints must broadcast; the corpus side
     # is scanned once and never shuffled for the candidate join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_item_cf_counts_broadcast_no_cartesian(spark):
+    plan = _plan(spark, "orders_item_cf_topk")
+    # item-frequency joins must broadcast (bounded dims) and the pair
+    # generation must stay an equi-join on the basket key
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classical_decompose_windows_run_on_hourly_frame(spark):
+    plan = _plan(spark, "events_classical_decompose")
+    # the RANGE trend window runs AFTER the hourly groupBy
+    # (span-bounded frame): in the parent-first plan text, every
+    # Window's child chain must hit a HashAggregate BEFORE reaching
+    # the fact scan — a Window directly over the FileScan would be a
+    # fact-sized single-partition sort
+    assert "Window" in plan
+    for seg in plan.split("Window")[1:]:
+        scan = seg.find("FileScan")
+        if scan >= 0:
+            assert "HashAggregate" in seg[:scan], (
+                "trend window must run on the aggregated hourly frame"
+            )
+
+
+def test_clustering_depth_overlap_join_is_manifest_sized(spark):
+    plan = _plan(spark, "layout_clustering_depth")
+    # the overlap self-join runs on the broadcast manifest (file-count
+    # metadata), never a fact-table nested loop
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # both manifests partial-aggregate before any join
+    assert plan.count("HashAggregate") >= 4
