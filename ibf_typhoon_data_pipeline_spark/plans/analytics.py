@@ -3165,3 +3165,139 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ max drawdown
+@register(
+    "events_max_drawdown",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+      FROM events
+    ), cum AS (
+      SELECT user_id, sec, event_id,
+             sum(vm) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS bal
+      FROM ev
+    ), dd_t AS (
+      SELECT user_id,
+             max(bal) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - bal AS dd
+      FROM cum
+    )
+    SELECT user_id, CAST(max(dd) AS BIGINT) AS max_drawdown_milli
+    FROM dd_t GROUP BY user_id
+    ORDER BY max_drawdown_milli DESC, user_id ASC
+    LIMIT 20
+    """,
+    doc="Maximum drawdown per user value series (the finance risk "
+        "metric, applied per-entity): running balance = cumulative "
+        "sum of milli-quantized values, drawdown = running peak − "
+        "balance, report the 20 worst users. Both windows share ONE "
+        "user-partitioned sort (explicit ROWS frames; (sec, event_id) "
+        "is a unique order so peers cannot differ cross-engine); the "
+        "final top-20 is TakeOrdered with a deterministic tiebreak. "
+        "Partitioned by user — shards freely; never a global window.",
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.expr("CAST(floor(value * 1000.0 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.select(
+        "user_id", "sec", "event_id", F.sum("vm").over(w).alias("bal")
+    )
+    dd_t = cum.select(
+        "user_id", (F.max("bal").over(w) - F.col("bal")).alias("dd")
+    )
+    return (
+        dd_t.groupBy("user_id")
+        .agg(F.max("dd").cast("long").alias("max_drawdown_milli"))
+        .orderBy(
+            F.col("max_drawdown_milli").desc(), F.col("user_id").asc()
+        )
+        .limit(20)
+    )
+
+
+# ------------------------------------------- funnel time-to-convert
+@register(
+    "events_funnel_ttc",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), c AS (
+      SELECT user_id, min(sec) AS c0
+      FROM ev WHERE event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.sec) AS p0
+      FROM ev e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.sec >= c.c0
+      GROUP BY 1
+    ), ttc AS (
+      SELECT c.user_id, p.p0 - c.c0 AS ttc_s
+      FROM c JOIN p ON p.user_id = c.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST((2 * sum(ttc_s) * 1000 + count(*)) // (2 * count(*))
+             AS BIGINT) AS mean_ttc_milli,
+           round(CAST(quantile_cont(ttc_s, 0.5) AS DOUBLE), 6)
+             AS p50_ttc_s,
+           round(CAST(quantile_cont(ttc_s, 0.9) AS DOUBLE), 6)
+             AS p90_ttc_s
+    FROM ttc
+    """,
+    doc="Funnel time-to-convert distribution: per user, seconds from "
+        "first click to first subsequent purchase; reported as "
+        "conversion count, exact integer mean (rounding division in "
+        "milli-seconds), and interpolated p50/p90 (Spark percentile "
+        "== DuckDB quantile_cont on integer inputs at 6dp — the "
+        "pinned parity fact). Complements events_funnel_conversion "
+        "(the rate) with the latency a growth team actually pages "
+        "on. Two user-keyed aggregates and one user equi-join; the "
+        "final percentile runs over the user-count-sized conversion "
+        "frame.",
+)
+def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("c0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("sec") >= F.col("c0"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("p0"))
+    )
+    ttc = c.join(p, "user_id").select(
+        (F.col("p0") - F.col("c0")).alias("ttc_s")
+    )
+    return ttc.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST((2 * sum(ttc_s) * 1000 + count(*))"
+            " div (2 * count(*)) AS BIGINT)"
+        ).alias("mean_ttc_milli"),
+        F.round(F.expr("percentile(ttc_s, 0.5)"), 6).alias("p50_ttc_s"),
+        F.round(F.expr("percentile(ttc_s, 0.9)"), 6).alias("p90_ttc_s"),
+    )

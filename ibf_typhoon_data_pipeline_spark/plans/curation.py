@@ -2180,3 +2180,73 @@ def ml_nb_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1000000.0 * 2 * tp / (2 * tp + fp + fn)) ELSE 0 END AS BIGINT)"
         " AS f1_e6",
     ).orderBy("lang")
+
+
+# ------------------------------------------------ n-gram novelty
+@register(
+    "corpus_ngram_novelty",
+    f"""
+    WITH sp AS (
+      SELECT doc_id, text, {_SPLIT_SQL} AS split FROM documents
+    ), tr AS (
+      SELECT DISTINCT unnest({_sql_shingles(5)}) AS shingle
+      FROM sp WHERE split = 'train'
+    ), te AS (
+      SELECT doc_id, unnest({_sql_shingles(5)}) AS shingle
+      FROM sp WHERE split = 'test'
+    ), j AS (
+      SELECT te.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (WHERE tr.shingle IS NULL) AS BIGINT)
+               AS n_novel
+      FROM te LEFT JOIN tr ON tr.shingle = te.shingle
+      GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST((2 * n_novel * 1000000 + n_grams) // (2 * n_grams)
+             AS BIGINT) AS novelty_micro
+    FROM j ORDER BY doc_id
+    """,
+    doc="N-gram novelty (the memorization/coverage metric of Lee et "
+        "al. 2022's dedup analysis, doc-level): per held-out test "
+        "document, the fraction of its distinct word 5-grams never "
+        "seen in the train split. Complements corpus_decontaminate "
+        "(doc-pair leakage): this is the corpus-level overlap RATE, "
+        "the number a training-data card reports. The train gram set "
+        "is a distinct projection; membership is one inverted-index "
+        "LEFT equi-join on the gram (cost Σ bucket², never "
+        "train×test); the ratio is an exact integer rounding "
+        "division. At 100 TB the gram join shuffles on hash keys — "
+        "balanced; the test side is small by construction.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _split_col().alias("split")
+    )
+    tr = (
+        dd.shingle_table(docs.filter(F.col("split") == "train"), n=5)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    te = dd.shingle_table(docs.filter(F.col("split") == "test"), n=5)
+    return (
+        te.join(tr, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.expr("CAST(count_if(__hit IS NULL) AS BIGINT)").alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr(
+                "CAST((2 * n_novel * 1000000 + n_grams)"
+                " div (2 * n_grams) AS BIGINT)"
+            ).alias("novelty_micro"),
+        )
+        .orderBy("doc_id")
+    )
