@@ -3301,3 +3301,139 @@ def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(ttc_s, 0.5)"), 6).alias("p50_ttc_s"),
         F.round(F.expr("percentile(ttc_s, 0.9)"), 6).alias("p90_ttc_s"),
     )
+
+
+# ------------------------------------------------ AMS F2 sketch
+# Alon-Matias-Szegedy second frequency moment: F2 = sum of squared term
+# frequencies — exactly the candidate-pair count an inverted-index
+# self-join would generate, so the sketch is the engine's own
+# join-blowup estimator (prune_common_shingles decides from this
+# number). Each of 64 counters is one map-side sum of +-1 signs (md5
+# nibble parity per (counter, term)); E[c_j^2] = F2, estimate = mean
+# of 64 (std <= sqrt(2/64) ~= 18% of F2 in theory; measured ~20% at
+# sf0.01 — one sigma on a Zipf stream). Everything is exact integers.
+_AMS_SIGNS_SQL = """CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams0:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c0,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams1:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c1,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams2:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c2,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams3:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c3,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams4:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c4,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams5:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c5,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams6:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c6,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams7:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c7,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams8:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c8,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams9:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c9,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams10:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c10,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams11:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c11,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams12:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c12,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams13:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c13,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams14:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c14,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams15:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c15,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams16:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c16,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams17:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c17,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams18:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c18,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams19:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c19,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams20:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c20,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams21:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c21,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams22:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c22,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams23:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c23,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams24:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c24,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams25:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c25,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams26:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c26,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams27:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c27,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams28:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c28,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams29:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c29,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams30:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c30,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams31:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c31,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams32:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c32,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams33:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c33,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams34:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c34,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams35:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c35,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams36:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c36,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams37:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c37,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams38:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c38,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams39:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c39,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams40:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c40,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams41:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c41,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams42:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c42,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams43:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c43,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams44:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c44,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams45:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c45,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams46:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c46,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams47:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c47,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams48:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c48,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams49:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c49,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams50:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c50,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams51:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c51,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams52:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c52,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams53:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c53,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams54:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c54,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams55:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c55,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams56:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c56,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams57:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c57,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams58:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c58,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams59:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c59,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams60:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c60,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams61:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c61,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams62:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c62,
+             CAST(sum(1 - 2 * ((instr('0123456789abcdef', substr(md5(concat('ams63:', term)), 1, 1)) - 1) % 2)) AS BIGINT) AS c63"""
+_AMS_EST_SQL = "(c0 * c0 + c1 * c1 + c2 * c2 + c3 * c3 + c4 * c4 + c5 * c5 + c6 * c6 + c7 * c7 + c8 * c8 + c9 * c9 + c10 * c10 + c11 * c11 + c12 * c12 + c13 * c13 + c14 * c14 + c15 * c15 + c16 * c16 + c17 * c17 + c18 * c18 + c19 * c19 + c20 * c20 + c21 * c21 + c22 * c22 + c23 * c23 + c24 * c24 + c25 * c25 + c26 * c26 + c27 * c27 + c28 * c28 + c29 * c29 + c30 * c30 + c31 * c31 + c32 * c32 + c33 * c33 + c34 * c34 + c35 * c35 + c36 * c36 + c37 * c37 + c38 * c38 + c39 * c39 + c40 * c40 + c41 * c41 + c42 * c42 + c43 * c43 + c44 * c44 + c45 * c45 + c46 * c46 + c47 * c47 + c48 * c48 + c49 * c49 + c50 * c50 + c51 * c51 + c52 * c52 + c53 * c53 + c54 * c54 + c55 * c55 + c56 * c56 + c57 * c57 + c58 * c58 + c59 * c59 + c60 * c60 + c61 * c61 + c62 * c62 + c63 * c63)"
+
+
+@register(
+    "sketch_ams_f2",
+    f"""
+    WITH terms AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM documents
+    ), counters AS (
+      SELECT {_AMS_SIGNS_SQL}
+      FROM terms
+    ), exact AS (
+      SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2
+      FROM (SELECT count(*) AS f FROM terms GROUP BY term)
+    )
+    SELECT exact_f2,
+           CAST((2 * {_AMS_EST_SQL} + 64) // 128 AS BIGINT) AS est_f2,
+           CAST(abs(CAST((2 * {_AMS_EST_SQL} + 64) // 128 AS BIGINT)
+                    - exact_f2) * 1000000 // exact_f2 AS BIGINT)
+             AS rel_err_micro
+    FROM counters CROSS JOIN exact
+    """,
+    doc="AMS sketch for the second frequency moment F2 = Σ f(term)² — "
+        "the self-join size estimator (F2 IS the pair count an "
+        "inverted-index join on the term would produce, the number "
+        "prune_common_shingles bounds). 64 independent ±1-sign "
+        "counters (md5 nibble parity) accumulate in ONE map-side agg "
+        "over the token stream — no shuffle keyed by term — and "
+        "mean(c²) estimates F2 (std ≤ √(2/64) ≈ 18% in theory; "
+        "pytest pins the measured error); the exact value needs the "
+        "full term groupBy. At 100 TB the sketch costs one pass and "
+        "64 BIGINTs where the exact path shuffles every distinct "
+        "term — this entry runs both and reports the integer "
+        "relative error.",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("term")
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    terms = persist_tracked(terms)
+    counters = terms.agg(
+        *[F.expr(e) for e in _AMS_SIGNS_SQL.split(",\n")]
+    )
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("f"))
+        .agg(F.expr("CAST(sum(f * f) AS BIGINT) AS exact_f2"))
+    )
+    est = f"CAST((2 * {_AMS_EST_SQL} + 64) div 128 AS BIGINT)"
+    return counters.crossJoin(F.broadcast(exact)).selectExpr(
+        "exact_f2",
+        f"{est} AS est_f2",
+        f"CAST(abs({est} - exact_f2) * 1000000 div exact_f2 AS BIGINT)"
+        " AS rel_err_micro",
+    )

@@ -1936,3 +1936,79 @@ def corpus_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_tokens bigint, n_bytes bigint, "
         "sum_token_chars bigint",
     )
+
+
+# ------------------------------------------------ readability score
+# Flesch-Kincaid grade folded into exact integers over the common
+# denominator S*W: 0.39*W/S + 11.8*Y/W - 15.59 ==
+# (390000*W*W + 11800000*Y*S - 15590000*S*W) / (1e6 * S * W).
+# Sentence and syllable-group counts are regexp_extract_all lengths
+# with backslash-free patterns (the cross-engine regex rule); the
+# final division is the 10^12-offset rounding div (score can be
+# negative for terse text).
+_FK_NUM_SQL = (
+    "(390000 * n_words * n_words"
+    " + 11800000 * n_syll * n_sents"
+    " - 15590000 * n_sents * n_words)"
+)
+_FK_DIV_SQL = (
+    f"CAST((2 * ({_FK_NUM_SQL} + (n_sents * n_words) * 1000000000000)"
+    " + (n_sents * n_words)) {div} (2 * (n_sents * n_words))"
+    " - 1000000000000 AS BIGINT)"
+)
+
+
+@register(
+    "text_readability_fk",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+               AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_sents, n_syll,
+           {_FK_DIV_SQL.format(div='//')} AS fk_micro
+    FROM feats ORDER BY doc_id
+    """,
+    doc="Flesch-Kincaid readability grade per document — the classic "
+        "text-difficulty quality signal (words/sentence and "
+        "syllables/word, syllable ≈ vowel group): the grade formula "
+        "folds into ONE exact integer rational over the common "
+        "denominator sentences×words, evaluated with the 10^12-offset "
+        "rounding division (grades go negative on terse text; "
+        "truncating vs flooring division cannot diverge on the "
+        "offset-positive numerator). Counts are regexp_extract_all "
+        "lengths with backslash-free patterns — the only regex text "
+        "that parses identically in both engines. Pure map-side "
+        "expressions, zero shuffle beyond the output sort.",
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(size(split(trim(text), ' +')) AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            "CAST(greatest(size(regexp_extract_all(text, '[.!?]', 0)), 1)"
+            " AS BIGINT)"
+        ).alias("n_sents"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            " AS BIGINT)"
+        ).alias("n_syll"),
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.expr(_FK_DIV_SQL.format(div="div")).alias("fk_micro"),
+    ).orderBy("doc_id")

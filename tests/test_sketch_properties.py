@@ -64,3 +64,25 @@ def test_weighted_sample_deterministic_and_eligible(spark):
     assert a == b  # repartition-independent, run-independent
     assert len(a) == 100
     assert all(r[1] > 0 for r in a)  # n_tokens (weight) > 0 for every pick
+
+
+def test_ams_f2_estimate_within_bound(spark):
+    """AMS mean-of-64 F2 estimate: std <= sqrt(2/64) ~= 18% of F2.
+    Pin the DETERMINISTIC measured error (md5 signs are fixed) well
+    inside 3 sigma so a sign/parity regression fails loudly while
+    normal estimator variance cannot."""
+    from ibf_typhoon_data_pipeline_spark import plans
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        release_caches,
+    )
+
+    row = (
+        plans.QUERIES["sketch_ams_f2"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    release_caches()
+    assert row.exact_f2 > 0
+    assert row.rel_err_micro < 540_000, row  # 3 sigma = ~54%
+    # est must be the right order of magnitude, not degenerate
+    assert row.est_f2 > row.exact_f2 // 4, row
