@@ -2463,3 +2463,82 @@ def scan_xml_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = _pin(spark, result)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "media_image_tiles",
+    f"""
+    WITH media AS ({_MEDIA_SQL}),
+    dims AS (
+      SELECT media_id,
+             CAST({_sql_hex_byte('content_hex', 0)} + 1 AS BIGINT) AS w,
+             CAST({_sql_hex_byte('content_hex', 1)} + 1 AS BIGINT) AS h
+      FROM media WHERE media_type = 'image'
+    )
+    , rows_ AS (
+      SELECT media_id, w, h,
+             unnest(range(0, (h + 7) // 8)) AS i
+      FROM dims
+    ), cells AS (
+      SELECT media_id, w, h, i,
+             unnest(range(0, (w + 7) // 8)) AS j
+      FROM rows_
+    )
+    SELECT media_id,
+           CAST(i * ((w + 7) // 8) + j AS BIGINT) AS tile_id,
+           CAST(j * 8 AS BIGINT) AS x0,
+           CAST(i * 8 AS BIGINT) AS y0,
+           CAST(least(j * 8 + 8, w) AS BIGINT) AS x1,
+           CAST(least(i * 8 + 8, h) AS BIGINT) AS y1
+    FROM cells
+    ORDER BY media_id, tile_id
+    """,
+    doc="Image tile/patch manifest — the 1-row→k-rows preprocessing "
+        "stage a ViT-style vision pipeline runs before decode (patch "
+        "grid, boundary clamping at the right/bottom edges): per "
+        "image, every 8×8 tile's (x0,y0,x1,y1) with a row-major tile "
+        "id, from the stubbed header dims (real decoders slot into "
+        "the same shape — the grid math is what's under test). "
+        "Spark side is explode(sequence(...)) twice — pure "
+        "generators, no shuffle except the output sort; DuckDB twin "
+        "is the lateral range() pair. Tile counts use the exact "
+        "integer ceil ((n+7)//8), so both engines enumerate "
+        "identical grids.",
+)
+def media_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.multimodal import (
+        gen_media,
+    )
+
+    media = gen_media(spark, 256).filter(F.col("media_type") == "image")
+    dims = media.select(
+        "media_id",
+        F.expr(
+            "CAST(conv(substr(hex(content), 1, 2), 16, 10) AS BIGINT)"
+            " + 1"
+        ).alias("w"),
+        F.expr(
+            "CAST(conv(substr(hex(content), 3, 2), 16, 10) AS BIGINT)"
+            " + 1"
+        ).alias("h"),
+    )
+    tiles = dims.select(
+        "media_id",
+        "w",
+        "h",
+        F.explode(F.expr("sequence(0, (h + 7) div 8 - 1)")).alias("i"),
+    ).select(
+        "media_id",
+        "w",
+        "h",
+        "i",
+        F.explode(F.expr("sequence(0, (w + 7) div 8 - 1)")).alias("j"),
+    )
+    return tiles.select(
+        "media_id",
+        F.expr("CAST(i * ((w + 7) div 8) + j AS BIGINT)").alias("tile_id"),
+        F.expr("CAST(j * 8 AS BIGINT)").alias("x0"),
+        F.expr("CAST(i * 8 AS BIGINT)").alias("y0"),
+        F.expr("CAST(least(j * 8 + 8, w) AS BIGINT)").alias("x1"),
+        F.expr("CAST(least(i * 8 + 8, h) AS BIGINT)").alias("y1"),
+    ).orderBy("media_id", "tile_id")
