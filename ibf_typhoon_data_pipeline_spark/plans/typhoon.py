@@ -5030,3 +5030,61 @@ def tc_intensity_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# --------------------------------------- antecedent precipitation
+# API_T = sum_t k^(T-t) * P_t with k = 0.9 over the 12 forecast steps
+# — the classic flood-preconditioning index driven by the rain stack.
+# The decay weights pre-quantize to e6 integers (the NDCG-discount
+# trick), the per-(cell, step) ensemble-median rain quantizes once to
+# milli-mm, so the index is an exact BIGINT weighted sum — no
+# recursion, no float accumulation.
+_API_W_SQL = "CASE CAST(11 - t AS INTEGER) WHEN 0 THEN 1000000 WHEN 1 THEN 900000 WHEN 2 THEN 810000 WHEN 3 THEN 729000 WHEN 4 THEN 656100 WHEN 5 THEN 590490 WHEN 6 THEN 531441 WHEN 7 THEN 478297 WHEN 8 THEN 430467 WHEN 9 THEN 387420 WHEN 10 THEN 348678 WHEN 11 THEN 313811 ELSE 0 END"
+
+
+@register(
+    "tc_rain_api_index",
+    f"""
+    WITH rain AS ({RAIN_SQL}),
+    med AS (
+      SELECT cell_id, t,
+             CAST(floor(median(mm) * 1000.0 + 0.5) AS BIGINT) AS p_milli
+      FROM rain GROUP BY cell_id, t
+    )
+    SELECT cell_id,
+           CAST(sum(p_milli * ({_API_W_SQL})) AS BIGINT) AS api_units,
+           CAST(max(p_milli) AS BIGINT) AS peak_p_milli
+    FROM med
+    GROUP BY cell_id
+    ORDER BY cell_id
+    """,
+    doc="Antecedent Precipitation Index per grid cell at the final "
+        "forecast step: API_T = Σ 0.9^(T−t)·P_t over the "
+        "ensemble-median rain series — the standard "
+        "flood-preconditioning covariate a rainfall trigger adds on "
+        "top of instantaneous exceedance (Rainfall_data.py's "
+        "accumulations are the reference twin surface). Decay "
+        "weights pre-quantized to e6 integers in ONE shared CASE "
+        "text, medians quantized once to milli-mm — the whole index "
+        "is exact BIGINT arithmetic. Two keyed aggs (member "
+        "reduction, then the weighted time collapse), both on "
+        "(cell, t)-grain keys — member- and cell-parallel at any "
+        "grid size.",
+)
+def tc_rain_api_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rain = gen_rain(spark)
+    med = rain.groupBy("cell_id", "t").agg(
+        F.expr(
+            "CAST(floor(median(mm) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("p_milli")
+    )
+    return (
+        med.groupBy("cell_id")
+        .agg(
+            F.expr(
+                f"CAST(sum(p_milli * ({_API_W_SQL})) AS BIGINT)"
+            ).alias("api_units"),
+            F.expr("CAST(max(p_milli) AS BIGINT)").alias("peak_p_milli"),
+        )
+        .orderBy("cell_id")
+    )
