@@ -2355,3 +2355,79 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return range_search_banded(emb, threshold=_RANGE_T, m=6)
+
+
+# ------------------------------------------------ retrieval eval
+def _recall_oracle() -> str:
+    """Composed lazily from the two retrievers' own oracle texts, so
+    the eval can never drift from the entries it scores."""
+    from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES
+
+    bf = QUERIES["sim_bruteforce_topk"].oracle_text()
+    lsh = QUERIES["sim_lsh_topk"].oracle_text()
+    return f"""
+    WITH bf AS ({bf}), lsh AS ({lsh}),
+    hits AS (
+      SELECT bf.query_id,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(lsh.neighbor_id) AS BIGINT) AS n_hit
+      FROM bf LEFT JOIN lsh
+        ON lsh.query_id = bf.query_id
+       AND lsh.neighbor_id = bf.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_true) AS BIGINT) AS n_relevant,
+           CAST(sum(n_hit) AS BIGINT) AS n_retrieved_relevant,
+           CAST((2 * sum(n_hit) * 1000000 + sum(n_true))
+                // (2 * sum(n_true)) AS BIGINT) AS recall_micro
+    FROM hits
+    """
+
+
+@register(
+    "sim_lsh_recall_eval",
+    _recall_oracle,  # lazy: composes the two entries' oracle texts
+    doc="Offline retrieval evaluation IN the engine: recall@5 of the "
+        "sign-LSH retriever against the exact brute-force baseline — "
+        "the nightly eval job an ANN deployment runs, expressed as "
+        "one plan (both retrievers are deterministic, so the metric "
+        "is oracle-checkable; the oracle text is COMPOSED from the "
+        "two entries' own oracles, so eval and system cannot drift). "
+        "Join on the (query, neighbor) pair, micro-exact ratio. At "
+        "100 TB the baseline runs on a sampled query set — the LEFT "
+        "join and ratio shapes are unchanged.",
+)
+def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.plans.registry import QUERIES
+
+    bf = QUERIES["sim_bruteforce_topk"].fn(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_nn")
+    )
+    lsh = QUERIES["sim_lsh_topk"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("l_query"),
+        F.col("neighbor_id").alias("l_nn"),
+        F.lit(1).alias("__hit"),
+    )
+    hits = (
+        bf.join(
+            lsh,
+            (F.col("l_query") == F.col("query_id"))
+            & (F.col("l_nn") == F.col("true_nn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.count("__hit").cast("long").alias("n_hit"),
+        )
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_true").cast("long").alias("n_relevant"),
+        F.sum("n_hit").cast("long").alias("n_retrieved_relevant"),
+        F.expr(
+            "CAST((2 * sum(n_hit) * 1000000 + sum(n_true))"
+            " div (2 * sum(n_true)) AS BIGINT)"
+        ).alias("recall_micro"),
+    )
