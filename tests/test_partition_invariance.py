@@ -29,6 +29,13 @@ NAMES = [
     "dedup_jaccard_prefix",
     "dedup_semdedup",
     "corpus_dsir_weights",
+    # round-6 families: basket self-join + broadcast-count rank,
+    # dimension-frame global RANGE window, AMS map-side sign counters
+    # (the classic partition-order-sensitive failure shape: each is a
+    # sum of ±1 — any non-commutative fold would flip values)
+    "orders_item_cf_topk",
+    "events_classical_decompose",
+    "sketch_ams_f2",
 ]
 
 
