@@ -3437,3 +3437,113 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(abs({est} - exact_f2) * 1000000 div exact_f2 AS BIGINT)"
         " AS rel_err_micro",
     )
+
+
+# --------------------------------------------- association rules
+_BR_TOPK = 20
+_BR_MIN_CONF_MICRO = 200000  # confidence >= 0.2
+
+
+@register(
+    "basket_rules_confidence",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM li GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), rules AS (
+      SELECT id_a AS antecedent, id_b AS consequent, support FROM pair
+      UNION ALL
+      SELECT id_b AS antecedent, id_a AS consequent, support FROM pair
+    ), scored AS (
+      SELECT r.antecedent, r.consequent, r.support,
+             CAST((2 * r.support * 1000000 + ia.n_item)
+                  // (2 * ia.n_item) AS BIGINT) AS confidence_micro
+      FROM rules r JOIN item ia ON ia.l_partkey = r.antecedent
+    )
+    SELECT antecedent, consequent, support, confidence_micro FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY confidence_micro DESC, support DESC,
+                        antecedent ASC, consequent ASC
+             ) AS rk
+      FROM scored WHERE confidence_micro >= {_BR_MIN_CONF_MICRO}
+    ) WHERE rk <= {_BR_TOPK}
+    """,
+    doc=f"Directional association rules a→b: confidence = "
+        "P(b|a) = support(a,b)/count(a) as an exact integer rounding "
+        "division, the triple that completes the market-basket "
+        "family (basket_pair_lift has support+lift; this adds the "
+        f"direction). Same bounded basket self-join mined once as "
+        f"i<j then mirrored by projection; rules below 0.2 "
+        f"confidence prune BEFORE the global top-{_BR_TOPK} "
+        "TakeOrdered with full deterministic tiebreaks.",
+)
+def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = persist_tracked(li)
+    item = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_item")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_b")
+    )
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    rules = pair.select(
+        F.col("id_a").alias("antecedent"),
+        F.col("id_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        pair.select(
+            F.col("id_b").alias("antecedent"),
+            F.col("id_a").alias("consequent"),
+            "support",
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("n_item").alias("n_a"),
+    )
+    scored = rules.join(F.broadcast(ia), "antecedent").select(
+        "antecedent",
+        "consequent",
+        "support",
+        F.expr(
+            "CAST((2 * support * 1000000 + n_a) div (2 * n_a)"
+            " AS BIGINT)"
+        ).alias("confidence_micro"),
+    )
+    return (
+        scored.filter(F.col("confidence_micro") >= _BR_MIN_CONF_MICRO)
+        .orderBy(
+            F.col("confidence_micro").desc(),
+            F.col("support").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(_BR_TOPK)
+        .select("antecedent", "consequent", "support", "confidence_micro")
+    )
