@@ -3441,7 +3441,7 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- association rules
 _BR_TOPK = 20
-_BR_MIN_CONF_MICRO = 200000  # confidence >= 0.2
+_BR_MIN_CONF_MICRO = 0  # rank-only: the top-k IS the contract
 
 
 @register(
