@@ -2250,3 +2250,111 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _fertility_oracle() -> str:
+    """Lazy oracle: the corpus_bpe_tokenize refit, regrouped by
+    language — fertility (tokens/word) and compression (chars/token)
+    as exact integer rounding divisions."""
+    import os
+
+    import duckdb
+
+    from ibf_typhoon_data_pipeline_spark.operators.bpe import (
+        BPE_TOKCOUNT_SQL,
+        bpe_merge_sql,
+        bpe_stats_sql,
+        fit_bpe_merges,
+    )
+
+    SF_ORACLE = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_ORACLE}/documents.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW bpe_tok AS SELECT unnest(string_split_regex("
+        "trim(text), ' +')) AS word FROM documents "
+        "WHERE length(trim(text)) > 0"
+    )
+    merges = fit_bpe_merges(
+        [tuple(r) for r in con.execute(bpe_stats_sql("bpe_tok")).fetchall()]
+    )
+    return f"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(string_split_regex(trim(text), ' +')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), sp AS (
+      SELECT lang, word,
+             array_to_string(string_split(word, ''), ' ') AS spaced
+      FROM tok
+    ), merged_t AS (
+      SELECT lang, {bpe_merge_sql(merges)} AS merged FROM sp
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum({BPE_TOKCOUNT_SQL}) AS BIGINT) AS n_tokens,
+           CAST((2 * sum({BPE_TOKCOUNT_SQL}) * 1000000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS fertility_micro,
+           CAST((2 * sum(length(replace(merged, ' ', ''))) * 1000000
+                 + sum({BPE_TOKCOUNT_SQL}))
+                // (2 * sum({BPE_TOKCOUNT_SQL})) AS BIGINT)
+             AS chars_per_token_micro
+    FROM merged_t GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "corpus_tokenizer_fertility",
+    _fertility_oracle,  # lazy: DuckDB refits the identical merges
+    doc="Tokenizer fertility by language — the tokenizer-quality card "
+        "metric (tokens per word; high fertility on a language means "
+        "the vocab under-serves it and its documents cost more "
+        "sequence length): the corpus_bpe_tokenize replace-chain "
+        "tokenizer, regrouped per language, with fertility and "
+        "chars-per-token as exact integer rounding divisions. The "
+        "merge fit is the same memoized bounded word-frequency "
+        "statistic (fit once, shared with the per-doc entry); the "
+        "apply pass is whole-stage-codegen string ops, map-side "
+        "only, so the per-language card costs one groupBy at any "
+        "corpus size.",
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.bpe import (
+        BPE_TOKCOUNT_SQL,
+        bpe_merge_sql,
+    )
+
+    merges = _bpe_merges_spark(spark, sf_dir)
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "lang", F.explode(dd.split_words(F.col("text"))).alias("word")
+        )
+    )
+    sp = tok.withColumn(
+        "spaced", F.expr("array_join(split(word, ''), ' ')")
+    )
+    merged = sp.withColumn("merged", F.expr(bpe_merge_sql(merges)))
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.expr(BPE_TOKCOUNT_SQL)).cast("long").alias("n_tokens"),
+            F.expr(
+                f"CAST((2 * sum({BPE_TOKCOUNT_SQL}) * 1000000 + count(*))"
+                " div (2 * count(*)) AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST((2 * sum(length(replace(merged, ' ', ''))) * 1000000"
+                f" + sum({BPE_TOKCOUNT_SQL}))"
+                f" div (2 * sum({BPE_TOKCOUNT_SQL})) AS BIGINT)"
+            ).alias("chars_per_token_micro"),
+        )
+        .orderBy("lang")
+    )
