@@ -123,17 +123,26 @@ def _driver_row_status() -> tuple[set[str], set[str]]:
 
 
 def _ordered_names() -> list[str]:
-    """Registration order within three tiers: (a) previously-RED
-    entries — any failed driver row or a `_STALE_BEFORE_ROUND` mark
-    without a post-fix green row — float to the very front, so a fix
-    gets its confirming driver row the round after it ships; then
-    (b) never-driver-checked entries; then (c) proven-green entries.
-    The driver samples a prefix of this list under a time cap."""
+    """Three tiers: (a) previously-RED entries — any failed driver row
+    or a `_STALE_BEFORE_ROUND` mark without a post-fix green row —
+    float to the very front, so a fix gets its confirming driver row
+    the round after it ships; then (b) never-driver-checked entries,
+    FIFO BY CATALOG AGE (`_catalog_age.FIRST_ROUND`, the round each
+    entry first registered) so old backlog clears before each round's
+    newcomers instead of being perpetually outranked by them (VERDICT
+    r6 item 1); then (c) proven-green entries. Registration order
+    breaks ties within each tier. The driver samples a prefix of this
+    list under a time cap."""
+    from ._catalog_age import FIRST_ROUND
+
     green, red = _driver_row_status()
     names = list(QUERIES)
+    reg_idx = {n: i for i, n in enumerate(names)}
+    never = [n for n in names if n not in red and n not in green]
+    never.sort(key=lambda n: (FIRST_ROUND.get(n, 10**6), reg_idx[n]))
     return (
         [n for n in names if n in red]
-        + [n for n in names if n not in red and n not in green]
+        + never
         + [n for n in names if n in green]
     )
 

@@ -1,0 +1,52 @@
+"""Pins the driver-sampling order contract (VERDICT r6 item 1).
+
+Tier (b) — never-driver-checked entries — must be FIFO by catalog age
+so old backlog (TPC-H, sim_*, ml_*, emb_*) clears before each round's
+newcomers. The age map `plans/_catalog_age.FIRST_ROUND` must cover
+every registered entry, which forces future additions to stamp their
+round.
+"""
+
+from ibf_typhoon_data_pipeline_spark import plans
+from ibf_typhoon_data_pipeline_spark.plans import registry
+from ibf_typhoon_data_pipeline_spark.plans._catalog_age import FIRST_ROUND
+
+
+def test_age_map_complete():
+    missing = set(plans.QUERIES) - set(FIRST_ROUND)
+    assert not missing, (
+        f"add these to plans/_catalog_age.py with the current round: "
+        f"{sorted(missing)}"
+    )
+
+
+def test_age_map_no_orphans():
+    orphans = set(FIRST_ROUND) - set(plans.QUERIES)
+    assert not orphans, f"stale age-map entries: {sorted(orphans)}"
+
+
+def test_tier_b_is_fifo_by_age():
+    green, red = registry._driver_row_status()
+    ordered = registry._ordered_names()
+    assert sorted(ordered) == sorted(plans.QUERIES)
+    tier_b = [n for n in ordered if n not in red and n not in green]
+    ages = [FIRST_ROUND[n] for n in tier_b]
+    assert ages == sorted(ages), (
+        "never-driver-checked entries must be sampled oldest-first"
+    )
+    # red entries (if any) stay ahead of everything
+    n_red = len([n for n in ordered if n in red])
+    assert all(n in red for n in ordered[:n_red])
+
+
+def test_backlog_heads_the_never_checked_tier():
+    """The round-4 TPC-H/vector debt must outrank round-6 newcomers
+    within tier (b) whenever both are still unchecked."""
+    green, red = registry._driver_row_status()
+    ordered = registry._ordered_names()
+    tier_b = [n for n in ordered if n not in red and n not in green]
+    pos = {n: i for i, n in enumerate(tier_b)}
+    old = [n for n in tier_b if FIRST_ROUND[n] <= 4]
+    new = [n for n in tier_b if FIRST_ROUND[n] >= 6]
+    if old and new:
+        assert max(pos[n] for n in old) < min(pos[n] for n in new)
