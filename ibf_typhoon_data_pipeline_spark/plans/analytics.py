@@ -2928,9 +2928,12 @@ _CF_MIN_SUPPORT = 2
         "self-join on the order key — pair space bounded by basket "
         "size (Σ per-order lines²), never items² — mined once as "
         f"i<j with support ≥ {_CF_MIN_SUPPORT}, then mirrored by "
-        "projection (no second join). Item frequencies broadcast "
-        "back; the per-item rank is a partitioned window keyed by "
-        "item id, which shards freely at 100 TB.",
+        "projection (no second join). Item frequencies join back on "
+        "the item key with no broadcast hint — the item table is "
+        "part-cardinality (grows with the catalog), so AQE decides: "
+        "broadcast at small SF, shuffle join at 100 TB. The per-item "
+        "rank is a partitioned window keyed by item id, which shards "
+        "freely at 100 TB.",
 )
 def orders_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibf_typhoon_data_pipeline_spark.operators.cache import (
@@ -2977,9 +2980,14 @@ def orders_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("neighbor_id"),
         F.col("n_item").alias("n_b"),
     )
+    # No broadcast hints: ia/ib are PART-cardinality aggregates of the
+    # fact table (TPC-H: 200k parts/SF → ~2e9 items at 100 TB), so a
+    # forced broadcast would OOM the driver at scale. AQE still picks a
+    # broadcast join at bench SF from the runtime size; at catalog
+    # scale it degrades gracefully to a shuffle join on the item key.
     scored = (
-        mirrored.join(F.broadcast(ia), "item_id")
-        .join(F.broadcast(ib), "neighbor_id")
+        mirrored.join(ia, "item_id")
+        .join(ib, "neighbor_id")
         .select(
             "item_id",
             "neighbor_id",
@@ -3272,12 +3280,19 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame.",
 )
 def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
     ev = _ev(spark, sf_dir).select(
         "user_id",
         "event_type",
         F.unix_timestamp("ts").cast("long").alias("sec"),
     )
-    c = (
+    # c feeds TWO plan branches (the purchase join and the final ttc
+    # join): persist so the click filter + min-agg over the fact table
+    # computes once.
+    c = persist_tracked(
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("sec").alias("c0"))
@@ -3481,9 +3496,10 @@ _BR_MIN_CONF_MICRO = 0  # rank-only: the top-k IS the contract
         "division, the triple that completes the market-basket "
         "family (basket_pair_lift has support+lift; this adds the "
         f"direction). Same bounded basket self-join mined once as "
-        f"i<j then mirrored by projection; rules below 0.2 "
-        f"confidence prune BEFORE the global top-{_BR_TOPK} "
-        "TakeOrdered with full deterministic tiebreaks.",
+        f"i<j then mirrored by projection; the contract is RANK-ONLY "
+        f"(confidence floor {_BR_MIN_CONF_MICRO} micro-units, i.e. "
+        f"none — the global top-{_BR_TOPK} with full deterministic "
+        "tiebreaks IS the output).",
 )
 def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibf_typhoon_data_pipeline_spark.operators.cache import (

@@ -63,6 +63,10 @@ def register(name: str, oracle: str | Callable[[], str] | None, doc: str = ""):
 _STALE_BEFORE_ROUND: dict[str, int] = {
     "tc_damage_gbt": 4,
     "tc_damage_xgb": 4,
+    # Round 7 moved the median quantization to integer milli BEFORE
+    # the interpolation (ADVICE r6) — edge-case values can shift 1
+    # milli vs the r6-green formulation.
+    "tc_rain_api_index": 7,
 }
 
 

@@ -5048,7 +5048,8 @@ _API_W_SQL = "CASE CAST(11 - t AS INTEGER) WHEN 0 THEN 1000000 WHEN 1 THEN 90000
     WITH rain AS ({RAIN_SQL}),
     med AS (
       SELECT cell_id, t,
-             CAST(floor(median(mm) * 1000.0 + 0.5) AS BIGINT) AS p_milli
+             (CAST(2 * median(CAST(floor(mm * 1000.0 + 0.5) AS BIGINT))
+                AS BIGINT) + 1) // 2 AS p_milli
       FROM rain GROUP BY cell_id, t
     )
     SELECT cell_id,
@@ -5065,17 +5066,25 @@ _API_W_SQL = "CASE CAST(11 - t AS INTEGER) WHEN 0 THEN 1000000 WHEN 1 THEN 90000
         "top of instantaneous exceedance (Rainfall_data.py's "
         "accumulations are the reference twin surface). Decay "
         "weights pre-quantized to e6 integers in ONE shared CASE "
-        "text, medians quantized once to milli-mm — the whole index "
-        "is exact BIGINT arithmetic. Two keyed aggs (member "
+        "text; rain quantized to milli-mm BEFORE the median so the "
+        "even-member median is an exact half-integer and 2·median "
+        "recovers the integer sum of the two middle order "
+        "statistics — the whole index is exact BIGINT arithmetic. Two keyed aggs (member "
         "reduction, then the weighted time collapse), both on "
         "(cell, t)-grain keys — member- and cell-parallel at any "
         "grid size.",
 )
 def tc_rain_api_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rain = gen_rain(spark)
+    # Quantize mm to integer milli BEFORE the median: with an even
+    # member count the median interpolates to an exact x.0/x.5 of two
+    # BIGINTs in both engines, so 2*median is the exact integer a+b
+    # and (a+b+1) div 2 is round-half-up — no reliance on 3dp
+    # agreement of interpolated doubles (ADVICE r6).
     med = rain.groupBy("cell_id", "t").agg(
         F.expr(
-            "CAST(floor(median(mm) * 1000.0 + 0.5) AS BIGINT)"
+            "(CAST(2 * median(CAST(floor(mm * 1000.0 + 0.5) AS BIGINT))"
+            " AS BIGINT) + 1) div 2"
         ).alias("p_milli")
     )
     return (
