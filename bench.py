@@ -18,6 +18,15 @@ frees dead broadcast/shuffle state when a JVM GC collects the weak
 references, and a big-heap local session rarely GCs naturally — so
 run_chunk also forces one System.gc() per query, which restores
 fresh-session numbers for every position in the chunk.
+
+Known-variance entries (don't chase these): tc_crps_ensemble rides
+the windfield->damage cold path, whose first execution in a session
+pays Python-worker spin-up + fit memoization — recorded values swing
+~4-8 s with chunk position while the warm isolated cost is a stable
+~4.0 s (round-7 A/B: an explicit repartition(64, adm3_pcode) before
+the rank window changes nothing warm, 4.07 vs 3.99 s — the per-muni
+window sort is NOT the cost). cdc_merge_upsert's honest isolated warm
+cost is 0.8-1.0 s; the 0.40 s r5 row was in-chunk scan warmth.
 """
 
 from __future__ import annotations
