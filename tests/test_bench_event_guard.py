@@ -50,7 +50,13 @@ def _track_points(spark):
         "pcen",
         "penv",
     )
-    return (
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    # persist (tracked, so the cache-hygiene sweep stays clean) and
+    # materialize: the resample cost drops out of both timed legs
+    interp = persist_tracked(
         resample_interpolate(
             pts, ["ens_id"], "t", ["lat", "lon", "vmax", "pcen", "penv"], 30
         )
@@ -61,8 +67,9 @@ def _track_points(spark):
             ).cast("bigint"),
         )
         .select("ens_id", "step", "lat", "lon", "vmax", "pcen", "penv")
-        .localCheckpoint()  # take the resample out of both timed legs
     )
+    interp.count()
+    return interp
 
 
 def _envelope(spark, tracks, cents, join: str) -> tuple[float, int]:
@@ -108,3 +115,8 @@ def test_guard_fires_on_pruning_bypass(spark):
         f"nested {nested_s:.2f}s vs grid {grid_s:.2f}s — pruning bypass "
         f"did not trip the guard"
     )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        release_caches,
+    )
+
+    release_caches()
