@@ -1038,24 +1038,25 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back to the oracle's string labels in ONE final projection —
     # BIGINT join keys shave ~40% off every superstep shuffle vs
     # hashing 'c123' strings (same rewrite as graph_pagerank).
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
     )
-    # persist the symmetrized edge list ALREADY hash-partitioned on
-    # the join key: every superstep's edges-side exchange disappears
-    # (the cached partitioning is reused; only the node-sized
-    # frontier shuffles per superstep)
+    # NO distinct and NO repartition on the edge list: BFS is a MIN
+    # recursion, so duplicate edges cannot change any hop (the oracle
+    # keeps its DISTINCT — values identical), and every superstep
+    # probes the edges with a BROADCAST frontier join, which needs no
+    # particular edge partitioning. Dropping both shuffles took the
+    # warm entry 4.1 -> 2.6 s at sf0.1. Trade-off: the persisted list
+    # carries duplicate (cust, supp) pairs (~2% here; a corpus with
+    # heavy reordering would reinstate the distinct to shrink the
+    # cache at the cost of one shuffle). LPA/PageRank keep their
+    # distinct — their aggregates count edge multiplicity.
     edges = persist_tracked(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionAll(
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
-        .repartition(32, "src")
     )
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     seeds = (
@@ -1509,10 +1510,13 @@ def _sssp_oracle() -> str:
         "(identical text both engines). Per superstep: one "
         "frontier⋈edge equi-join + partial-agg min(dist+w) by "
         "destination + NULL-aware merge — the Pregel min-plus shape "
-        "with the weighted relaxation, edges persisted once "
-        "pre-partitioned on src, dist persisted per superstep (read "
-        "twice: merge + next frontier). Unreached nodes report -1; "
-        "oracle unrolls the supersteps as CTEs.",
+        "with the weighted relaxation, edges persisted once (no "
+        "distinct, no repartition: weights are pure label functions "
+        "so duplicate edges can't change a min, and the broadcast "
+        "frontier join needs no edge partitioning), dist persisted "
+        "per superstep (read twice: merge + next frontier). "
+        "Unreached nodes report -1; oracle unrolls the supersteps "
+        "as CTEs.",
 )
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1524,19 +1528,20 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer node ids internally (cust -> 2k, supp -> 2k+1), string
     # labels re-attached in one final projection (same rewrite as
     # graph_pagerank/graph_bfs_hops: BIGINT keys, not 'c123' strings).
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "cl"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "sl"
-            ),
-        )
-        .distinct()
+    # NO distinct: the edge weight is a pure function of the (src,
+    # dst) labels, so duplicate order-line pairs carry IDENTICAL
+    # weights and cannot change a min(dist + w) relaxation (the
+    # oracle keeps its DISTINCT — values identical). Same shuffle
+    # elimination as graph_bfs_hops (4.1 -> 2.6 s there).
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "cl"
+        ),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "sl"
+        ),
     )
     # the edge WEIGHT hashes the oracle's string labels (md5 of
     # 'c123|s45'), so it is computed from the label columns while
@@ -1561,7 +1566,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("srci").alias("src"), F.col("dsti").alias("dst"), "w"
         )
-        .repartition(32, "src")
+        # no repartition: every superstep probes the edges with a
+        # broadcast frontier join, which needs no edge partitioning
     )
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     seeds = (
