@@ -1842,9 +1842,10 @@ def _lpa_oracle() -> str:
         "exact in both engines; the oracle unrolls the fixed round "
         "count. Per round: ONE equi-join of the persisted edge list "
         "onto the label frame + one partial-agg count + one "
-        "node-partitioned argmax window — the same bounded-superstep "
-        "shape as PageRank/SSSP; bipartite oscillation is why the "
-        "round count is FIXED rather than run-to-convergence. "
+        "max(struct) argmax (count desc, label asc — no window "
+        "sort) — the same bounded-superstep shape as PageRank/SSSP; "
+        "bipartite oscillation is why the round count is FIXED "
+        "rather than run-to-convergence. "
         "Output: top-15 communities by size.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1872,11 +1873,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("dst").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for _ in range(_LPA_ROUNDS):
         counts = (
             edges.join(labels, edges.src == labels.node)
@@ -1884,10 +1880,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("c"))
             .withColumnRenamed("node2", "node")
         )
+        # argmax by (count desc, label asc) as max(struct(c, -label))
+        # — a map-side-combinable partial agg instead of a window
+        # sort + row_number filter (prefer-max-struct-over-window
+        # invariant; 5.8 -> 5.1 s at sf0.1, values identical since
+        # (node, label) rows are unique after the count agg)
         labels = persist_tracked(
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
         )
     return (
         labels.groupBy(F.col("label").cast("long").alias("community"))
