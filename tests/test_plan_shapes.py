@@ -724,3 +724,32 @@ def test_clustering_depth_overlap_join_is_manifest_sized(spark):
     assert "CartesianProduct" not in plan
     # both manifests partial-aggregate before any join
     assert plan.count("HashAggregate") >= 4
+
+
+def test_min_recursion_edge_builds_have_no_redundant_shuffle(spark):
+    """BFS/SSSP edge lists carry NO distinct and NO repartition
+    (round 7): min-recursions are edge-multiplicity-immune (SSSP
+    weights are pure pair functions), and broadcast-frontier joins
+    need no edge partitioning — the distinct shrank the cache ~2%
+    for a full shuffle. Guard: the edge build up to the InMemory
+    materialization contains zero exchanges, so a reintroduced
+    distinct/repartition fails here."""
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        release_caches,
+    )
+
+    for name in ("graph_bfs_hops", "graph_sssp_weighted"):
+        plan = _plan(spark, name)
+        # the cached edge build appears in the InMemoryRelation
+        # section; its storage plan must be exchange-free
+        matched = 0
+        for seg in plan.split("InMemoryRelation")[1:]:
+            head = seg.split("InMemoryTableScan")[0]
+            if "BroadcastHashJoin" in head and "union" in head.lower():
+                matched += 1
+                assert "ShuffleExchange" not in head, (name, head[:800])
+        assert matched >= 1, (
+            f"{name}: edge-build InMemoryRelation not found — the "
+            "guard no longer inspects anything; update its matcher"
+        )
+        release_caches()
