@@ -108,8 +108,10 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(cohort_week, week_offset). Integer epoch-week arithmetic "
         "(floor(unix/604800)) — no calendar/timezone semantics to "
         "disagree across engines. The firsts frame is one user-keyed "
-        "partial agg (|users| rows, broadcast back onto the stream); "
-        "the matrix agg keys are bounded by weeks², not data volume.",
+        "partial agg (|users| rows, joined back on the user key with "
+        "no broadcast hint — AQE broadcasts at small SF, shuffle-joins "
+        "at user counts that outgrow the driver); the matrix agg keys "
+        "are bounded by weeks², not data volume.",
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("user_id", "ts")
@@ -117,8 +119,11 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = ev.groupBy("user_id").agg(
         wk(F.min("ts")).cast("long").alias("cohort_week")
     )
+    # no broadcast hint: f is USER-cardinality (fact-derived), so a
+    # forced broadcast OOMs the driver at 100 TB; AQE still picks a
+    # broadcast join at bench SF from the runtime size
     return (
-        ev.join(F.broadcast(f), "user_id")
+        ev.join(f, "user_id")
         .groupBy(
             "cohort_week",
             (wk(F.col("ts")) - F.col("cohort_week"))
@@ -559,9 +564,10 @@ _MB_TOPK = 20
         "exact integer micro-units (pure BIGINT division — no double "
         "ever formed, so no rounding boundary exists). Pair "
         "generation is the standard self-join on the basket key "
-        "(bounded per order by basket size); item counts broadcast "
-        "back; the final rank is TakeOrdered over the top slice, not "
-        "a global sort.",
+        "(bounded per order by basket size); item counts join back "
+        "on the item key with no broadcast hint (part-cardinality — "
+        "AQE decides); the final rank is TakeOrdered over the top "
+        "slice, not a global sort.",
 )
 def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -600,9 +606,12 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = item.select(
         F.col("l_partkey").alias("id_b"), F.col("n_item").alias("n_b")
     )
+    # no broadcast hints on ia/ib: item frequencies are PART-
+    # cardinality (grow with the catalog) — AQE decides; the 1-row
+    # total keeps its hint
     scored = (
-        pair.join(F.broadcast(ia), "id_a")
-        .join(F.broadcast(ib), "id_b")
+        pair.join(ia, "id_a")
+        .join(ib, "id_b")
         .crossJoin(F.broadcast(n))
         .select(
             "id_a",
@@ -3543,7 +3552,8 @@ def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("antecedent"),
         F.col("n_item").alias("n_a"),
     )
-    scored = rules.join(F.broadcast(ia), "antecedent").select(
+    # no broadcast hint: ia is part-cardinality — AQE decides
+    scored = rules.join(ia, "antecedent").select(
         "antecedent",
         "consequent",
         "support",

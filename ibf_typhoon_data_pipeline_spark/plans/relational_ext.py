@@ -1699,8 +1699,10 @@ def q17_small_quantity_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
+    # no broadcast hint: avg_q is part-cardinality (one brand's slice
+    # of the catalog, still growing with it) — AQE decides
     small = li.join(
-        F.broadcast(avg_q), F.col("l_partkey") == F.col("a_partkey")
+        avg_q, F.col("l_partkey") == F.col("a_partkey")
     ).filter(
         F.col("l_quantity")
         < F.lit("0.4").cast("double") * F.col("avg_qty")
