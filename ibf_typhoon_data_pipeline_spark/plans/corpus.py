@@ -749,8 +749,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    # no broadcast hint on df: the full distinct-term vocabulary grows
+    # with the corpus (web-scale text has unbounded typo/URL terms) —
+    # AQE broadcasts at small SF, shuffle-joins when the vocab
+    # outgrows the driver; the 1-row doc count keeps its hint
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", F.expr(_TFIDF_SQL).alias("tfidf_r"))
     )
