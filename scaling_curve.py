@@ -32,6 +32,7 @@ FAMILIES = [
     "events_sessionize",
     "j11_nearest_supplier",
     "graph_pagerank",
+    "graph_bfs_hops",  # broadcast-frontier Pregel (r7 edge build)
     "corpus_ngram_novelty",
     "events_rolling_1h",
 ]
