@@ -177,7 +177,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~40% of the superstep cost at sf0.1); the oracle's string
     # labels are re-attached in ONE final projection, so the output
     # rows — and the oracle — are unchanged.
-    pairs = (
+    # persist pairs: the symmetrizing union reads it twice and the
+    # degree/node derivations in pagerank_micro read the union again —
+    # unpersisted, the orders⋈lineitem+distinct recomputes ~6x inside
+    # one action (5.6 -> 4.4 s warm at sf0.1)
+    pairs = persist_tracked(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("c"),
@@ -637,7 +641,9 @@ def graph_personalized_pagerank(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    pairs = (
+    # persist pairs: read 2x by the symmetrizing union, then again by
+    # the degree/node derivations (same rewrite as graph_pagerank)
+    pairs = persist_tracked(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
@@ -1038,6 +1044,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back to the oracle's string labels in ONE final projection —
     # BIGINT join keys shave ~40% off every superstep shuffle vs
     # hashing 'c123' strings (same rewrite as graph_pagerank).
+    # NOT persisted: without the distinct, pairs is a pipelined
+    # scan+broadcast-join — recomputing it for the union's second arm
+    # beats caching it (A/B: 3.15 vs 3.45 s warm; the persist-pairs
+    # rewrite only pays off where pairs carries a DISTINCT shuffle,
+    # i.e. PageRank/PPR/LPA)
     pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
         (F.col("o_custkey") * 2).alias("c"),
         (F.col("l_suppkey") * 2 + 1).alias("s"),
@@ -1532,7 +1543,10 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dst) labels, so duplicate order-line pairs carry IDENTICAL
     # weights and cannot change a min(dist + w) relaxation (the
     # oracle keeps its DISTINCT — values identical). Same shuffle
-    # elimination as graph_bfs_hops (4.1 -> 2.6 s there).
+    # elimination as graph_bfs_hops (4.1 -> 2.6 s there). NOT
+    # persisted: without the distinct, pairs is a pipelined
+    # scan+broadcast-join — recomputing it for the union's second arm
+    # beats caching the wide labeled frame (A/B: 4.1 vs 6.2 s warm).
     pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
         (F.col("o_custkey") * 2).alias("c"),
         (F.col("l_suppkey") * 2 + 1).alias("s"),
@@ -1855,6 +1869,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # pairs NOT persisted: edges is itself persisted right below, so
+    # the distinct only recomputes twice at edge materialization —
+    # cheaper than the cache round-trip (A/B: 4.9 vs 5.2 s warm). The
+    # pairs-persist rewrite pays off only where MANY derivations
+    # re-read the unpersisted union (graph_pagerank's deg/nodes/e).
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(

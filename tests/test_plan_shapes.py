@@ -740,16 +740,21 @@ def test_min_recursion_edge_builds_have_no_redundant_shuffle(spark):
 
     for name in ("graph_bfs_hops", "graph_sssp_weighted"):
         plan = _plan(spark, name)
-        # the cached edge build appears in the InMemoryRelation
-        # section; its storage plan must be exchange-free
+        # two cached builds to inspect: the pairs cache (the orderkey
+        # broadcast join — a reintroduced DISTINCT would add a
+        # HashAggregate+exchange above it) and the edge cache (the
+        # symmetrizing Union over pairs scans — a reintroduced
+        # repartition would add an exchange there)
         matched = 0
         for seg in plan.split("InMemoryRelation")[1:]:
-            head = seg.split("InMemoryTableScan")[0]
-            if "BroadcastHashJoin" in head and "union" in head.lower():
+            head = seg.split("InMemoryTableScan", 1)[0]
+            is_pairs = "BroadcastHashJoin" in head and "orderkey" in head
+            is_edges = "Union" in head
+            if is_pairs or is_edges:
                 matched += 1
                 assert "ShuffleExchange" not in head, (name, head[:800])
-        assert matched >= 1, (
-            f"{name}: edge-build InMemoryRelation not found — the "
-            "guard no longer inspects anything; update its matcher"
+        assert matched >= 2, (
+            f"{name}: expected the pairs AND edge cached builds — the "
+            f"guard matcher found {matched}; update it"
         )
         release_caches()
