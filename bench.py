@@ -173,6 +173,9 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
     spark.range(64).select(_warm(F.col("id").cast("double"))).count()
 
     from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
+    from ibf_typhoon_data_pipeline_spark.operators.bench_probe import (
+        probe_seconds,
+    )
 
     # Each query runs TWICE and the best is recorded: the first run
     # pays per-family first-call costs a long-lived cluster never sees
@@ -211,6 +214,14 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
+    # machine-speed calibration (operators/bench_probe.py): recorded so
+    # round-over-round total comparisons can separate machine weather
+    # (~1.4x session swings) from plan regressions without re-timing.
+    # Approximate: a pure hash-agg probe under-captures external load's
+    # effect on shuffle/IO-mixed queries (observed +15% probe during a
+    # +47% total swing) — treat an elevated probe as sufficient but not
+    # necessary evidence of load.
+    timings["__probe_sec"] = round(probe_seconds(spark), 3)
     spark.stop()
     return timings
 
@@ -231,6 +242,7 @@ def main() -> None:
     # query inherits another family's session-level drag
     step = (len(HEADLINE) + N_SESSIONS - 1) // N_SESSIONS
     timings: dict[str, float] = {}
+    probes: list[float] = []
     for i in range(0, len(HEADLINE), step):
         chunk = HEADLINE[i : i + step]
         proc = subprocess.run(
@@ -245,8 +257,13 @@ def main() -> None:
         if got is None:
             sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
             raise RuntimeError(f"bench chunk starting at {chunk[0]} produced no result")
+        probe = got.pop("__probe_sec", None)
+        if probe is not None:
+            probes.append(probe)
         timings.update(got)
 
+    # per-chunk calibration probes: median reported top-level so a
+    # future reader can normalize the total by machine speed
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -255,6 +272,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "probe_sec": sorted(probes)[len(probes) // 2]
+                if probes
+                else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1047,8 +1047,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT persisted: without the distinct, pairs is a pipelined
     # scan+broadcast-join — recomputing it for the union's second arm
     # beats caching it (A/B: 3.15 vs 3.45 s warm; the persist-pairs
-    # rewrite only pays off where pairs carries a DISTINCT shuffle,
-    # i.e. PageRank/PPR/LPA)
+    # rewrite only pays off where MANY derivations re-read a
+    # distinct-bearing pairs, i.e. PageRank/PPR — LPA's persisted
+    # edges already bound the recompute to 2x and prefer no persist)
     pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
         (F.col("o_custkey") * 2).alias("c"),
         (F.col("l_suppkey") * 2 + 1).alias("s"),
