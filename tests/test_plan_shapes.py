@@ -731,30 +731,64 @@ def test_min_recursion_edge_builds_have_no_redundant_shuffle(spark):
     (round 7): min-recursions are edge-multiplicity-immune (SSSP
     weights are pure pair functions), and broadcast-frontier joins
     need no edge partitioning — the distinct shrank the cache ~2%
-    for a full shuffle. Guard: the edge build up to the InMemory
-    materialization contains zero exchanges, so a reintroduced
-    distinct/repartition fails here."""
+    for a full shuffle. Guard: the persisted edge frame's OWN plan
+    (scan → broadcast join → union, nothing else) contains zero hash
+    exchanges, so a reintroduced distinct/repartition fails here.
+
+    Rewritten for ADVICE r7: the old version grepped the final plan's
+    text split at 'InMemoryRelation' for 'ShuffleExchange' — a token
+    Spark never prints (shuffles print as 'Exchange
+    hashpartitioning(...)'), so the assertion was vacuous; and the
+    naive split bleeds into NEIGHBORING cached builds (the dist
+    caches legitimately contain the `nodes` distinct exchange), so
+    the corrected token over-matched. Inspecting each tracked edge
+    frame directly has neither problem."""
+    from ibf_typhoon_data_pipeline_spark.operators import cache
     from ibf_typhoon_data_pipeline_spark.operators.cache import (
         release_caches,
     )
 
     for name in ("graph_bfs_hops", "graph_sssp_weighted"):
-        plan = _plan(spark, name)
-        # two cached builds to inspect: the pairs cache (the orderkey
-        # broadcast join — a reintroduced DISTINCT would add a
-        # HashAggregate+exchange above it) and the edge cache (the
-        # symmetrizing Union over pairs scans — a reintroduced
-        # repartition would add an exchange there)
-        matched = 0
-        for seg in plan.split("InMemoryRelation")[1:]:
-            head = seg.split("InMemoryTableScan", 1)[0]
-            is_pairs = "BroadcastHashJoin" in head and "orderkey" in head
-            is_edges = "Union" in head
-            if is_pairs or is_edges:
-                matched += 1
-                assert "ShuffleExchange" not in head, (name, head[:800])
-        assert matched >= 2, (
-            f"{name}: expected the pairs AND edge cached builds — the "
-            f"guard matcher found {matched}; update it"
-        )
         release_caches()
+        plans.QUERIES[name].fn(spark, "/root/testdata/sf0.01")
+        # the edge frames are the tracked persists carrying a `dst`
+        # column (the dist frames carry node/hop|dist instead)
+        edge_frames = [c for c in cache._CACHED if "dst" in c.columns]
+        assert edge_frames, (
+            f"{name}: expected the persisted edge build among the "
+            f"tracked caches; update the matcher"
+        )
+        for ef in edge_frames:
+            txt = ef._jdf.queryExecution().executedPlan().toString()
+            # matcher sanity: this really is the symmetrizing union
+            assert "Union" in txt, (name, txt[:800])
+            assert "Exchange hashpartitioning" not in txt, (
+                name,
+                txt[:800],
+            )
+        release_caches()
+
+
+def test_hash_exchange_guard_is_not_vacuous(spark):
+    """Negative self-test for the guard above (ADVICE r7): a persisted
+    frame built WITH a repartition must show the exact token the guard
+    bans in its own plan text — proving the assertion is live, not
+    vacuous like the old 'ShuffleExchange' spelling."""
+    from pyspark.sql import functions as F
+
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+        release_caches,
+    )
+    from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    bad_edges = persist_tracked(
+        orders.unionAll(orders).repartition(8, "src")
+    )
+    txt = bad_edges._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in txt, txt[:2000]
+    assert "Exchange hashpartitioning" in txt, txt[:2000]
+    release_caches()
