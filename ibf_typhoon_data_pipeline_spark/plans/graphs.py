@@ -671,8 +671,10 @@ def graph_personalized_pagerank(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("node"))
+        # srcs is customer-derived (SF-scaling): one-shot annotation
+        # join, AQE-decided — no forced hint (r7 #1)
         .join(
-            F.broadcast(srcs.withColumn("is_src", F.lit(1))),
+            srcs.withColumn("is_src", F.lit(1)),
             "node",
             "left",
         )
@@ -1078,7 +1080,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_seed", F.lit(1))
     )
-    dist = nodes.join(F.broadcast(seeds), "node", "left").select(
+    # seeds is supplier-derived (SF-scaling) — one-shot init join,
+    # strategy AQE-decided, no forced hint (r7 #1). The per-superstep
+    # FRONTIER broadcasts below are different: deltas bounded by the
+    # newly-reached set, with the documented drop-the-hint fallback.
+    dist = nodes.join(seeds, "node", "left").select(
         "node",
         F.when(F.col("is_seed").isNotNull(), F.lit(0))
         .cast("long")
@@ -1599,8 +1605,11 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set it), so each frontier is the changed set, not every reached
     # node. Exact, and on this graph the changed set collapses after
     # round 2 while the reached set stays ~everything.
+    # seeds is supplier-derived (SF-scaling): init join AQE-decided,
+    # no forced hint (r7 #1) — frontier broadcasts below are the
+    # bounded deltas, not this
     dist = persist_tracked(
-        nodes.join(F.broadcast(seeds), "node", "left").select(
+        nodes.join(seeds, "node", "left").select(
             "node",
             F.when(F.col("is_seed").isNotNull(), F.lit(0))
             .cast("long")

@@ -1168,8 +1168,10 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="§2.10 stream-static enrichment: the event stream joins the "
         "static customer dimension INSIDE the streaming query (Spark "
-        "re-plans the static side per micro-batch; the dimension "
-        "rides as a broadcast), then aggregates per (segment, type) "
+        "re-plans the static side per micro-batch; customer is "
+        "SF-scaling, so the strategy is size-decided per batch — "
+        "broadcast while it fits the threshold, shuffle beyond — "
+        "never force-hinted), then aggregates per (segment, type) "
         "— the canonical streaming-enrichment shape. AvailableNow "
         "drains the backlog; the oracle is the batch join+aggregate.",
 )
@@ -1189,7 +1191,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(ev.schema).parquet(landing)
     enriched = (
         stream.join(
-            F.broadcast(cust), stream.user_id == cust.c_custkey
+            cust, stream.user_id == cust.c_custkey
         )
         .groupBy(
             F.col("c_mktsegment").alias("segment"), "event_type"

@@ -1028,10 +1028,11 @@ def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q3 (shipping priority, adapted): BUILDING-segment "
         "orders placed before the cut with lines shipped after it, "
-        "top-10 by revenue. Customer filter broadcasts into the "
-        "orders join, both date filters push to the scans, revenue "
-        "partial-aggregates per order key, and the top-10 is "
-        "TakeOrdered — no global sort.",
+        "top-10 by revenue. Customer and date-filtered orders are "
+        "both SF-scaling, so their joins are AQE-decided (broadcast "
+        "at bench SF, shuffle at cluster scale); both date filters "
+        "push to the scans, revenue partial-aggregates per order "
+        "key, and the top-10 is TakeOrdered — no global sort.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
@@ -1044,10 +1045,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     joined = (
+        # both orders (date-filtered fact) and customer scale with
+        # SF: no forced hints — AQE picks broadcast at bench SF and
+        # degrades to shuffle joins at cluster scale (VERDICT r7 #1)
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
     )
@@ -1091,10 +1093,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q5 (local supplier volume): revenue from lines where "
         "the supplier shares the customer's nation, per ASIA nation, "
-        "one year of orders. The 6-table join tree keeps every "
-        "dimension (customer-nation spine, supplier, nation, region) "
-        "broadcast; only the lineitem->orders equi-join shuffles, and "
-        "the final agg is nation-cardinality.",
+        "one year of orders. The bounded dims (nation, region) "
+        "broadcast; customer/supplier are SF-scaling so their joins "
+        "are AQE-decided; the lineitem->orders equi-join shuffles, "
+        "and the final agg is nation-cardinality.",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
@@ -1119,9 +1121,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (supp.s_nationkey == cust.c_nationkey),
         )
@@ -1452,8 +1454,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q16 shape (parts/supplier relationship): NOT IN over "
         "the complaint-supplier set as a LEFT ANTI join (keys "
-        "non-null by construction), part dimension broadcast, then a "
-        "distinct-count rollup keyed on (brand, size) — the "
+        "non-null by construction); part and the supplier-derived "
+        "anti set are SF-scaling so both joins are AQE-decided; then "
+        "a distinct-count rollup keyed on (brand, size) — the "
         "distinct agg is the only fact-sized shuffle.",
 )
 def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1470,8 +1473,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, "l_suppkey", "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(
             F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
@@ -1549,9 +1552,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_suppkey", "l_shipdate",
              "l_extendedprice", "l_discount")
     joined = (
+        # supp/cust are nation-annotated SF-scaling base tables —
+        # joins AQE-decided (r7 #1); the nation lookups above stay
+        # broadcast (bounded dim)
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(pair)
     )
     return (
@@ -1682,7 +1688,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q17 (small-quantity-order revenue): lines under 40% "
         "of their part's average quantity, one brand. The correlated "
         "per-part average decorrelates to a groupBy over the "
-        "(brand-filtered, broadcast-semi-joined) fact slice re-joined "
+        "brand-filtered semi-joined fact slice (part is SF-scaling: "
+        "the semi join is AQE-decided) re-joined "
         "on the part key. Quantities are integral doubles, so "
         "avg = exact-integer-sum / count is the identical IEEE double "
         "in both engines and the 0.4x threshold compare is "
@@ -1694,7 +1701,7 @@ def q17_small_quantity_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
-    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"),
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"),
            "left_semi")
     avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         F.avg("l_quantity").alias("avg_qty")
@@ -1788,7 +1795,7 @@ def q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") > 1)
             & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -2275,8 +2282,10 @@ def f22_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY fk
     """,
     doc="Referential-integrity audit across the star schema: orphan "
-        "counts for every foreign key (NOT EXISTS as broadcast "
-        "left-anti joins; the orders->lineitem leg co-shuffles) plus "
+        "counts for every foreign key (NOT EXISTS as left-anti "
+        "joins — strategy AQE-decided for the SF-scaling key sets, "
+        "broadcast for nation; the orders->lineitem leg "
+        "co-shuffles) plus "
         "a primary-key uniqueness check, one labeled row per "
         "contract. The publish gate a warehouse runs before a "
         "snapshot goes live; each leg is a single partial-agg pass.",
@@ -2295,9 +2304,12 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     checks = [
+        # customer/part/supplier key sets scale with SF — their anti
+        # joins are AQE-decided, not hinted (r7 #1); only the nation
+        # leg below keeps its broadcast (bounded dim)
         _cnt(
             o.join(
-                F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+                c.select(F.col("c_custkey").alias("o_custkey")),
                 "o_custkey", "left_anti",
             ),
             "orders.o_custkey->customer",
@@ -2311,16 +2323,14 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _cnt(
             li.join(
-                F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+                p.select(F.col("p_partkey").alias("l_partkey")),
                 "l_partkey", "left_anti",
             ),
             "lineitem.l_partkey->part",
         ),
         _cnt(
             li.join(
-                F.broadcast(
-                    su.select(F.col("s_suppkey").alias("l_suppkey"))
-                ),
+                su.select(F.col("s_suppkey").alias("l_suppkey")),
                 "l_suppkey", "left_anti",
             ),
             "lineitem.l_suppkey->supplier",

@@ -78,11 +78,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="TPC-H Q10 (returned-item reporting): lost revenue per "
-        "customer over one quarter of orders, top 20. Customer and "
-        "nation broadcast; the only shuffle is lineitem->orders on "
-        "orderkey, then a customer-cardinality agg feeding "
-        "TakeOrderedAndProject (top-k never sorts the full agg). "
-        "Tiebreak on c_custkey keeps the cut deterministic.",
+        "customer over one quarter of orders, top 20. Nation "
+        "broadcasts (bounded dim); customer is SF-scaling, so its "
+        "join strategy is AQE-decided (broadcast at bench SF, "
+        "shuffle at cluster scale — no forced hint). Fact shuffle is "
+        "lineitem->orders on orderkey, then a customer-cardinality "
+        "agg feeding TakeOrderedAndProject (top-k never sorts the "
+        "full agg). Tiebreak on c_custkey keeps the cut "
+        "deterministic.",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
@@ -100,7 +103,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF: no forced broadcast (AQE picks the
+        # same broadcast plan at bench SF; at 100 TB it degrades to a
+        # shuffle join instead of OOMing the driver — VERDICT r7 #1)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -192,7 +198,8 @@ def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q14 (promotion effect): share of one month's revenue "
         "from PROMO-type parts (the synthetic p_type is the bare "
-        "class name, no trailing words). Part broadcasts; one "
+        "class name, no trailing words). Part is SF-scaling, so its "
+        "join is AQE-decided (no forced hint); one "
         "conditional partial agg. The ratio divides the two "
         "already-quantized BIGINT cent sums, so both engines divide "
         "identical integers and the ppm rounding cannot disagree.",
@@ -205,7 +212,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_partkey", "l_extendedprice", "l_discount")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF — join strategy left to AQE (r7 #1)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
@@ -271,7 +279,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue_cents") == F.col("__max_cents"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with SF — AQE decides the join (r7 #1);
+        # `best` above stays hinted: a 1-row scalar by construction
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_cents")
         .orderBy(F.col("s_suppkey").asc())
     )
@@ -296,7 +306,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantity triples; containers adapted to p_size bands). The "
         "OR references both tables so it must sit above the join, but "
         "the derivable prefilters ARE pushed: part prunes to the 3 "
-        "brands (broadcast), lineitem prunes to the overall quantity "
+        "brands (join AQE-decided — part is SF-scaling), lineitem "
+        "prunes to the overall quantity "
         "envelope [1,30] at the scan — the disjunction then only "
         "re-checks the residual per-branch pairing.",
 )
@@ -329,7 +340,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(
             F.round(
@@ -375,9 +386,10 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8 (national market share): NATION_7's share of PROMO-"
         "part revenue sold to ASIA customers, per order year. The "
         "deepest join tree in the suite (7 tables, nation twice) — "
-        "every dimension broadcasts, so the only shuffle is "
-        "lineitem->orders; the share divides two already-quantized "
-        "BIGINT cent sums per year.",
+        "the bounded dims (nation, region) broadcast; part/customer/"
+        "supplier are SF-scaling so their joins are AQE-decided "
+        "(broadcast at bench SF, shuffle at cluster scale); the share "
+        "divides two already-quantized BIGINT cent sums per year.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
@@ -411,13 +423,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     vols = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part/cust/supp scale with SF — no forced hints (r7 #1);
+        # cn/sn are nation-derived (bounded) and stay broadcast
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(cn), cust.c_nationkey == F.col("cn_nationkey")
         )
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(sn), supp.s_nationkey == F.col("sn_nationkey")
         )
@@ -478,7 +492,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(x*100+0.5) — round-of-sum hit a half-cent boundary "
         "here (sum-order ulps flipped one group), and floor on "
         "identical doubles is exact, so the integer sum is "
-        "order-independent. Part/supplier/nation broadcast; one "
+        "order-independent. Nation broadcasts; part/supplier joins "
+        "are AQE-decided (SF-scaling); one "
         "shuffle on orderkey, one nation x year agg.",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,8 +522,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - p_retailprice * 0.6 * l_quantity) * 100.0 + 0.5) AS BIGINT)"
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     )
@@ -557,7 +572,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unit cents, ties kept like the reference query. The "
         "correlated-min subquery decorrelates into a (part,supplier) "
         "agg, a per-part min, and an exact-integer equality join "
-        "back; supplier/nation broadcast, top-100 with a full "
+        "back; nation broadcasts, part/supplier joins are "
+        "AQE-decided (SF-scaling), top-100 with a full "
         "deterministic tiebreaker chain.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,7 +588,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__unit_cents"),
     )
     ps = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # decorrelation pattern (README exemplar): the correlated-min
+        # subquery becomes a (part, supplier) agg + per-part min +
+        # integer equality join back. part itself is SF-scaling — its
+        # join strategy is AQE-decided, the decorrelation unchanged.
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("__unit_cents").alias("supply_cents"))
     )
@@ -591,7 +611,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ps.l_partkey == minc.mc_partkey)
             & (ps.supply_cents == minc.min_cents),
         )
-        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(supp, ps.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.round(F.col("s_acctbal") * 100.0)
@@ -653,7 +673,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-01-01"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
     spq = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )

