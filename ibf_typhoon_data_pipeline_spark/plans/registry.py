@@ -67,6 +67,18 @@ _STALE_BEFORE_ROUND: dict[str, int] = {
     # the interpolation (ADVICE r6) — edge-case values can shift 1
     # milli vs the r6-green formulation.
     "tc_rain_api_index": 7,
+    # Round 8 hard-capped the probe panel at vec_id < 10000 (values
+    # identical at every test SF, but the oracle text changed).
+    "sim_binary_hamming_topk": 8,
+    # VERDICT r7 item 2: the remaining five r6-named parity-fragile
+    # never-driver-checked entries are pinned into tier (a) so a
+    # sampling hiccup cannot defer them a third round — they have no
+    # green rows, so the mark floats them to the sample front.
+    "dedup_semdedup": 8,
+    "sim_mmr_rerank": 8,
+    "ml_kmeans_lloyd": 8,
+    "sim_knn_ndcg": 8,
+    "sim_knn_graph": 8,
 }
 
 

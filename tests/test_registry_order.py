@@ -39,6 +39,50 @@ def test_tier_b_is_fifo_by_age():
     assert all(n in red for n in ordered[:n_red])
 
 
+def test_no_backdated_registrations():
+    """VERDICT r7 item 7: nothing stops a future entry claiming an
+    old round to jump the FIFO. Guard: the age map as of the last
+    COMPLETED round is frozen in tests/data/catalog_age_snapshot.json;
+    a name not in the snapshot must carry the CURRENT round (max
+    recorded CORRECTNESS round + 1), and snapshot names must keep
+    their recorded round. When a round completes (a new
+    CORRECTNESS_r*.json lands), refresh the snapshot with that
+    round's additions — the error message says so."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(here)
+    with open(os.path.join(here, "data", "catalog_age_snapshot.json")) as f:
+        snapshot = json.load(f)
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    current = max(rounds) + 1
+
+    rewritten = {
+        n: (snapshot[n], FIRST_ROUND[n])
+        for n in FIRST_ROUND
+        if n in snapshot and FIRST_ROUND[n] != snapshot[n]
+    }
+    assert not rewritten, (
+        f"registration rounds rewritten vs snapshot: {rewritten}"
+    )
+    backdated = {
+        n: FIRST_ROUND[n]
+        for n in FIRST_ROUND
+        if n not in snapshot and FIRST_ROUND[n] != current
+    }
+    assert not backdated, (
+        f"new entries must register with the current round {current} "
+        f"(then be added to tests/data/catalog_age_snapshot.json when "
+        f"the round completes): {backdated}"
+    )
+
+
 def test_backlog_heads_the_never_checked_tier():
     """The round-4 TPC-H/vector debt must outrank round-6 newcomers
     within tier (b) whenever both are still unchecked."""
