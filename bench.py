@@ -242,6 +242,7 @@ def main() -> None:
     # query inherits another family's session-level drag
     step = (len(HEADLINE) + N_SESSIONS - 1) // N_SESSIONS
     timings: dict[str, float] = {}
+    normalized: dict[str, float] = {}
     probes: list[float] = []
     for i in range(0, len(HEADLINE), step):
         chunk = HEADLINE[i : i + step]
@@ -260,6 +261,13 @@ def main() -> None:
         probe = got.pop("__probe_sec", None)
         if probe is not None:
             probes.append(probe)
+            # probe-normalized twin (VERDICT r7 item 4): each query's
+            # time divided by ITS OWN chunk's machine-speed probe, so
+            # round-over-round comparisons read plan changes, not
+            # machine weather. Unitless (multiples of the probe).
+            normalized.update(
+                {n: round(t / probe, 3) for n, t in got.items()}
+            )
         timings.update(got)
 
     # per-chunk calibration probes: median reported top-level so a
@@ -272,6 +280,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_normalized": normalized,
+                "value_normalized": round(sum(normalized.values()), 3),
                 "probe_sec": sorted(probes)[len(probes) // 2]
                 if probes
                 else None,
