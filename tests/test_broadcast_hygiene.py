@@ -48,8 +48,10 @@ ALLOWLIST = {
     ("relational_ext.py", "th"): "2-row per-half threshold frame",
     # j19: distinct of (custkey % 10 | NULL) — <= 11 rows at any SF
     ("relational_ext.py", "b"): "<=11-row bucket domain (mod-10 + NULL)",
-    # hybrid RRF: the single query vector (vec_id = 0 filter) — 1 row
-    ("vectors.py", "q"): "1-row query vector (vec_id = 0)",
+    # two bounded query frames share this key: hybrid RRF's single
+    # query vector (vec_id = 0 filter, 1 row) and ml_knn_classify's
+    # probe set (vec_id < _KNN_NQ constant cap)
+    ("vectors.py", "q"): "bounded query frames (1-row / constant cap)",
     # binary-Hamming probe panel: vec_id % 50 == 0 AND vec_id < 10000
     # — hard-capped at <= 200 rows at ANY scale factor
     ("vectors.py", "queries"): "panel hard-capped at vec_id < 10000",
