@@ -174,6 +174,7 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
 
     from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
     from ibf_typhoon_data_pipeline_spark.operators.bench_probe import (
+        latency_probe_seconds,
         probe_seconds,
     )
 
@@ -222,6 +223,10 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
     # +47% total swing) — treat an elevated probe as sufficient but not
     # necessary evidence of load.
     timings["__probe_sec"] = round(probe_seconds(spark), 3)
+    # second weather axis: per-stage scheduler latency (the graph
+    # family's cost profile — many short stages — which the
+    # throughput probe under-captures; see bench_probe docstring)
+    timings["__probe_latency_sec"] = round(latency_probe_seconds(spark), 3)
     spark.stop()
     return timings
 
@@ -244,6 +249,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     normalized: dict[str, float] = {}
     probes: list[float] = []
+    latencies: list[float] = []
     for i in range(0, len(HEADLINE), step):
         chunk = HEADLINE[i : i + step]
         proc = subprocess.run(
@@ -259,6 +265,9 @@ def main() -> None:
             sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
             raise RuntimeError(f"bench chunk starting at {chunk[0]} produced no result")
         probe = got.pop("__probe_sec", None)
+        lat = got.pop("__probe_latency_sec", None)
+        if lat is not None:
+            latencies.append(lat)
         if probe is not None:
             probes.append(probe)
             # probe-normalized twin (VERDICT r7 item 4): each query's
@@ -284,6 +293,9 @@ def main() -> None:
                 "value_normalized": round(sum(normalized.values()), 3),
                 "probe_sec": sorted(probes)[len(probes) // 2]
                 if probes
+                else None,
+                "probe_latency_sec": sorted(latencies)[len(latencies) // 2]
+                if latencies
                 else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

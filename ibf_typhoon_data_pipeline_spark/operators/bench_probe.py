@@ -45,6 +45,27 @@ def probe_seconds(spark: SparkSession, runs: int = 2) -> float:
     return best
 
 
+def latency_probe_seconds(spark: SparkSession, jobs: int = 40) -> float:
+    """Wall seconds for `jobs` SEQUENTIAL trivial jobs — a
+    scheduler-latency probe, the second weather axis.
+
+    The hash-agg `probe_seconds` measures CPU throughput and
+    under-captures per-stage scheduling/dispatch latency (documented:
+    +15%% probe during a +47%% total swing). The iterative graph
+    family is the opposite profile — dozens of short stages per
+    superstep, so its wall time is dominated by exactly the latency
+    this probe isolates (round 8: BFS/SSSP swung 4.3 → 5.5-7.0 s
+    between days while the throughput probe READ FASTER). Each job
+    here does near-zero work (32-row local range count), so the total
+    is ~jobs × (scheduling + dispatch + result fetch) latency.
+    Recorded per bench chunk; compare graph-family swings against
+    THIS number, throughput-bound swings against probe_seconds."""
+    t0 = time.perf_counter()
+    for _ in range(jobs):
+        spark.range(32).count()
+    return time.perf_counter() - t0
+
+
 def ratio_warning(
     leg: str,
     wall_s: float,

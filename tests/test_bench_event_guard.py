@@ -120,3 +120,18 @@ def test_guard_fires_on_pruning_bypass(spark):
     )
 
     release_caches()
+
+
+def test_latency_probe_measures_sequential_jobs(spark):
+    """The scheduler-latency probe (round 8) must return positive
+    wall seconds and scale roughly with the job count — it times
+    SEQUENTIAL trivial jobs, so 2x the jobs can't be faster."""
+    from ibf_typhoon_data_pipeline_spark.operators.bench_probe import (
+        latency_probe_seconds,
+    )
+
+    spark.range(32).count()  # absorb first-job session warm-up
+    short = latency_probe_seconds(spark, jobs=5)
+    longer = latency_probe_seconds(spark, jobs=10)
+    assert short > 0
+    assert longer >= short * 0.8  # sequential: more jobs, not faster
