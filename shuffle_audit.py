@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 AUDIT = [
     "q1_pricing_summary",        # scan-agg: shuffle = groups only
     "q9_product_profit",         # TPC-H deep join tree
+    "q10_returned_items",        # de-hinted r8: AQE-decided cust join
+    "q5_local_supplier_volume",  # de-hinted r8: cust+supp+nation tree
     "tc_windfield_holland",      # broadcast grid join + K2 partial agg
     "tc_muni_hazard",            # hazard chain on muni keys
     "dedup_minhash_lsh",         # banded-signature self-join
