@@ -174,3 +174,61 @@ def test_w5_ntile_bucket_formula(n):
         else:
             got = r + (rn - r * (q + 1) + q - 1) // q
         assert got == naive[rn - 1], (n, rn)
+
+
+@given(
+    st.lists(st.integers(min_value=-10**9, max_value=10**9),
+             min_size=1, max_size=80)
+)
+def test_cusum_clamped_recursion_identity(devs):
+    """events_cusum_changepoint rests on: the clamped recursion
+    s_k = max(0, s_{k-1} + d_k), s_0 = 0 equals
+    c_k - min(0, min_{j<=k} c_j) where c is the plain cumulative sum
+    of the deviations — two ordered windows instead of a sequential
+    scan. Must hold for ANY integer deviation sequence."""
+    s = 0
+    c = 0
+    cmin = 0
+    for d in devs:
+        s = max(0, s + d)
+        c += d
+        cmin = min(cmin, c)
+        assert s == c - min(0, cmin)
+
+
+@given(st.integers(min_value=0, max_value=100_000))
+def test_business_day_prefix_count_closed_form(s):
+    """f22_business_days rests on the weekday prefix count
+    f(s) = 5*(s div 7) + min(s%7 + 1, 5) on Monday-anchored day
+    indices (t%7 in 0..4 is Mon..Fri): f(s) must equal the brute
+    count of weekdays among t = 0..s inclusive."""
+    brute = sum(1 for t in range(s % 7 + 1) if t % 7 <= 4) + 5 * (s // 7)
+    closed = 5 * (s // 7) + min(s % 7 + 1, 5)
+    assert closed == brute
+    # and against the fully naive definition for small s
+    if s <= 800:
+        assert closed == sum(1 for t in range(s + 1) if t % 7 <= 4)
+
+
+@given(
+    st.integers(min_value=-10**11, max_value=10**11),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_offset_rounding_division_identity(S, n):
+    """The negative-numerator rounding-division trick
+    (2*(S + n*OFF) + n) div (2*n) - OFF (OFF = 10^12) rests on the
+    numerator being positive, where Spark's truncating div and
+    DuckDB's flooring // agree, and the result equals round-half-up
+    S/n for ANY sign of S."""
+    OFF = 10**12
+    num = 2 * (S + n * OFF) + n
+    den = 2 * n
+    assert num > 0  # the offset's whole point
+    # Spark's div truncates toward zero; emulate in exact arithmetic
+    trunc_div = abs(num) // den * (1 if num >= 0 else -1)
+    floor_div = num // den
+    assert trunc_div == floor_div  # positive numerator: trunc == floor
+    got = floor_div - OFF
+    # round-half-up reference: floor(S/n + 1/2) in exact arithmetic
+    want = (2 * S + n) // (2 * n)
+    assert got == want
