@@ -36,6 +36,24 @@ NAMES = [
     "orders_item_cf_topk",
     "events_classical_decompose",
     "sketch_ams_f2",
+    # round 8: the never-driver-checked backlog heads this round's
+    # sample (VERDICT r7 item 2) — a partition-sensitive flake in any
+    # of them would burn the 345/345 close, so sweep them all once
+    "sim_mmr_rerank",
+    "ml_kmeans_lloyd",
+    "sim_knn_ndcg",
+    "sim_knn_graph",
+    "sim_binary_hamming_topk",
+    "emb_label_centroids",
+    "emb_whiten_norm",
+    "ml_knn_classify",
+    "sim_matryoshka_recall",
+    "emb_cluster_calinski",
+    "o6_skyline_fact",
+    "media_image_tiles",
+    "f24_collated_grouping",
+    "sim_range_search",
+    "sim_lsh_recall_eval",
 ]
 
 
