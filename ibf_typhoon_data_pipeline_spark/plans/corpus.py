@@ -919,8 +919,10 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = cnt.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
     cb = cnt.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
     scored = (
-        pair.join(F.broadcast(ca), "term_a")
-        .join(F.broadcast(cb), "term_b")
+        # ca/cb are full-vocab unigram counts (Heaps-growing):
+        # joins AQE-decided, no forced broadcast (r8)
+        pair.join(ca, "term_a")
+        .join(cb, "term_b")
         .crossJoin(F.broadcast(n))
         .select(
             "term_a", "term_b", "c_ab",
@@ -1249,14 +1251,17 @@ def corpus_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nxt").isNotNull() & (F.col("h") >= "e66")
     ).select("tok", "nxt")
     joined = (
+        # train_counts is bigram-vocab-sized and train_firsts
+        # unigram-vocab-sized — both Heaps-growing: joins AQE-decided,
+        # no forced broadcast (r8)
         test_big.join(
-            F.broadcast(train_counts.withColumnRenamed("tok", "t1")
-                        .withColumnRenamed("nxt", "t2")),
+            train_counts.withColumnRenamed("tok", "t1")
+                        .withColumnRenamed("nxt", "t2"),
             (F.col("tok") == F.col("t1")) & (F.col("nxt") == F.col("t2")),
             "left",
         )
         .join(
-            F.broadcast(train_firsts.withColumnRenamed("tok", "t3")),
+            train_firsts.withColumnRenamed("tok", "t3"),
             F.col("tok") == F.col("t3"),
             "left",
         )
@@ -1842,7 +1847,8 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_e6")
     )
     occ = (
-        sized.join(F.broadcast(wscore), "tok")
+        # wscore is vocab-sized: join AQE-decided, not hinted (r8)
+        sized.join(wscore, "tok")
         .groupBy("doc_id", "grp")
         .agg(F.sum("s_e6").cast("long").alias("occ_score"))
     )

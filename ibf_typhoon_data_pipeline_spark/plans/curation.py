@@ -355,7 +355,12 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").alias("corpus_tokens"))
     scored = (
-        tok.join(F.broadcast(freq), "tok")
+        # freq is vocab-sized (Heaps-growing with the corpus): no
+        # forced broadcast — AQE broadcasts it at bench SF and falls
+        # back to a token-partitioned shuffle join at corpus scale
+        # (skew on stop-words handled by AQE skew split); r8, same
+        # rule as the base-table de-hinting
+        tok.join(freq, "tok")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", F.expr(_LM_LP_MICRO_SQL).alias("lp_micro"))
     )
@@ -1301,13 +1306,13 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tok_te.crossJoin(F.broadcast(cand))
         .crossJoin(F.broadcast(vocab))
+        # cls_tok is (lang x vocab)-sized — Heaps-growing, so the
+        # model join is AQE-decided, never force-hinted (r8)
         .join(
-            F.broadcast(
-                cls_tok.select(
-                    F.col("lang").alias("cand_lang"),
-                    F.col("tok").alias("tok"),
-                    "c",
-                )
+            cls_tok.select(
+                F.col("lang").alias("cand_lang"),
+                F.col("tok").alias("tok"),
+                "c",
             ),
             ["cand_lang", "tok"],
             "left",
@@ -2043,7 +2048,8 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").alias("corpus_tokens"))
     scored = (
-        tok.join(F.broadcast(freq), "tok")
+        # vocab-sized freq: join AQE-decided, not hinted (r8)
+        tok.join(freq, "tok")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", F.expr(_LM_LP_MICRO_SQL).alias("lp_micro"))
     )

@@ -22,11 +22,13 @@ PLANS = os.path.join(
     "ibf_typhoon_data_pipeline_spark",
 )
 
-# keys whose domain scales with the fact data
+# keys whose domain scales with the fact data. tok/term/gram vocab
+# keys are Heaps-growing with the corpus (round 8) — a "small" vocab
+# at bench SF is 10^8+ entries on a real 100 TB corpus.
 _UNBOUNDED = re.compile(
     r'groupBy\(\s*(?:F\.col\()?"'
     r"(user_id|l_partkey|o_custkey|l_suppkey|doc_id|node|emb_id|"
-    r"c_custkey|ps_partkey|ps_suppkey|event_id)"
+    r"c_custkey|ps_partkey|ps_suppkey|event_id|tok|term|gram)"
 )
 
 # base tables that scale linearly with SF (TESTDATA: customer
@@ -55,6 +57,16 @@ ALLOWLIST = {
     # binary-Hamming probe panel: vec_id % 50 == 0 AND vec_id < 10000
     # — hard-capped at <= 200 rows at ANY scale factor
     ("vectors.py", "queries"): "panel hard-capped at vec_id < 10000",
+    # AMS F2: groupBy("term") collapses to a terminal 1-row global agg
+    # (the chained .agg defeats the scalar exemption's regex)
+    ("analytics.py", "exact"): "1-row exact-F2 scalar",
+    # mixture sampling: per-LANGUAGE rate frame — the language domain
+    # is bounded (~dozens), unlike the token vocabulary
+    ("curation.py", "rates"): "per-language rates (bounded lang domain)",
+    # whitening / chi-squared: per-DIMENSION frames — the embedding
+    # dimensionality (64) is fixed at any corpus size
+    ("vectors.py", "stats"): "64-row per-dimension stats",
+    ("vectors.py", "g"): "64-row per-dimension scatter",
 }
 
 
@@ -84,16 +96,25 @@ def _scan_lines(fname, lines, flagged):
             if j is None:
                 continue
             hit = scaling(block)
-            if not hit:
-                # alias hop — but `x.sparkSession.range(...)` only
-                # borrows x's session, it doesn't derive from x
+            # alias-hop chain (up to 3 hops): x = load_table(...);
+            # y = x.filter(...); z = y.select(...); broadcast(z)
+            # must still resolve to the load. `x.sparkSession.…` only
+            # borrows x's session, it doesn't derive from x's data.
+            hop_var, hop_j = var, j
+            for _hop in range(3):
+                if hit:
+                    break
                 m2 = re.search(
-                    rf"\s*{var}\s*=\s*(\w+)\.(?!sparkSession)",
-                    lines[j],
+                    rf"\s*{hop_var}\s*=\s*(\w+)\.(?!sparkSession)",
+                    lines[hop_j],
                 )
-                if m2 and m2.group(1) not in ("F", "spark"):
-                    j2, block2 = defblock(m2.group(1), j)
-                    hit = scaling(block2) if j2 is not None else None
+                if not m2 or m2.group(1) in ("F", "spark"):
+                    break
+                hop_j2, block2 = defblock(m2.group(1), hop_j)
+                if hop_j2 is None:
+                    break
+                hit = scaling(block2)
+                hop_var, hop_j = m2.group(1), hop_j2
             if hit:
                 # a global (non-groupBy) .agg over the frame is a
                 # bounded scalar — only flag frames that keep an
@@ -155,6 +176,17 @@ def test_detector_fires_on_reintroduced_base_table_hint():
     flagged = {}
     _scan_lines("synthetic.py", hop, flagged)
     assert ("synthetic.py", "good") in flagged, flagged
+
+    # three-variable chain: must resolve through multiple hops
+    chain = [
+        'cust = load_table(spark, sf_dir, "customer")',
+        'eu = cust.filter(F.col("c_nationkey") < 5)',
+        'keys = eu.select("c_custkey")',
+        'out = fact.join(F.broadcast(keys), "c_custkey")',
+    ]
+    flagged = {}
+    _scan_lines("synthetic.py", chain, flagged)
+    assert ("synthetic.py", "keys") in flagged, flagged
 
     # ...and must NOT flag the bounded dims
     ok = [
