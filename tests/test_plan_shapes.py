@@ -13,6 +13,15 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(spark, name: str) -> str:
+    # executes the frame so AQE's runtime join-strategy decisions are
+    # visible — the initial plan shows SortMergeJoin for un-hinted
+    # joins that AQE converts to broadcast from actual map-output sizes
+    df = plans.QUERIES[name].fn(spark, "/root/testdata/sf0.01")
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_q1_pushdown_and_pruning(spark):
     plan = _plan(spark, "q1_pricing_summary")
     # the shipdate filter must reach the parquet scan...
@@ -133,10 +142,12 @@ def test_k4_muni_distance_join_is_bbox_guarded(spark):
 
 
 def test_lm_logprob_frequency_join_is_broadcast(spark):
-    plan = _plan(spark, "text_lm_logprob")
-    # the vocabulary-sized frequency table and the 1-row corpus total
-    # must broadcast against the token stream — a sort-merge join here
-    # would shuffle the whole corpus by token
+    # the vocab frequency table is Heaps-growing, so the join carries
+    # no forced hint (r8) — the contract is that AQE still converts it
+    # to a broadcast at this SF from the actual map-output size, and
+    # nothing degenerates to a pair enumeration
+    plan = _final_plan(spark, "text_lm_logprob")
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -362,10 +373,12 @@ def test_pq_adc_broadcasts_query_tables(spark):
 
 
 def test_naive_bayes_model_joins_broadcast(spark):
-    plan = _plan(spark, "ml_naive_bayes")
-    # the vocabulary×classes model table and the class dims must ride
-    # as broadcasts against the held-out token stream — a sort-merge
-    # join here would shuffle the corpus by token
+    # the (lang × vocab) model table is Heaps-growing, so its join is
+    # un-hinted (r8); AQE must still pick broadcast at this SF and the
+    # class-dim crossJoins must stay broadcast nested loops, never a
+    # cartesian pair enumeration
+    plan = _final_plan(spark, "ml_naive_bayes")
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
