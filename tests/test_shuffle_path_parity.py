@@ -1,0 +1,59 @@
+"""Scale-path parity: the round-8 de-hinting (base tables, vocab
+frames) leaves join strategy to AQE, which broadcasts at bench SF but
+degrades to shuffle joins once the build side outgrows the threshold
+— i.e. on a real 100 TB corpus. That degraded path never executes at
+test scale on its own, so this sweep forces it: re-run each de-hinted
+entry with autoBroadcastJoinThreshold=-1 (every un-hinted join becomes
+a shuffle join; explicit F.broadcast hints on bounded dims are
+unaffected by the threshold) and assert values identical to the
+default session. A pass proves the 100 TB fallback plan computes the
+same answer, not just the bench-SF broadcast plan."""
+
+from __future__ import annotations
+
+from ibf_typhoon_data_pipeline_spark import plans
+from ibf_typhoon_data_pipeline_spark.operators.cache import release_caches
+
+SF = "/root/testdata/sf0.01"
+
+# every family the round-8 de-hinting touched:
+NAMES = [
+    # vocab-frame joins (Heaps-growing tok/term keys)
+    "text_lm_logprob",
+    "corpus_ppl_buckets",
+    "corpus_heldout_ppl",
+    "text_pmi_pairs",
+    "text_rake_keywords",
+    "ml_naive_bayes",
+    # SF-scaling base-table joins (customer/supplier/part), one per
+    # distinct TPC-H join shape that was de-hinted
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q17_small_quantity_lines",
+    "q21_late_sole_supplier",
+    # key-set joins the extended hygiene guard itself found
+    "audit_referential_integrity",
+    "graph_bfs_hops",
+    "graph_personalized_pagerank",
+]
+
+
+def _rows(spark, name):
+    df = plans.QUERIES[name].fn(spark, SF)
+    out = sorted(tuple(r) for r in df.collect())
+    release_caches()
+    return out
+
+
+def test_values_survive_broadcast_disable(spark):
+    base = {n: _rows(spark, n) for n in NAMES}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for n in NAMES:
+            assert _rows(spark, n) == base[n], (
+                f"{n}: values changed on the forced shuffle-join path"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
