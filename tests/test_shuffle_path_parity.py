@@ -51,6 +51,18 @@ def test_values_survive_broadcast_disable(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # non-vacuity: the disabled threshold must actually flip the
+        # vocab join to a shuffle join in the FINAL adaptive plan —
+        # spark.sql.adaptive.autoBroadcastJoinThreshold defaults to
+        # the static conf, but if a future Spark decouples them this
+        # sweep would silently test the broadcast plan twice
+        probe = plans.QUERIES["text_lm_logprob"].fn(spark, SF)
+        probe.collect()
+        head = probe._jdf.queryExecution().executedPlan().toString()
+        release_caches()
+        assert (
+            "SortMergeJoin" in head or "ShuffledHashJoin" in head
+        ), "threshold=-1 did not force a shuffle join — sweep vacuous"
         for n in NAMES:
             assert _rows(spark, n) == base[n], (
                 f"{n}: values changed on the forced shuffle-join path"
