@@ -43,30 +43,58 @@ _SCALING_LOAD = re.compile(
     r'documents|embeddings|events)"'
 )
 
-# (file, broadcast var) -> why the frame is bounded anyway
+# (file, broadcast var) -> (why the frame is bounded anyway,
+# must_match regex). The regex is checked against the RESOLVED
+# definition chain of EVERY flagged site under the key, so a future
+# frame that merely reuses an allowlisted variable name — but lacks
+# the bounding construction — fails instead of hiding behind the name.
 ALLOWLIST = {
     # segment-migration thresholds: a groupBy("half_id") second
     # reduction over the customer counts — 2 rows by construction
-    ("relational_ext.py", "th"): "2-row per-half threshold frame",
+    ("relational_ext.py", "th"): (
+        "2-row per-half threshold frame",
+        r'groupBy\("half_id"\)',
+    ),
     # j19: distinct of (custkey % 10 | NULL) — <= 11 rows at any SF
-    ("relational_ext.py", "b"): "<=11-row bucket domain (mod-10 + NULL)",
+    ("relational_ext.py", "b"): (
+        "<=11-row bucket domain (mod-10 + NULL)",
+        r'select\("bucket"\)\.distinct\(\)',
+    ),
     # two bounded query frames share this key: hybrid RRF's single
     # query vector (vec_id = 0 filter, 1 row) and ml_knn_classify's
     # probe set (vec_id < _KNN_NQ constant cap)
-    ("vectors.py", "q"): "bounded query frames (1-row / constant cap)",
+    ("vectors.py", "q"): (
+        "bounded query frames (1-row / constant cap)",
+        r'F\.col\("vec_id"\)\s*(==\s*0|<\s*_KNN_NQ)',
+    ),
     # binary-Hamming probe panel: vec_id % 50 == 0 AND vec_id < 10000
     # — hard-capped at <= 200 rows at ANY scale factor
-    ("vectors.py", "queries"): "panel hard-capped at vec_id < 10000",
+    ("vectors.py", "queries"): (
+        "panel hard-capped at vec_id < 10000",
+        r'F\.col\("vec_id"\)\s*<\s*10000',
+    ),
     # AMS F2: groupBy("term") collapses to a terminal 1-row global agg
     # (the chained .agg defeats the scalar exemption's regex)
-    ("analytics.py", "exact"): "1-row exact-F2 scalar",
+    ("analytics.py", "exact"): (
+        "1-row exact-F2 scalar",
+        r"sum\(f \* f\)",
+    ),
     # mixture sampling: per-LANGUAGE rate frame — the language domain
     # is bounded (~dozens), unlike the token vocabulary
-    ("curation.py", "rates"): "per-language rates (bounded lang domain)",
+    ("curation.py", "rates"): (
+        "per-language rates (bounded lang domain)",
+        r'groupBy\("lang"\)',
+    ),
     # whitening / chi-squared: per-DIMENSION frames — the embedding
     # dimensionality (64) is fixed at any corpus size
-    ("vectors.py", "stats"): "64-row per-dimension stats",
-    ("vectors.py", "g"): "64-row per-dimension scatter",
+    ("vectors.py", "stats"): (
+        "64-row per-dimension stats",
+        r'groupBy\("(d|dim_idx)"\)',
+    ),
+    ("vectors.py", "g"): (
+        "64-row per-dimension scatter",
+        r'groupBy\("dim_idx"\)',
+    ),
 }
 
 
@@ -100,6 +128,7 @@ def _scan_lines(fname, lines, flagged):
             # y = x.filter(...); z = y.select(...); broadcast(z)
             # must still resolve to the load. `x.sparkSession.…` only
             # borrows x's session, it doesn't derive from x's data.
+            chain = [block]
             hop_var, hop_j = var, j
             for _hop in range(3):
                 if hit:
@@ -114,6 +143,7 @@ def _scan_lines(fname, lines, flagged):
                 if hop_j2 is None:
                     break
                 hit = scaling(block2)
+                chain.append(block2)
                 hop_var, hop_j = m2.group(1), hop_j2
             if hit:
                 # a global (non-groupBy) .agg over the frame is a
@@ -121,7 +151,9 @@ def _scan_lines(fname, lines, flagged):
                 # unbounded key
                 if ".agg(" in block and "groupBy" not in block:
                     continue
-                flagged[(fname, var)] = f"{fname}:{i + 1}"
+                flagged.setdefault((fname, var), []).append(
+                    (f"{fname}:{i + 1}", "\n".join(chain))
+                )
 
 
 def _scan():
@@ -135,13 +167,30 @@ def _scan():
 def test_no_forced_broadcast_of_fact_derived_frames():
     flagged = _scan()
     unexplained = {
-        k: v for k, v in flagged.items() if k not in ALLOWLIST
+        k: [loc for loc, _ in v]
+        for k, v in flagged.items()
+        if k not in ALLOWLIST
     }
     assert not unexplained, (
         "forced broadcast of fact-derived (unbounded-key) or "
         "SF-scaling base-table frames — drop the hint and let AQE "
         "decide, or allowlist with a bounded-by-construction reason: "
         f"{unexplained}"
+    )
+    # every flagged site under an allowlisted key must still carry
+    # the bounding construction the allowlist reason describes —
+    # reusing an allowlisted name does not exempt a new frame
+    mismatched = {
+        k: [loc for loc, chain in flagged[k]
+            if not re.search(ALLOWLIST[k][1], chain)]
+        for k in flagged
+        if k in ALLOWLIST
+    }
+    mismatched = {k: v for k, v in mismatched.items() if v}
+    assert not mismatched, (
+        "allowlisted variable name reused by a frame WITHOUT the "
+        "bounding construction its allowlist entry requires: "
+        f"{mismatched}"
     )
 
 
@@ -196,3 +245,21 @@ def test_detector_fires_on_reintroduced_base_table_hint():
     flagged = {}
     _scan_lines("synthetic.py", ok, flagged)
     assert not flagged, flagged
+
+
+def test_allowlist_pattern_blocks_name_reuse():
+    """An UNBOUNDED frame that merely reuses an allowlisted variable
+    name must not inherit the exemption: its resolved chain lacks the
+    bounding construction, so the must_match regex rejects it."""
+    reuse = [
+        'stats = docs.groupBy("doc_id").agg(F.count("*").alias("c"))',
+        'out = fact.join(F.broadcast(stats), "doc_id")',
+    ]
+    flagged = {}
+    _scan_lines("vectors.py", reuse, flagged)
+    key = ("vectors.py", "stats")
+    assert key in flagged, flagged
+    _, chain = flagged[key][0]
+    assert not re.search(ALLOWLIST[key][1], chain), (
+        "must_match pattern wrongly accepts a doc_id-keyed frame"
+    )
