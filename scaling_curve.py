@@ -35,6 +35,10 @@ FAMILIES = [
     "graph_bfs_hops",  # broadcast-frontier Pregel (r7 edge build)
     "corpus_ngram_novelty",
     "events_rolling_1h",
+    # AQE-decided vocab join (de-hinted round 8): the token stream
+    # joins its own Heaps-growing frequency table with no broadcast
+    # hint — growth must stay linear while AQE picks the strategy
+    "text_lm_logprob",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
