@@ -156,3 +156,23 @@ def test_uniform_edges_contract():
     e = uniform_edges(0.0, 16.0, 16)
     assert len(e) == 15 and e[0] == 1.0 and e[-1] == 15.0
     assert hist_gbt_case_sql([], ["x"]).startswith("CAST('0.5'")
+
+
+def test_warm_memoized_path_matches_cold_fit_path(spark):
+    """Round 8: the stump entries persist their fit frame only while
+    FITTING; the warm (memoized) path scores an un-persisted rebuild
+    of the frame. Values must be identical between the first (cold)
+    and second (warm) invocation in one process."""
+    from ibf_typhoon_data_pipeline_spark import plans
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        release_caches,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    for name in ("tc_damage_gbt", "tc_damage_calibration"):
+        fn = plans.QUERIES[name].fn
+        first = sorted(tuple(r) for r in fn(spark, sf).collect())
+        release_caches()
+        second = sorted(tuple(r) for r in fn(spark, sf).collect())
+        release_caches()
+        assert first == second, f"{name}: warm path diverged"

@@ -54,6 +54,15 @@ NAMES = [
     "f24_collated_grouping",
     "sim_range_search",
     "sim_lsh_recall_eval",
+    # round 8: the vocab joins went AQE-decided (de-hinted) — their
+    # physical strategy now varies with runtime sizes, so pin that
+    # the integer micro-nat values don't care how the join shuffles
+    "text_lm_logprob",
+    "text_pmi_pairs",
+    "corpus_heldout_ppl",
+    "ml_naive_bayes",
+    "text_rake_keywords",
+    "corpus_ppl_buckets",
 ]
 
 

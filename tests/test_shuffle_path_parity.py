@@ -25,12 +25,21 @@ NAMES = [
     "text_pmi_pairs",
     "text_rake_keywords",
     "ml_naive_bayes",
-    # SF-scaling base-table joins (customer/supplier/part), one per
-    # distinct TPC-H join shape that was de-hinted
+    # SF-scaling base-table joins (customer/supplier/part): every
+    # TPC-H entry the round-8 de-hinting touched
     "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
     "q17_small_quantity_lines",
+    "q19_disjunctive_filter",
+    "q20_excess_shippers",
     "q21_late_sole_supplier",
     # key-set joins the extended hygiene guard itself found
     "audit_referential_integrity",
