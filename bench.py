@@ -231,6 +231,31 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
     return timings
 
 
+def wait_for_idle(
+    max_load: float = 0.3, timeout_s: float = 300.0, poll_s: float = 10.0
+) -> bool:
+    """Delay start while 1-min load exceeds ``max_load`` (the
+    load-shadow protocol, automated — round 8 cost the judge two
+    discarded runs launched in the load shadow of just-exited JVMs).
+    Returns True when the gate passed, False when the timeout expired
+    and the run proceeds anyway (recorded as load_gate_waived)."""
+    deadline = time.monotonic() + timeout_s
+    while os.getloadavg()[0] > max_load:
+        if time.monotonic() >= deadline:
+            sys.stderr.write(
+                f"WARNING: 1-min load {os.getloadavg()[0]:.2f} still > "
+                f"{max_load} after {timeout_s:.0f}s — proceeding; treat "
+                "this run's numbers as load-contaminated\n"
+            )
+            return False
+        sys.stderr.write(
+            f"bench: 1-min load {os.getloadavg()[0]:.2f} > {max_load}, "
+            f"waiting for idle...\n"
+        )
+        time.sleep(poll_s)
+    return True
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -242,6 +267,13 @@ def main() -> None:
             "BENCH_CHUNK:" + json.dumps(run_chunk(names, sf_dir, cpus))
         )
         return
+
+    # load-shadow gate (VERDICT r8 item 2): a run launched while other
+    # JVMs are draining reads ~1.4x slow across the board; refuse-or-
+    # delay start while 1-min load > 0.3 and record load at both ends
+    # so a future reader can tell weather from regression.
+    load_gate_ok = wait_for_idle()
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
 
     # parent mode: split the headline into N fresh-JVM sessions so no
     # query inherits another family's session-level drag
@@ -268,7 +300,7 @@ def main() -> None:
         lat = got.pop("__probe_latency_sec", None)
         if lat is not None:
             latencies.append(lat)
-        if probe is not None:
+        if probe is not None and probe > 0:
             probes.append(probe)
             # probe-normalized twin (VERDICT r7 item 4): each query's
             # time divided by ITS OWN chunk's machine-speed probe, so
@@ -277,30 +309,53 @@ def main() -> None:
             normalized.update(
                 {n: round(t / probe, 3) for n, t in got.items()}
             )
+        else:
+            # a chunk without a usable probe contributes no normalized
+            # rows — record the gap explicitly (ADVICE r8) so a
+            # varying-subset value_normalized never reads as a silent
+            # plan change.
+            sys.stderr.write(
+                f"WARNING: chunk starting at {chunk[0]} has no usable "
+                f"probe (got {probe!r}) — its {len(got)} queries are "
+                "omitted from the normalized totals\n"
+            )
         timings.update(got)
+
+    load_end = tuple(round(x, 2) for x in os.getloadavg())
 
     # per-chunk calibration probes: median reported top-level so a
     # future reader can normalize the total by machine speed
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_normalized": normalized,
-                "value_normalized": round(sum(normalized.values()), 3),
-                "probe_sec": sorted(probes)[len(probes) // 2]
-                if probes
-                else None,
-                "probe_latency_sec": sorted(latencies)[len(latencies) // 2]
-                if latencies
-                else None,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "value_normalized": round(sum(normalized.values()), 3),
+        # normalized coverage (ADVICE r8): when < n_queries, a chunk
+        # lost its probe and value_normalized sums a SUBSET — compare
+        # rounds on value, not value_normalized, in that case.
+        "n_queries": len(timings),
+        "n_normalized": len(normalized),
+        "probe_sec": sorted(probes)[len(probes) // 2] if probes else None,
+        "probe_latency_sec": sorted(latencies)[len(latencies) // 2]
+        if latencies
+        else None,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # load-shadow telemetry (VERDICT r8 item 2): 1/5/15-min load
+        # sampled at start and end; gate waived = run started loaded.
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "load_gate_waived": not load_gate_ok,
+    }
+    print(json.dumps({**summary, "queries": timings,
+                      "queries_normalized": normalized}))
+    # truncation-proof twin (VERDICT r8 item 2): the driver keeps only
+    # the last ~2,000 chars of output, and with 60+ queries x 2 dicts
+    # the leading "value" key of the line above scrolls out (r8's
+    # BENCH file recorded parsed:null). The scalar summary is re-
+    # emitted as a SECOND, final JSON line so any tail capture keeps a
+    # parseable record of the totals.
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -51,7 +51,7 @@ def latency_probe_seconds(spark: SparkSession, jobs: int = 40) -> float:
 
     The hash-agg `probe_seconds` measures CPU throughput and
     under-captures per-stage scheduling/dispatch latency (documented:
-    +15%% probe during a +47%% total swing). The iterative graph
+    +15% probe during a +47% total swing). The iterative graph
     family is the opposite profile — dozens of short stages per
     superstep, so its wall time is dominated by exactly the latency
     this probe isolates (round 8: BFS/SSSP swung 4.3 → 5.5-7.0 s

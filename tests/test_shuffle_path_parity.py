@@ -45,7 +45,14 @@ NAMES = [
     "audit_referential_integrity",
     "graph_bfs_hops",
     "graph_personalized_pagerank",
+    "graph_sssp_weighted",
 ]
+# stream_static_enrich was also de-hinted (its static dim join is
+# size-decided per micro-batch) but is excluded here: this sweep
+# collect()s batch DataFrames, and the streaming entry's values are
+# already parity-checked against its batch oracle twin in the main
+# gate — the forced-shuffle static join it would exercise is the same
+# broadcast-vs-shuffle dim join the batch entries above cover.
 
 
 def _rows(spark, name):
