@@ -98,6 +98,17 @@ def _driver_row_status() -> tuple[set[str], set[str]]:
       of a problem with some shipped version of this entry.
 
     A name that later turned green leaves the red set."""
+    last_green, red = _green_last_rounds()
+    return set(last_green), red
+
+
+def _green_last_rounds() -> tuple[dict[str, int], set[str]]:
+    """Scan CORRECTNESS_r*.json and return ({green name: most recent
+    round with a counting green row}, red set). The last-green round
+    drives tier (c)'s rolling re-validation order (VERDICT r8 item 5):
+    with coverage closed, the stalest proofs must rotate back through
+    the driver's ~50-entry sample window so silent drift in
+    long-untouched entries is caught within ~7 rounds."""
     import glob
     import json
     import os
@@ -106,7 +117,7 @@ def _driver_row_status() -> tuple[set[str], set[str]]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    green: set[str] = set()
+    last_green: dict[str, int] = {}
     red: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -125,7 +136,7 @@ def _driver_row_status() -> tuple[set[str], set[str]]:
                 and QUERIES[name].oracle is None
             )
             if ok and not stale:
-                green.add(name)
+                last_green[name] = max(last_green.get(name, 0), rnd)
             elif not ok:
                 # a stale-green row is neither proof nor failure; an
                 # actual mismatch/error row is a red mark
@@ -133,9 +144,9 @@ def _driver_row_status() -> tuple[set[str], set[str]]:
     # entries marked stale that never re-greened carry a red mark too:
     # the driver checked an older semantics and the new one is unproven
     for name, rnd in _STALE_BEFORE_ROUND.items():
-        if name in QUERIES and name not in green:
+        if name in QUERIES and name not in last_green:
             red.add(name)
-    return green, red - green
+    return last_green, red - set(last_green)
 
 
 def _ordered_names() -> list[str]:
@@ -146,21 +157,24 @@ def _ordered_names() -> list[str]:
     FIFO BY CATALOG AGE (`_catalog_age.FIRST_ROUND`, the round each
     entry first registered) so old backlog clears before each round's
     newcomers instead of being perpetually outranked by them (VERDICT
-    r6 item 1); then (c) proven-green entries. Registration order
-    breaks ties within each tier. The driver samples a prefix of this
-    list under a time cap."""
+    r6 item 1); then (c) proven-green entries, STALEST PROOF FIRST
+    (ascending last-green driver round — VERDICT r8 item 5: with
+    coverage closed, the ~50-entry sample window must rotate through
+    the catalog so silent drift in long-unchecked entries is caught
+    within ~7 rounds, instead of re-proving the same registration-
+    order head every round). Registration order breaks ties within
+    each tier. The driver samples a prefix of this list under a time
+    cap."""
     from ._catalog_age import FIRST_ROUND
 
-    green, red = _driver_row_status()
+    last_green, red = _green_last_rounds()
     names = list(QUERIES)
     reg_idx = {n: i for i, n in enumerate(names)}
-    never = [n for n in names if n not in red and n not in green]
+    never = [n for n in names if n not in red and n not in last_green]
     never.sort(key=lambda n: (FIRST_ROUND.get(n, 10**6), reg_idx[n]))
-    return (
-        [n for n in names if n in red]
-        + never
-        + [n for n in names if n in green]
-    )
+    green = [n for n in names if n in last_green]
+    green.sort(key=lambda n: (last_green[n], reg_idx[n]))
+    return [n for n in names if n in red] + never + green
 
 
 def _released(fn: Callable) -> Callable:

@@ -83,6 +83,27 @@ def test_no_backdated_registrations():
     )
 
 
+def test_tier_c_rotates_stalest_proof_first():
+    """VERDICT r8 item 5: with coverage closed (tier b empty), the
+    driver's ~50-entry sample must rotate through the catalog —
+    proven-green entries are ordered by ASCENDING last-green driver
+    round, so the entries whose proof is oldest re-validate first and
+    every entry cycles back through the window within ~7 rounds. A
+    regression to registration order would pin the same head forever
+    and leave the tail unchecked indefinitely."""
+    last_green, red = registry._green_last_rounds()
+    ordered = registry._ordered_names()
+    tier_c = [n for n in ordered if n in last_green]
+    rounds = [last_green[n] for n in tier_c]
+    assert rounds == sorted(rounds), (
+        "green tier must be ordered stalest-proof-first"
+    )
+    # the head of the sample window must be strictly staler than the
+    # tail whenever the catalog spans multiple green rounds
+    if rounds and rounds[0] != rounds[-1]:
+        assert rounds[0] < rounds[-1]
+
+
 def test_backlog_heads_the_never_checked_tier():
     """The round-4 TPC-H/vector debt must outrank round-6 newcomers
     within tier (b) whenever both are still unchecked."""
