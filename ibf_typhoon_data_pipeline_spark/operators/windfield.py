@@ -259,7 +259,7 @@ def _extent_col(kernel, *cols: str) -> Column:
 
 def grid_prune_pairs(
     c: DataFrame, t: DataFrame, cond: Column, r_hi: Column,
-    cell: float = 2.0,
+    cell: float = 2.0, broadcast: bool = True,
 ) -> DataFrame:
     """(centroid × track-point) candidate pairs via a grid-cell HASH
     join bounded by a per-track-point prune radius.
@@ -317,8 +317,17 @@ def grid_prune_pairs(
     cg = c.withColumn(
         "__c_latc", F.floor(F.col("c_lat") / cell)
     ).withColumn("__c_lonc", F.floor(F.col("c_lon") / cell))
+    # broadcast hint: legitimate for single-event production plans
+    # (track points bounded by 52 members x 481 positions — the
+    # hygiene allowlist's bounded-by-construction case). broadcast=
+    # False leaves the strategy to AQE (shuffle join on the cell keys
+    # once the track batch outgrows the threshold) — the path a
+    # multi-event 100 TB replay takes, where a dense cell becomes a
+    # skewed shuffle partition that AQE skew-splits at runtime
+    # (tests/test_aqe_skew.py drives exactly that on
+    # tc_windfield_skewgrid).
     return cg.join(
-        F.broadcast(tg),
+        F.broadcast(tg) if broadcast else tg,
         (F.col("__c_latc") == F.col("__t_latc"))
         & (F.col("__c_lonc") == F.col("__t_lonc"))
         & cond
@@ -350,6 +359,7 @@ def windfield_expr(
     keys: list[str] | None = None,
     metric: str = "geosphere",
     join: str = "grid",
+    broadcast: bool = True,
 ) -> DataFrame:
     """K1 as a broadcast join + codegen expressions.
 
@@ -404,6 +414,7 @@ def windfield_expr(
                 lambda *a: _wind_extent_kernel(*a, thr=threshold_ms),
                 "rmw_km", "b_s", "penv", "pcen", "v_trans_ms", "t_lat",
             ),
+            broadcast=broadcast,
         )
     else:
         pairs = c.join(F.broadcast(t), cond)

@@ -470,6 +470,95 @@ def tc_windfield_holland(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- K1 on a skewed dense grid
+# Durability evidence for the windfield pair join at scale (VERDICT r8
+# item 6): ~84% of the centroids packed into ONE 2° grid-join cell —
+# a nested high-resolution nowcast domain under the storm — so the
+# cell key the grid join shuffles on is pathologically skewed. The
+# plan leaves the join strategy to AQE (broadcast=False: at bench SF
+# it broadcasts; on a multi-event 100 TB replay the track batch
+# outgrows the threshold and the dense cell becomes a skewed shuffle
+# partition that AQE must split at runtime —
+# tests/test_aqe_skew.py::test_windfield_skewgrid_splits drives that
+# degraded path and requires value parity; the entry also rides the
+# forced-shuffle sweep in test_shuffle_path_parity).
+SKEW_DENSE = 10_000  # 100 × 100 at 0.02° inside [14,16)×[120,122)
+
+SKEW_CENTROIDS_SQL = f"""
+  SELECT CAST(id AS BIGINT) AS centroid_id,
+         14.0 + (id // 100) * 0.02 AS lat,
+         120.0 + (id % 100) * 0.02 AS lon
+  FROM range({SKEW_DENSE}) AS d(id)
+  UNION ALL
+  SELECT CAST(id AS BIGINT) + {SKEW_DENSE} AS centroid_id,
+         6.0 + (id // {GRID_COLS}) * 0.25 AS lat,
+         118.0 + (id % {GRID_COLS}) * 0.25 AS lon
+  FROM range({GRID_ROWS * GRID_COLS}) AS b(id)
+"""
+
+
+def gen_centroids_skewed(spark: SparkSession) -> DataFrame:
+    """Spark twin of SKEW_CENTROIDS_SQL — token-for-token float ops."""
+    dense = spark.range(SKEW_DENSE).select(
+        F.col("id").cast("bigint").alias("centroid_id"),
+        (14.0 + F.expr("id div 100") * 0.02).alias("lat"),
+        (120.0 + (F.col("id") % 100) * 0.02).alias("lon"),
+    )
+    bg = spark.range(GRID_ROWS * GRID_COLS).select(
+        (F.col("id").cast("bigint") + SKEW_DENSE).alias("centroid_id"),
+        (6.0 + F.expr(f"id div {GRID_COLS}") * 0.25).alias("lat"),
+        (118.0 + (F.col("id") % GRID_COLS) * 0.25).alias("lon"),
+    )
+    return dense.unionByName(bg)
+
+
+@register(
+    "tc_windfield_skewgrid",
+    f"""
+    WITH tracks AS (SELECT * FROM ({TRACKS_SQL}) AS t WHERE ens_id < 8),
+    params AS ({PARAMS_SQL}),
+    bs AS ({BS_SQL}),
+    centroids AS ({SKEW_CENTROIDS_SQL}),
+    pairs AS (
+      SELECT b.ens_id, b.step, c.centroid_id,
+             b.lat AS t_lat, b.pcen, b.penv, b.v_trans_ms, b.rmw_km, b.b_s,
+             2 * 6367.0 * asin(sqrt(
+               pow(sin(radians(b.lat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - c.lon) / 2), 2)
+             )) AS r_km
+      FROM bs b JOIN centroids c
+        ON c.lat BETWEEN b.lat - 5.5 AND b.lat + 5.5
+       AND c.lon BETWEEN b.lon - 5.5 AND b.lon + 5.5
+    ),
+    wf AS (
+      SELECT ens_id, step, centroid_id, {WIND_EXPR_SQL} AS wind_ms
+      FROM pairs
+    )
+    SELECT ens_id, centroid_id, count(*) AS n_steps,
+           round(max(wind_ms), 3) AS intensity_ms
+    FROM wf WHERE wind_ms > 17.5
+    GROUP BY 1, 2
+    """,
+    doc="K1 Holland windfield over a SKEWED dense-nest grid (84% of "
+        "centroids in one 2° grid-join cell — a nested nowcast domain "
+        "under the storm, 8-member subset): same kernel and output "
+        "contract as tc_windfield_holland but the pair join is left "
+        "to AQE (no broadcast hint), so the degraded shuffle path "
+        "exercises runtime skew-splitting on the dense cell key "
+        "(trop_cyclone.py:515-639 semantics on a realistic uneven "
+        "centroid layout)",
+)
+def tc_windfield_skewgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks(spark).filter(F.col("ens_id") < 8)
+    cents = gen_centroids_skewed(spark)
+    wf = windfield_expr(tracks, cents, broadcast=False)
+    return wf.groupBy("ens_id", "centroid_id").agg(
+        F.count("*").alias("n_steps"),
+        F.round(F.max("wind_ms"), 3).alias("intensity_ms"),
+    )
+
+
 # v_g only: the translation term multiplied to zero (token-preserving
 # replace so every other float op keeps its exact text)
 _WIND_EXPR_NO_TRANS = WIND_EXPR_SQL.replace(

@@ -46,6 +46,10 @@ NAMES = [
     "graph_bfs_hops",
     "graph_personalized_pagerank",
     "graph_sssp_weighted",
+    # round-9: windfield pair join on a skewed dense grid, AQE-decided
+    # by construction (broadcast=False) — its skew-split degradation
+    # is additionally exercised in test_aqe_skew.py
+    "tc_windfield_skewgrid",
 ]
 # stream_static_enrich was also de-hinted (its static dim join is
 # size-decided per micro-batch) but is excluded here: this sweep
