@@ -1651,6 +1651,256 @@ def tc_hindcast_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ §3.1 full DAG, multi-event batch
+# The reference runs its operational DAG once per active typhoon in a
+# driver loop (forecast_process.py:296-334 iterates Activetyphoon);
+# here THREE concurrent storms run the FULL production chain — track
+# params → Holland windfield (grid-pruned) → J2 muni hazard → K4 min
+# track distance → damage stub → per-event EAP trigger — as ONE Spark
+# plan with event_id as a partition axis. Unlike tc_hindcast_triggers
+# (simplified Willoughby outer profile, vmax-only tracks), this is the
+# same kernel chain the single-event flagship uses, so at 100 TB an
+# archived multi-event replay is this exact plan with more event_ids —
+# no driver loop, no per-event job submission.
+N_EVENTS_DAG = 3
+
+TRACKS3_SQL = f"""
+  SELECT event_id, ens_id, step,
+         7.0 + dlat + step * 0.28 + nlat * 0.9 + step * nlat * 0.02 AS lat,
+         138.0 + dlon - step * 0.52 + nlon * 0.9 + step * nlon * 0.02
+           AS lon,
+         vraw AS vmax,
+         1010.0 - vraw AS pcen,
+         CAST(1006.0 AS DOUBLE) AS penv
+  FROM (
+    SELECT event_id, ens_id, step, dlat, dlon, nlat, nlon,
+           greatest(18.0 + 42.0 * (1.0 - q * q) + nv * 4.0 + wob, 15.0)
+             AS vraw
+    FROM (
+      SELECT CAST(id // {N_MEMBERS * N_STEPS} AS BIGINT) AS event_id,
+             CAST((id // {N_STEPS}) % {N_MEMBERS} AS BIGINT) AS ens_id,
+             CAST(id % {N_STEPS} AS BIGINT) AS step,
+             ((id // {N_MEMBERS * N_STEPS}) * 2591) % 41 / 41.0 * 1.8
+               - 0.9 AS dlat,
+             ((id // {N_MEMBERS * N_STEPS}) * 1723) % 37 / 37.0 * 2.4
+               - 1.2 AS dlon,
+             ((id // {N_STEPS}) * 7919) % 97 / 97.0 - 0.5 AS nlat,
+             ((id // {N_STEPS}) * 104729) % 89 / 89.0 - 0.5 AS nlon,
+             ((id // {N_STEPS}) * 6151) % 83 / 83.0 AS nv,
+             ((id // {N_MEMBERS * N_STEPS}) * 3571) % 61 / 61.0 * 6.0
+               - 3.0 AS wob,
+             ((id % {N_STEPS}) - 20.0) / 16.0 AS q
+      FROM range({N_EVENTS_DAG * N_MEMBERS * N_STEPS}) AS t(id)
+    ) AS seeds
+  ) AS v
+"""
+
+# the per-point physics windows partition by (event, member) in the
+# multi-event batch — token-preserving replace of the shared text
+PARAMS3_SQL = PARAMS_SQL.replace(
+    "PARTITION BY ens_id", "PARTITION BY event_id, ens_id"
+)
+assert PARAMS3_SQL != PARAMS_SQL
+
+
+def gen_tracks_events(spark: SparkSession) -> DataFrame:
+    """Spark twin of TRACKS3_SQL: three distinct storms (noise keyed
+    on the global member row, per-event center shift + intensity
+    wobble), full (vmax, pcen, penv) parameter set."""
+    ids = spark.range(N_EVENTS_DAG * N_MEMBERS * N_STEPS)
+    ev = F.expr(f"id div {N_MEMBERS * N_STEPS}")
+    m = F.expr(f"id div {N_STEPS}")
+    s = (F.col("id") % N_STEPS).cast("bigint")
+    seeds = ids.select(
+        ev.cast("bigint").alias("event_id"),
+        (m % N_MEMBERS).cast("bigint").alias("ens_id"),
+        s.alias("step"),
+        ((ev * 2591) % 41 / 41.0 * 1.8 - 0.9).alias("dlat"),
+        ((ev * 1723) % 37 / 37.0 * 2.4 - 1.2).alias("dlon"),
+        ((m * 7919) % 97 / 97.0 - 0.5).alias("nlat"),
+        ((m * 104729) % 89 / 89.0 - 0.5).alias("nlon"),
+        ((m * 6151) % 83 / 83.0).alias("nv"),
+        ((ev * 3571) % 61 / 61.0 * 6.0 - 3.0).alias("wob"),
+        ((s - 20.0) / 16.0).alias("q"),
+    )
+    v = seeds.select(
+        "event_id", "ens_id", "step", "dlat", "dlon", "nlat", "nlon",
+        F.greatest(
+            18.0 + 42.0 * (1.0 - F.col("q") * F.col("q"))
+            + F.col("nv") * 4.0 + F.col("wob"),
+            F.lit(15.0),
+        ).alias("vraw"),
+    )
+    return v.select(
+        "event_id", "ens_id", "step",
+        (
+            7.0 + F.col("dlat") + F.col("step") * 0.28
+            + F.col("nlat") * 0.9 + F.col("step") * F.col("nlat") * 0.02
+        ).alias("lat"),
+        (
+            138.0 + F.col("dlon") - F.col("step") * 0.52
+            + F.col("nlon") * 0.9 + F.col("step") * F.col("nlon") * 0.02
+        ).alias("lon"),
+        F.col("vraw").alias("vmax"),
+        (1010.0 - F.col("vraw")).alias("pcen"),
+        F.lit(1006.0).alias("penv"),
+    )
+
+
+@register(
+    "tc_multi_event_dag",
+    f"""
+    WITH tracks AS ({TRACKS3_SQL}),
+    params AS ({PARAMS3_SQL}),
+    bs AS ({BS_SQL}),
+    centroids AS ({CENTROIDS_SQL}),
+    pairs AS (
+      SELECT b.event_id, b.ens_id, b.step, c.centroid_id, c.adm3_pcode,
+             b.lat AS t_lat, b.pcen, b.penv, b.v_trans_ms, b.rmw_km, b.b_s,
+             2 * 6367.0 * asin(sqrt(
+               pow(sin(radians(b.lat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - c.lon) / 2), 2)
+             )) AS r_km
+      FROM bs b JOIN centroids c
+        ON c.lat BETWEEN b.lat - 5.5 AND b.lat + 5.5
+       AND c.lon BETWEEN b.lon - 5.5 AND b.lon + 5.5
+    ),
+    wf AS (
+      SELECT event_id, ens_id, adm3_pcode, {WIND_EXPR_SQL} AS wind_ms
+      FROM pairs
+    ),
+    hazard AS (
+      SELECT event_id, ens_id, adm3_pcode, max(wind_ms) AS v_max
+      FROM wf WHERE wind_ms > 17.5
+      GROUP BY 1, 2, 3
+    ),
+    munis AS ({MUNIS_SQL}),
+    dists AS (
+      SELECT t.event_id, m.adm3_pcode, t.ens_id,
+             min(sqrt((m.m_lat - t.lat) * (m.m_lat - t.lat)
+                      + (m.m_lon - t.lon) * (m.m_lon - t.lon)) * 111.0)
+               AS dis_track_min
+      FROM munis m CROSS JOIN tracks t
+      GROUP BY 1, 2, 3
+    ),
+    damage AS (
+      SELECT h.event_id, h.ens_id, h.v_max,
+             CASE
+               WHEN d.dis_track_min > 300.0 THEN 0.0
+               WHEN h.v_max > 25.0 THEN
+                 m.housing_units * least(1.0,
+                   (h.v_max - 25.0) / 40.0 * ((h.v_max - 25.0) / 40.0)
+                   * ((h.v_max - 25.0) / 40.0))
+               ELSE 0.0
+             END AS damage_predicted
+      FROM hazard h
+      JOIN dists d ON h.event_id = d.event_id
+                  AND h.adm3_pcode = d.adm3_pcode AND h.ens_id = d.ens_id
+      JOIN munis m ON h.adm3_pcode = m.adm3_pcode
+    ),
+    totals AS (
+      SELECT event_id, ens_id,
+             CAST(sum(CAST(floor(damage_predicted + 0.5) AS BIGINT))
+                  AS BIGINT) AS dam_units,
+             CAST(sum(CASE WHEN v_max > 33.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_damaged
+      FROM damage GROUP BY 1, 2
+    )
+    SELECT event_id,
+           CAST(sum(CASE WHEN dam_units > 85000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_activation_members,
+           CAST(sum(CASE WHEN n_damaged > 150 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_readiness_members,
+           CAST(count(*) AS BIGINT) AS n_members,
+           sum(CASE WHEN dam_units > 85000 THEN 1 ELSE 0 END) * 2
+             >= count(*) AS activation_triggered
+    FROM totals GROUP BY event_id
+    """,
+    doc="§3.1 operational DAG for THREE concurrent storms in ONE plan "
+        "(forecast_process.py:296-334 loops per event on the driver): "
+        "full Holland kernel chain — track params → grid-pruned "
+        "windfield → muni hazard → K4 min distance → damage stub → "
+        "per-event EAP activation/readiness member counts. event_id "
+        "is a partition axis, not a job loop; damage totals are "
+        "floor-quantized to integer units per row so the member "
+        "trigger comparison is association-free in both engines",
+)
+def tc_multi_event_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = gen_tracks_events(spark)
+    cents = gen_centroids(spark)
+    keys = ["event_id", "ens_id"]
+    wf = windfield_expr(
+        tracks, cents.select("centroid_id", "lat", "lon"), keys=keys
+    )
+    hazard = (
+        wf.join(
+            F.broadcast(cents.select("centroid_id", "adm3_pcode")),
+            "centroid_id",
+        )
+        .groupBy("event_id", "ens_id", "adm3_pcode")
+        .agg(F.max("wind_ms").alias("v_max"))
+    )
+    munis = gen_munis(spark)
+    # K4 degree-space min distance, per (event, muni, member) — the
+    # plain cross-join min (513 munis × 6.4k track points; both sides
+    # bounded by construction, the track side broadcast)
+    dist = (
+        F.sqrt(
+            (F.col("m_lat") - F.col("lat"))
+            * (F.col("m_lat") - F.col("lat"))
+            + (F.col("m_lon") - F.col("lon"))
+            * (F.col("m_lon") - F.col("lon"))
+        )
+        * 111.0
+    )
+    dists = (
+        munis.select("adm3_pcode", "m_lat", "m_lon")
+        .crossJoin(
+            F.broadcast(tracks.select("event_id", "ens_id", "lat", "lon"))
+        )
+        .groupBy("event_id", "adm3_pcode", "ens_id")
+        .agg(F.min(dist).alias("dis_track_min"))
+    )
+    ramp = (F.col("v_max") - 25.0) / 40.0
+    dmg = (
+        F.when(F.col("dis_track_min") > 300.0, F.lit(0.0))
+        .when(
+            F.col("v_max") > 25.0,
+            F.col("housing_units")
+            * F.least(F.lit(1.0), ramp * ramp * ramp),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    damage = (
+        hazard.join(dists, ["event_id", "adm3_pcode", "ens_id"])
+        .join(
+            F.broadcast(munis.select("adm3_pcode", "housing_units")),
+            "adm3_pcode",
+        )
+        .select(
+            "event_id", "ens_id", "v_max", dmg.alias("damage_predicted")
+        )
+    )
+    totals = damage.groupBy("event_id", "ens_id").agg(
+        F.sum(
+            F.floor(F.col("damage_predicted") + 0.5).cast("bigint")
+        ).alias("dam_units"),
+        F.sum(F.when(F.col("v_max") > 33.0, 1).otherwise(0)).alias(
+            "n_damaged"
+        ),
+    )
+    n_act = F.sum(F.when(F.col("dam_units") > 85000, 1).otherwise(0))
+    return totals.groupBy("event_id").agg(
+        n_act.cast("bigint").alias("n_activation_members"),
+        F.sum(F.when(F.col("n_damaged") > 150, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_readiness_members"),
+        F.count("*").alias("n_members"),
+        (n_act * 2 >= F.count("*")).alias("activation_triggered"),
+    )
+
+
 @register(
     "tc_damage_model",
     f"""

@@ -50,6 +50,8 @@ NAMES = [
     # by construction (broadcast=False) — its skew-split degradation
     # is additionally exercised in test_aqe_skew.py
     "tc_windfield_skewgrid",
+    # round-9: the hazard ⋈ dists join of the 3-storm DAG is un-hinted
+    "tc_multi_event_dag",
 ]
 # stream_static_enrich was also de-hinted (its static dim join is
 # size-decided per micro-batch) but is excluded here: this sweep
