@@ -3200,3 +3200,121 @@ def f24_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
     )
+
+
+# --------------------------- SQL session variables + named parameters
+@register(
+    "sql_session_variables",
+    """
+    WITH cut AS (
+      SELECT max(o_totalprice) * 0.5 AS price_cut FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_hi,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_hi
+    FROM orders, cut
+    WHERE o_totalprice > price_cut AND o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="SQL session variables (Spark 4, SPARK-46908: DECLARE / SET "
+        "VARIABLE) + named-parameter spark.sql (SPARK-44140): the "
+        "config-driven trigger-threshold pattern of the reference "
+        "(forecast_process.py reads EAP trigger levels from config, "
+        "not literals in the query). The cutoff variable is SET from "
+        "a scalar subquery — max(o_totalprice) * 0.5, exact in IEEE "
+        "doubles in both engines (max is order-independent, *0.5 is "
+        "a power of two) so the variable-fed filter is boundary-safe; "
+        "the excluded status arrives as a named :excluded parameter. "
+        "The oracle inlines both as a CTE — variables are a session "
+        "surface, not a plan shape: the filter + agg plan is "
+        "identical to the literal form.",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "var_orders"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cut DOUBLE")
+    spark.sql(
+        "SET VARIABLE price_cut = "
+        "(SELECT max(o_totalprice) * 0.5 FROM var_orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_hi,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS cents_hi
+        FROM var_orders
+        WHERE o_totalprice > price_cut AND o_orderstatus <> :excluded
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"excluded": "P"},
+    )
+
+
+# ------------------------------- SQL scripting (BEGIN / WHILE / END)
+@register(
+    "sql_scripting_threshold_search",
+    """
+    WITH mx AS (
+      SELECT CAST(ceil(max(o_totalprice) / 100000.0) AS BIGINT)
+             * 100000 AS rung
+      FROM orders
+    )
+    SELECT CAST(rung AS BIGINT) AS first_empty_rung,
+           CAST((SELECT count(*) FROM orders, mx
+                 WHERE o_totalprice > rung - 100000.0)
+                AS BIGINT) AS n_top_band,
+           CAST((SELECT sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                      AS BIGINT))
+                 FROM orders, mx
+                 WHERE o_totalprice > rung - 100000.0)
+                AS BIGINT) AS cents_top_band
+    FROM mx
+    """,
+    doc="SQL scripting (Spark 4, SPARK-48338: BEGIN/END compound "
+        "statements, DECLARE locals, WHILE with a scalar-subquery "
+        "SET): a procedural rung search — raise the trigger rung in "
+        "100k steps until no order exceeds it, then report the top "
+        "band — the imperative loop the reference writes in driver "
+        "Python around every trigger ladder (forecast_process.py "
+        "per-level loops). The declarative oracle is the closed form "
+        "ceil(max/100k)*100k, provably equal: the loop stops at the "
+        "smallest positive multiple of 100k >= max. Rung arithmetic "
+        "stays in exact-integer doubles (100000.0 increments), so "
+        "the band filter is boundary-safe in both engines; band "
+        "cents are per-row floor-quantized (q9 rule). Each WHILE "
+        "probe is one scan-count job — the script surface adds "
+        "driver round-trips, never a new shuffle shape.",
+)
+def sql_scripting_threshold_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE rung DOUBLE DEFAULT 0.0;
+          DECLARE n BIGINT DEFAULT -1;
+          WHILE n != 0 DO
+            SET rung = rung + 100000.0;
+            SET n = (SELECT count(*) FROM script_orders
+                     WHERE o_totalprice > rung);
+          END WHILE;
+          SELECT CAST(rung AS BIGINT) AS first_empty_rung,
+                 CAST((SELECT count(*) FROM script_orders
+                       WHERE o_totalprice > rung - 100000.0)
+                      AS BIGINT) AS n_top_band,
+                 CAST((SELECT sum(CAST(floor(o_totalprice * 100.0
+                            + 0.5) AS BIGINT))
+                       FROM script_orders
+                       WHERE o_totalprice > rung - 100000.0)
+                      AS BIGINT) AS cents_top_band;
+        END
+        """
+    )

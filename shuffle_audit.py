@@ -48,6 +48,8 @@ AUDIT = [
     "events_classical_decompose",  # hourly collapse + dim window
     "corpus_ngram_novelty",      # gram-keyed membership join
     "graph_pagerank",            # iterative Pregel supersteps
+    "tc_windfield_skewgrid",     # r9: AQE-decided skewed pair join
+    "tc_multi_event_dag",        # r9: 3-storm event-keyed DAG
 ]
 
 

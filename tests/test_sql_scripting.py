@@ -1,0 +1,65 @@
+"""Spark 4 procedural-SQL surfaces beyond the two catalog entries
+(`sql_session_variables`, `sql_scripting_threshold_search`):
+EXECUTE IMMEDIATE with USING parameters and INTO variable capture
+(SPARK-44801), and scripting FOR loops over an ordered result set
+(SPARK-48338). Each result is cross-checked against a DuckDB twin on
+the same parquet slice — the surfaces are session/driver features, so
+the oracle is the equivalent declarative query, value-for-value.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+SF = "/root/testdata/sf0.01"
+ORDERS = f"{SF}/orders.parquet"
+
+
+def test_execute_immediate_using_into(spark):
+    spark.read.parquet(ORDERS).createOrReplaceTempView("ei_orders")
+    # INTO captures the scalar into a session variable; USING binds a
+    # positional parameter into the statement text at execution time
+    spark.sql("DECLARE OR REPLACE VARIABLE n_f BIGINT")
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT count(*) FROM ei_orders WHERE o_orderstatus = ?' "
+        "INTO n_f USING 'F'"
+    )
+    got = spark.sql("SELECT n_f AS n").collect()[0]["n"]
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{ORDERS}' WHERE o_orderstatus = 'F'"
+    ).fetchone()[0]
+    assert got == want and got > 0
+
+
+def test_scripting_for_loop_over_resultset(spark):
+    spark.read.parquet(ORDERS).createOrReplaceTempView("for_orders")
+    # FOR iterates the per-priority counts in ORDER BY order; the
+    # positional weight makes the accumulated checksum order-sensitive,
+    # so a wrong iteration order cannot pass
+    row = spark.sql(
+        """
+        BEGIN
+          DECLARE acc BIGINT DEFAULT 0;
+          DECLARE i BIGINT DEFAULT 0;
+          FOR r AS SELECT o_orderpriority AS p, count(*) AS n
+                   FROM for_orders GROUP BY 1 ORDER BY 1 DO
+            SET i = i + 1;
+            SET acc = acc + i * r.n;
+          END FOR;
+          SELECT acc AS checksum, i AS n_groups;
+        END
+        """
+    ).collect()[0]
+    want = duckdb.sql(
+        f"""
+        SELECT CAST(sum(i * n) AS BIGINT), CAST(max(i) AS BIGINT)
+        FROM (
+          SELECT row_number() OVER (ORDER BY o_orderpriority) AS i, n
+          FROM (SELECT o_orderpriority, count(*) AS n
+                FROM '{ORDERS}' GROUP BY 1)
+        )
+        """
+    ).fetchone()
+    assert (row["checksum"], row["n_groups"]) == want
+    assert row["n_groups"] == 5
