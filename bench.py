@@ -6,7 +6,9 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with a full-result materialization (noop sink) —
 same amount of work the driver's correctness pass does, minus the
-collect — and timed twice, best run recorded.
+collect — and timed twice, best run recorded; when the two attempts
+disagree by >1.5x (load landed on one), one adaptive third attempt
+runs and the min of all three is recorded.
 
 The headline set runs in THREE fresh JVM sessions (subprocess chunks),
 not one: a single 60-query session accumulates drag that inflates
@@ -187,12 +189,27 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
     # whole plan (fresh persist population included); only true
     # driver-side memoizers (model fits) stay warm, by design.
     timings: dict[str, float] = {}
+    # raw attempt times per query (diagnostic): two attempts that AGREE
+    # slow are the load-drag signature the adaptive third can't fix
+    # in-session (the shadow outlives both attempts) — recording them
+    # lets a reader tell that case from a genuinely slower plan
+    # without re-measuring.
+    attempts_map: dict[str, list[float]] = {}
     for name in names:
         qd = plans.QUERIES.get(name)
         if qd is None:
             continue
-        best = float("inf")
-        for _attempt in range(2):
+        attempts: list[float] = []
+        # 2 attempts, plus an adaptive 3rd when the two disagree by
+        # >1.5x: best-of-two still records a loaded moment when load
+        # lands on BOTH attempts' window (observed ml_naive_bayes
+        # 3.40 in one full run vs 1.2-1.6 isolated, same code) — a
+        # disagreement that large means at least one attempt was
+        # clean weather, so one more sample pins the floor.
+        while len(attempts) < 2 or (
+            len(attempts) == 2
+            and max(attempts) > 1.5 * min(attempts)
+        ):
             t0 = time.perf_counter()
             # noop sink: full materialization of every output row
             # JVM-side. count() is NOT a faithful probe — Catalyst
@@ -203,8 +220,10 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
             qd.fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
+            attempts.append(time.perf_counter() - t0)
             release_caches()  # orchestration path: reclaim tracked persists
+        best = min(attempts)
+        attempts_map[name] = [round(a, 3) for a in attempts]
         # Spark's ContextCleaner frees stale broadcast/shuffle state
         # only when a JVM GC collects the weak references — a 16g-heap
         # local session rarely GCs on its own, so dead state from ~18
@@ -227,6 +246,7 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
     # family's cost profile — many short stages — which the
     # throughput probe under-captures; see bench_probe docstring)
     timings["__probe_latency_sec"] = round(latency_probe_seconds(spark), 3)
+    timings["__attempts"] = attempts_map  # type: ignore[assignment]
     spark.stop()
     return timings
 
@@ -280,6 +300,7 @@ def main() -> None:
     step = (len(HEADLINE) + N_SESSIONS - 1) // N_SESSIONS
     timings: dict[str, float] = {}
     normalized: dict[str, float] = {}
+    attempts_all: dict[str, list[float]] = {}
     probes: list[float] = []
     latencies: list[float] = []
     for i in range(0, len(HEADLINE), step):
@@ -298,6 +319,7 @@ def main() -> None:
             raise RuntimeError(f"bench chunk starting at {chunk[0]} produced no result")
         probe = got.pop("__probe_sec", None)
         lat = got.pop("__probe_latency_sec", None)
+        attempts_all.update(got.pop("__attempts", {}))
         if lat is not None:
             latencies.append(lat)
         if probe is not None and probe > 0:
@@ -348,7 +370,8 @@ def main() -> None:
         "load_gate_waived": not load_gate_ok,
     }
     print(json.dumps({**summary, "queries": timings,
-                      "queries_normalized": normalized}))
+                      "queries_normalized": normalized,
+                      "queries_attempts": attempts_all}))
     # truncation-proof twin (VERDICT r8 item 2): the driver keeps only
     # the last ~2,000 chars of output, and with 60+ queries x 2 dicts
     # the leading "value" key of the line above scrolls out (r8's
