@@ -3318,3 +3318,116 @@ def sql_scripting_threshold_search(
         END
         """
     )
+
+
+# ----------------------------- SQL-body UDFs (CREATE FUNCTION, Spark 4)
+# The formula is defined ONCE as a template; the Spark side installs it
+# as a SQL UDF body (Catalyst INLINES it — pure expression tree, full
+# codegen, zero UDF-boundary cost at any scale), the oracle substitutes
+# the same text inline. {v} keeps the parenthesization token-identical
+# through the composition kn2ms -> ramp.
+_KN2MS_T = "({v} * 0.514444)"  # functions/convert.py KN_TO_MS
+_RAMP_T = "least(1.0, pow(greatest({v} - 25.0, 0.0) / 40.0, 3.0))"
+
+
+@register(
+    "sql_udf_scalar_library",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(
+                 {_RAMP_T.format(v=_KN2MS_T.format(v="value"))}
+                 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS micro_ramp_total,
+           round(max({_KN2MS_T.format(v="value")}), 6) AS max_ms
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="SQL-body scalar UDFs (Spark 4, SPARK-46057: CREATE FUNCTION "
+        "... RETURN <expr>) as a reusable formula library — the "
+        "knots->m/s conversion and the cubic damage ramp the "
+        "reference spreads across helper modules become named "
+        "engine-level functions (kn2ms, damage_ramp) composed per "
+        "row. Catalyst inlines the bodies into the expression tree "
+        "(no UDF boundary, whole-stage codegen — the scalable twin "
+        "of a Python UDF for pure formulas). Formula text is ONE "
+        "template shared with the oracle, so the float ops are "
+        "token-identical; ramp totals are per-row floor-quantized "
+        "to integer micro-units.",
+)
+def sql_udf_scalar_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "udf_events"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kn2ms(v DOUBLE) "
+        "RETURNS DOUBLE RETURN " + _KN2MS_T.format(v="v")
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION damage_ramp(v DOUBLE) "
+        "RETURNS DOUBLE RETURN " + _RAMP_T.format(v="v")
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(damage_ramp(kn2ms(value))
+                    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS micro_ramp_total,
+               round(max(kn2ms(value)), 6) AS max_ms
+        FROM udf_events
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+@register(
+    "sql_udf_table_valued",
+    """
+    SELECT et, user_id, n FROM (
+      SELECT event_type AS et, user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id
+             ) AS rk
+      FROM events
+      GROUP BY event_type, user_id
+    ) ranked
+    WHERE rk <= 3
+    ORDER BY et, n DESC, user_id
+    """,
+    doc="Table-valued SQL UDF (Spark 4: CREATE FUNCTION ... RETURNS "
+        "TABLE) called per-row through a correlated LATERAL join — a "
+        "parameterized view: top-3 users per event type, each "
+        "distinct type invoking the function with its own argument. "
+        "The j18 surface (correlated LATERAL subquery with ORDER "
+        "BY+LIMIT) re-expressed as a NAMED, reusable function; "
+        "deterministic tiebreak on user_id; the oracle is the "
+        "classic row_number()-per-partition twin. Catalyst inlines "
+        "the function body as a correlated subquery — same "
+        "rewrite-to-join plan as j18, no per-call execution.",
+)
+def sql_udf_table_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "udf_events"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION type_top_users(et STRING)
+        RETURNS TABLE(user_id BIGINT, n BIGINT)
+        RETURN SELECT user_id, CAST(count(*) AS BIGINT) AS n
+               FROM udf_events WHERE event_type = et
+               GROUP BY user_id ORDER BY n DESC, user_id LIMIT 3
+        """
+    )
+    return spark.sql(
+        """
+        SELECT t.et, s.user_id, s.n
+        FROM (SELECT DISTINCT event_type AS et FROM udf_events) t,
+        LATERAL type_top_users(t.et) s
+        ORDER BY t.et, s.n DESC, s.user_id
+        """
+    )

@@ -63,3 +63,25 @@ def test_scripting_for_loop_over_resultset(spark):
     ).fetchone()
     assert (row["checksum"], row["n_groups"]) == want
     assert row["n_groups"] == 5
+
+
+def test_sql_udf_body_inlines_to_expressions(spark):
+    """The scalar SQL-UDF entry's scale claim: CREATE FUNCTION bodies
+    are inlined by Catalyst into the expression tree — no UDF
+    evaluation boundary of any kind survives into the physical plan,
+    so the formula library costs the same as hand-written
+    expressions at any scale."""
+    from ibf_typhoon_data_pipeline_spark import plans
+
+    df = plans.QUERIES["sql_udf_scalar_library"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    for tok in ("PythonUDF", "BatchEvalPython", "ScalaUDF", "Invoke"):
+        assert tok not in plan, f"UDF boundary {tok} leaked into plan"
+    assert "HashAggregate" in plan
+    # the body really reached the optimizer as plain math (the
+    # physical toString elides long projection lists, so read the
+    # optimized logical plan for the expression check)
+    assert "POW(" in qe.optimizedPlan().toString().upper()
