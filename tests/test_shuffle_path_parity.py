@@ -52,6 +52,9 @@ NAMES = [
     "tc_windfield_skewgrid",
     # round-9: the hazard ⋈ dists join of the 3-storm DAG is un-hinted
     "tc_multi_event_dag",
+    # round-9: the LATERAL table-UDF rewrites to AQE-decided joins
+    # (distinct-types build side vs the per-type WindowGroupLimit)
+    "sql_udf_table_valued",
 ]
 # stream_static_enrich was also de-hinted (its static dim join is
 # size-decided per micro-batch) but is excluded here: this sweep
