@@ -3326,7 +3326,7 @@ def sql_scripting_threshold_search(
 # codegen, zero UDF-boundary cost at any scale), the oracle substitutes
 # the same text inline. {v} keeps the parenthesization token-identical
 # through the composition kn2ms -> ramp.
-_KN2MS_T = "({v} * 0.514444)"  # functions/convert.py KN_TO_MS
+_KN2MS_T = f"({{v}} * {KN_TO_MS})"  # the one shared conversion constant
 _RAMP_T = "least(1.0, pow(greatest({v} - 25.0, 0.0) / 40.0, 3.0))"
 
 
