@@ -140,6 +140,16 @@ HEADLINE = [
     # cosine² rank) and classical decomposition (RANGE-window trend)
     "orders_item_cf_topk",
     "events_classical_decompose",
+    # round-10 (VERDICT r9 item 2): the scale-evidence entries go on
+    # the round-over-round clock — runtime skew-split windfield, the
+    # 3-storm concurrent DAG, and one procedural-SQL rep (scalar
+    # SQL-body UDFs, which should time indistinguishably from their
+    # inlined-literal twin — that parity IS the claim). Note for
+    # cross-round comparisons: r10's n_queries grows 63 -> 66; compare
+    # totals on the shared 63 or per-query.
+    "tc_windfield_skewgrid",
+    "tc_multi_event_dag",
+    "sql_udf_scalar_library",
 ]
 
 N_SESSIONS = 3
@@ -200,15 +210,19 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
         if qd is None:
             continue
         attempts: list[float] = []
-        # 2 attempts, plus an adaptive 3rd when the two disagree by
-        # >1.5x: best-of-two still records a loaded moment when load
-        # lands on BOTH attempts' window (observed ml_naive_bayes
-        # 3.40 in one full run vs 1.2-1.6 isolated, same code) — a
-        # disagreement that large means at least one attempt was
-        # clean weather, so one more sample pins the floor.
+        # 2 attempts, plus an adaptive 3rd when the SECOND attempt is
+        # the slow one by >1.5x: best-of-two still records a loaded
+        # moment when load lands on BOTH attempts' window (observed
+        # ml_naive_bayes 3.40 in one full run vs 1.2-1.6 isolated,
+        # same code) — a slow-late attempt means load arrived mid-
+        # query, so one more sample pins the floor. A slow FIRST
+        # attempt with a clean second is the expected cold/warm
+        # asymmetry (GBT fit memoization, extent-kernel spin-up) and
+        # already has a trustworthy floor — re-sampling it would just
+        # add wall-clock every round (ADVICE r9).
         while len(attempts) < 2 or (
             len(attempts) == 2
-            and max(attempts) > 1.5 * min(attempts)
+            and attempts[1] > 1.5 * attempts[0]
         ):
             t0 = time.perf_counter()
             # noop sink: full materialization of every output row

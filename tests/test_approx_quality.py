@@ -19,6 +19,11 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_count_distinct_within_rsd(spark):
+    """NOTE (ADVICE r9): rsd=0.05 is an *asymptotic* standard
+    deviation; for small cardinalities the bias-corrected small-range
+    estimator takes over, so the 3-sigma 0.15 margin here is an
+    empirical contract on these fixed tables, not a distribution-free
+    guarantee."""
     li = load_table(spark, SF, "lineitem")
     for col in ("l_partkey", "l_suppkey", "l_orderkey"):
         exact = li.select(F.countDistinct(col)).first()[0]

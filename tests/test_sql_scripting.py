@@ -78,7 +78,11 @@ def test_sql_udf_body_inlines_to_expressions(spark):
     )
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
-    for tok in ("PythonUDF", "BatchEvalPython", "ScalaUDF", "Invoke"):
+    # genuine UDF-boundary tokens only (ADVICE r9): the bare substring
+    # "Invoke" also matches StaticInvoke/Invoke expressions that benign
+    # built-ins (string casts, datetime helpers) compile to, which
+    # would fail this pin for a non-UDF reason after a harmless edit.
+    for tok in ("PythonUDF", "BatchEvalPython", "ScalaUDF", "SQLFunction"):
         assert tok not in plan, f"UDF boundary {tok} leaked into plan"
     assert "HashAggregate" in plan
     # the body really reached the optimizer as plain math (the
