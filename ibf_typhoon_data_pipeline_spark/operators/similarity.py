@@ -186,19 +186,25 @@ def ivf_cell(vec: Column, n_cells: int = 8, seg: int = 8) -> Column:
     deterministic and oracle-reproducible where a k-means codebook
     would not be. Swap in a trained codebook via a broadcast join on
     the same cell-key plan shape when recall matters."""
-    sums = [
-        F.aggregate(
-            F.slice(vec, k * seg + 1, seg),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for k in range(n_cells)
-    ]
-    best = F.greatest(*sums)
-    cell = F.lit(n_cells - 1)
-    for k in reversed(range(n_cells - 1)):
-        cell = F.when(sums[k] == best, F.lit(k)).otherwise(cell)
-    return cell.cast("int")
+    # One array of segment sums + first-position-of-max: identical
+    # semantics to the previous greatest()+when-chain (ties resolve to
+    # the SMALLEST cell index; array_position returns the first
+    # match), but the sums array is referenced exactly twice instead
+    # of O(n_cells) times per when level — at n_cells=64 the chain
+    # form re-evaluated the 64 HOF aggregates quadratically and cost
+    # ~18 s at sf0.1 where this form is sub-second (round-10 A/B,
+    # the data-tier scaled-quantizer leg surfaced it).
+    sums = F.array(
+        *[
+            F.aggregate(
+                F.slice(vec, k * seg + 1, seg),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for k in range(n_cells)
+        ]
+    )
+    return (F.array_position(sums, F.array_max(sums)) - 1).cast("int")
 
 
 def ivf_topk(
@@ -219,9 +225,31 @@ def ivf_topk(
     ).select(
         F.col(id_col),
         "__v",
-        ivf_cell(F.col("__v"), n_cells, seg).alias("__cell"),
+        # Generator fence (same as windfield_vectors): __cell is this
+        # join's equi-key, so InferFiltersFromConstraints derives
+        # isnotnull(__cell), alias-substitutes the FULL quantizer
+        # expression into it, and pushes that filter below spread()'s
+        # round-robin exchange — re-evaluating the n_cells aggregates
+        # (with the __v transform chain re-expanded inside every
+        # slice) per row in the narrow pre-spread stage (measured:
+        # 20.5 s single-task CPU at 20k rows that the fenced plan
+        # spends as ~1 s across the spread partitions). explode(array)
+        # is row-preserving and is the one barrier predicate pushdown
+        # does not cross.
+        F.explode(F.array(ivf_cell(F.col("__v"), n_cells, seg))).alias(
+            "__cell"
+        ),
         l2_norm(F.col("__v")).alias("__n"),
     )
+    # Explicit key repartition before the self-join: the join's map
+    # output is vector-count-sized while its OUTPUT fans out ~Σcell²/n
+    # per row, so AQE's size-based coalesce (which only sees map
+    # bytes) folds the probe into ONE task and serializes the whole
+    # pair space (measured 17.4 s for a 6.4M-pair build that runs in
+    # ~2 s spread over the cells — the j17 trap, CLAUDE.md r4s4).
+    # repartition() is exempt from coalescing and both self-join
+    # sides reuse the single exchange.
+    with_cell = with_cell.repartition(64, "__cell")
     a = with_cell.select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("__qv"),

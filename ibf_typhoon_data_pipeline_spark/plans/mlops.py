@@ -2544,3 +2544,80 @@ def media_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(least(j * 8 + 8, w) AS BIGINT)").alias("x1"),
         F.expr("CAST(least(i * 8 + 8, h) AS BIGINT)").alias("y1"),
     ).orderBy("media_id", "tile_id")
+
+
+# ------------------------------------- amplified-read verification
+# Round 10: the DATA-axis scaling tier (sources/amplify.py, the
+# '@xN' sf_dir suffix scaling_curve.py measures with) gets a
+# cross-engine correctness pin of its own — the oracle rebuilds the
+# replica fan-out declaratively (CROSS JOIN unnest(range(N)) + the
+# same key shift + the same translate rotation cipher, token-for-token
+# the transform amplify_table applies) and both engines checksum the
+# full (doc_id, text) content per replica band. A hash match proves
+# the amplified read is EXACTLY the documented workload: replica 0
+# identity, shifted key bands, per-replica rotated text — so the
+# scaling ratios recorded in SCALING_CURVE.json measure a verified
+# transform, not trusted tooling.
+_AMP_N = 3
+_AMP_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_AMP_OFF = 1_000_000_000
+
+
+@register(
+    "scan_amplified_replicas",
+    f"""
+    WITH reps AS (SELECT unnest(range(0, {_AMP_N})) AS r),
+    amp AS (
+      SELECT d.doc_id + reps.r * {_AMP_OFF} AS doc_id,
+             translate(d.text, '{_AMP_ALPHA}',
+                       substring('{_AMP_ALPHA}{_AMP_ALPHA}',
+                                 reps.r % 26 + 1, 26)) AS text,
+             d.n_chars
+      FROM documents d CROSS JOIN reps
+    )
+    SELECT CAST(doc_id // {_AMP_OFF} AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST(('0x' || substr(md5(concat(
+                 CAST(doc_id AS VARCHAR), ':', text)), 1, 8)) AS BIGINT))
+             AS BIGINT) AS content_sig
+    FROM amp GROUP BY band ORDER BY band
+    """,
+    doc="Oracle-checked twin of the in-engine data amplification "
+        "(sources/amplify.py): Spark reads documents through the "
+        "'@x3' amplified path while the oracle rebuilds the same "
+        "fan-out declaratively; per-band md5 content checksums must "
+        "match exactly, pinning replica-0 identity, the 1e9 key "
+        "bands, and the rotation cipher cross-engine.",
+)
+def scan_amplified_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, f"{sf_dir}@x{_AMP_N}", "documents")
+    return (
+        docs.groupBy(
+            F.expr(f"doc_id div {_AMP_OFF}").cast("bigint").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("text"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("content_sig"),
+        )
+        .orderBy("band")
+    )

@@ -32,6 +32,15 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    # data-axis scaling tier: an '@xN' suffix on sf_dir amplifies the
+    # table N× in-engine (sources/amplify.py) — measurement tooling
+    # for scaling_curve.py; the correctness driver passes plain dirs.
+    from ibf_typhoon_data_pipeline_spark.sources.amplify import (
+        amplify_table,
+        split_amplified,
+    )
+
+    sf_dir, amp_n = split_amplified(sf_dir)
     # oracle parity requires UTC timestamp rendering; the correctness
     # driver builds a PLAIN session (machine TZ), so pin it at runtime
     # here — the choke point every timestamped query passes through
@@ -56,7 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # UTC above, so this cast relabels the same wall-clock instant
         # and every downstream epoch/format expression is unchanged.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return amplify_table(df, name, amp_n)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

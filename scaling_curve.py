@@ -8,6 +8,12 @@ super-linearly in the fact size. A ratio well under 10 means fixed
 costs (scheduling, fits, broadcasts) still dominate at these scales;
 a ratio around 10 is linear; materially above 10 is a red flag that
 some pair space or sort is super-linear. Writes SCALING_CURVE.json.
+
+Round 10 adds the DATA-axis amplification tier (see DATA_TIER below):
+the fact-heavy families re-timed at sf0.1 vs an in-engine 10×
+amplification ('@x10' sf_dir suffix, sources/amplify.py), so the
+largest measured data point is ~6M-row lineitem / 50k docs / 1M
+events rather than the on-disk cap.
 """
 
 from __future__ import annotations
@@ -43,8 +49,77 @@ FAMILIES = [
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
+# DATA-axis amplification tier (VERDICT r9 item 3): testdata is capped
+# at sf0.1, so the on-disk curve above tops out at a 600k-row
+# lineitem. The tier below re-times the most fact-heavy families at
+# sf0.1 and at an IN-ENGINE 10× amplification of sf0.1
+# (sources/amplify.py: '@x10' suffix — explode-generated distinct
+# replicas with shifted keys, per-replica rotated vocab, perturbed
+# vectors), mirroring bench_event's event-axis synthesis. Expected
+# ~linear: every candidate generator is an equi-join on a bounded key,
+# so 10× facts ⇒ ≤ ~10× work + fixed costs. scaleup_10x well under 10
+# means fixed costs still dominate; materially ABOVE the superlinear
+# threshold flags a pair space or sort growing faster than the data.
+DATA_TIER = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ml_naive_bayes",
+    "corpus_sequence_pack",
+    "text_bm25_topk",
+    "text_lm_logprob",
+    "graph_pagerank",
+    "graph_bfs_hops",
+    "o6_skyline_fact",
+    "events_sessionize",
+    "orders_item_cf_topk",
+    "sim_ivf_topk",
+]
+AMP = 10
+# linear growth = 10×; slack for shuffle-partition granularity and
+# spill effects at the bigger size. Anything past this is flagged
+# superlinear=true in the JSON and warned on stderr (the guard the
+# event tier's ratio pins provide on that axis).
+SUPERLINEAR_AT = 12.0
+
+
+def _ivf_scaled_quantizer(spark, sf_dir):
+    """sim_ivf_topk's documented mitigation, measured: the catalog
+    entry pins n_cells=8 for oracle determinism, which makes its
+    Σ cell² pair space QUADRATIC in the corpus (the first tier run
+    correctly flagged it superlinear — the finding, kept in the JSON).
+    IVF's scale rule is capacity ∝ corpus (n_cells ≈ √n keeps
+    pairs-per-query flat); this leg re-times the same operator with
+    the quantizer widened to the anchor scheme's max (64 cells × 1-dim
+    segments) at the amplified size, so the recorded pair is
+    (mis-sized capacity → superlinear) vs (scaled capacity →
+    sublinear) on the same data."""
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_cells=64, seg=1
+    )
+
+
+# (name, baseline plan fn or None = catalog fn, amplified-leg plan fn)
+# — entries whose amplified leg measures a DIFFERENT, scale-correct
+# configuration of the same operator, recorded beside the fixed-config
+# scaleup as the mitigation evidence.
+DATA_TIER_MITIGATIONS = {
+    "sim_ivf_topk__scaled_quantizer": _ivf_scaled_quantizer,
+}
+
 
 def main() -> None:
+    # same load-shadow protocol as bench.py (a run launched while
+    # other JVMs drain reads ~1.4x slow across the board — and the
+    # data tier's scaleup ratios would quietly absorb the skew of
+    # load landing on one leg only)
+    from bench import wait_for_idle
+
+    wait_for_idle()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from ibf_typhoon_data_pipeline_spark import plans
     from ibf_typhoon_data_pipeline_spark.operators.cache import (
@@ -81,7 +156,47 @@ def main() -> None:
             "sf0.1_s": times[1],
             "ratio_10x": round(times[1] / max(times[0], 1e-9), 2),
         }
-    line = json.dumps({"metric": "scaling_curve", "queries": out})
+    data_tier: dict[str, dict] = {}
+    tier_fns = [(n, plans.QUERIES[n].fn) for n in DATA_TIER if n in plans.QUERIES]
+    tier_fns += list(DATA_TIER_MITIGATIONS.items())
+    for name, fn in tier_fns:
+        times = []
+        for sf_dir in (SFS[1], f"{SFS[1]}@x{AMP}"):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+                release_caches()
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            times.append(round(best, 3))
+        scaleup = round(times[1] / max(times[0], 1e-9), 2)
+        data_tier[name] = {
+            "sf0.1_s": times[0],
+            f"x{AMP}_s": times[1],
+            f"scaleup_{AMP}x": scaleup,
+            "superlinear": scaleup > SUPERLINEAR_AT,
+        }
+        if scaleup > SUPERLINEAR_AT:
+            sys.stderr.write(
+                f"WARNING: {name} scaleup {scaleup}x for {AMP}x data "
+                f"exceeds {SUPERLINEAR_AT} — a pair space or sort is "
+                "growing faster than the facts\n"
+            )
+    line = json.dumps(
+        {
+            "metric": "scaling_curve",
+            "queries": out,
+            "data_tier": {
+                "amplification": AMP,
+                "superlinear_at": SUPERLINEAR_AT,
+                "queries": data_tier,
+            },
+        }
+    )
     print(line)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
