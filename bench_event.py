@@ -243,18 +243,22 @@ def main() -> None:
     }
     if wall_tier is not None:
         scaleup = round(wall_tier / wall, 2)
+        # tier keys carry the actual event count (value_10x /
+        # value_30x, ...) so multi-point runs of the event-axis line
+        # are distinguishable in recorded JSONs
+        sfx = f"_{n_events}x"
         result.update(
             {
                 "events_tier": n_events,
-                "value_10x": wall_tier,
-                "track_positions_10x": n_track_tier,
-                "raw_candidate_pairs_10x": n_track_tier * 261 * 181,
-                "output_rows_10x": out_rows_tier,
-                "ratio_10x": round(wall_tier / probe_s, 3),
+                f"value{sfx}": wall_tier,
+                f"track_positions{sfx}": n_track_tier,
+                f"raw_candidate_pairs{sfx}": n_track_tier * 261 * 181,
+                f"output_rows{sfx}": out_rows_tier,
+                f"ratio{sfx}": round(wall_tier / probe_s, 3),
                 # wall_tier / wall: ≈ n_events when the plan is
                 # events-linear; superlinear (≫ n_events) means a
                 # lost prune or a broadcast/shuffle cliff at scale
-                "scaleup_10x": scaleup,
+                f"scaleup{sfx}": scaleup,
             }
         )
         if scaleup > 1.5 * n_events:

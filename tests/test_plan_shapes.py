@@ -115,6 +115,31 @@ def test_similarity_pair_scoring_spreads_narrow_scan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_cell_key_is_fenced_and_repartitioned(spark):
+    """Round-10 regression pins for the two ivf_topk defects the
+    data-axis scaling tier caught (docs/SCALING.md round-10):
+
+    1. The quantizer join key must sit behind a generator fence —
+       without it, InferFiltersFromConstraints alias-substitutes the
+       FULL n_cells-aggregate expression into an isnotnull filter
+       below the round-robin exchange and re-runs it per row in the
+       narrow single-task stage (20.5 s of a 24 s wall, measured).
+    2. The pair join must sit on an explicit key repartition —
+       AQE's map-size coalesce otherwise serializes the Σ cell²
+       fan-out into one task (the j17 trap).
+    """
+    plan = _plan(spark, "sim_ivf_topk")
+    # (2) explicit key exchange, exempt from AQE coalescing
+    assert "REPARTITION_BY_NUM" in plan and "hashpartitioning(__cell" in plan
+    # (1) the fence generator survives into the physical plan...
+    assert plan.count("Generate explode") >= 1
+    # ...and no quantizer aggregate leaked below the round-robin
+    # exchange: the segment between the scan and RoundRobinPartitioning
+    # must not contain a slice-aggregate (the fence's whole point)
+    below_rr = plan.split("RoundRobinPartitioning", 1)[-1]
+    assert "aggregate(slice(" not in below_rr.split("FileScan", 1)[0]
+
+
 def test_willoughby_blend_solve_stays_on_track_side(spark):
     plan = _plan(spark, "tc_windfield_willoughby_blend")
     # pair space via broadcast theta-join under the bbox guard, never
