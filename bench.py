@@ -210,19 +210,20 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
         if qd is None:
             continue
         attempts: list[float] = []
-        # 2 attempts, plus an adaptive 3rd when the SECOND attempt is
-        # the slow one by >1.5x: best-of-two still records a loaded
-        # moment when load lands on BOTH attempts' window (observed
-        # ml_naive_bayes 3.40 in one full run vs 1.2-1.6 isolated,
-        # same code) — a slow-late attempt means load arrived mid-
-        # query, so one more sample pins the floor. A slow FIRST
-        # attempt with a clean second is the expected cold/warm
-        # asymmetry (GBT fit memoization, extent-kernel spin-up) and
-        # already has a trustworthy floor — re-sampling it would just
-        # add wall-clock every round (ADVICE r9).
+        # 2 attempts, plus an adaptive 3rd when the two disagree by
+        # >1.5x IN EITHER DIRECTION. A slow-late attempt means load
+        # arrived mid-query (observed ml_naive_bayes 3.40 vs 1.2-1.6
+        # isolated). A slow-FIRST attempt usually is the cold/warm
+        # asymmetry — ADVICE r9 suggested skipping the resample there,
+        # but round 10 measured a counterexample: pipeline_publish
+        # warms in TWO stages ([11.6, 3.8, 2.6, 2.8] in one session),
+        # so attempt 2 is NOT yet the floor and skipping the third
+        # attempt recorded 3.86 for a 2.6 s plan. Both directions
+        # resample; the extra wall-clock on genuinely-converged
+        # entries is one warm run.
         while len(attempts) < 2 or (
             len(attempts) == 2
-            and attempts[1] > 1.5 * attempts[0]
+            and max(attempts) > 1.5 * min(attempts)
         ):
             t0 = time.perf_counter()
             # noop sink: full materialization of every output row
