@@ -207,6 +207,30 @@ def ivf_cell(vec: Column, n_cells: int = 8, seg: int = 8) -> Column:
     return (F.array_position(sums, F.array_max(sums)) - 1).cast("int")
 
 
+def fence_pair_key(df: DataFrame, key: str) -> DataFrame:
+    """Generator fence for a DERIVED self-join key column
+    (`explode(array(key))`, row-preserving). The join infers
+    `isnotnull(key)` and alias-substitutes the key's FULL derivation
+    into filters that push below upstream exchanges — re-running an
+    expensive derivation (a 64-aggregate quantizer, a ranked-cells
+    sort) per row in the narrow pre-spread stage (measured 20.5 s of
+    a 24 s wall on the round-10 amplified tier). Generators are the
+    one barrier predicate pushdown does not cross.
+
+    Deliberately NOT a key repartition: these pair joins broadcast
+    one side (bounded-size builds at bench SF; at true scale AQE
+    picks SMJ + skew-split), and a broadcast probe needs NO
+    co-partitioning — the upstream round-robin `spread()` partitions
+    split even a skewed cell's pair fan-out evenly across tasks,
+    whereas hashing by the (few, often skewed) cell keys concentrates
+    each cell's whole Σcell² in one task (measured: key-repartitioned
+    codebook probe 88 s vs 22 s round-robin at 10× data; two
+    same-key repartitions also flip the join to a co-partitioned
+    SMJ with hot single-key partitions — probe2 went 42 → 195 s).
+    """
+    return df.withColumn(key, F.explode(F.array(F.col(key))))
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
@@ -225,31 +249,19 @@ def ivf_topk(
     ).select(
         F.col(id_col),
         "__v",
-        # Generator fence (same as windfield_vectors): __cell is this
-        # join's equi-key, so InferFiltersFromConstraints derives
-        # isnotnull(__cell), alias-substitutes the FULL quantizer
-        # expression into it, and pushes that filter below spread()'s
-        # round-robin exchange — re-evaluating the n_cells aggregates
-        # (with the __v transform chain re-expanded inside every
-        # slice) per row in the narrow pre-spread stage (measured:
-        # 20.5 s single-task CPU at 20k rows that the fenced plan
-        # spends as ~1 s across the spread partitions). explode(array)
-        # is row-preserving and is the one barrier predicate pushdown
-        # does not cross.
-        F.explode(F.array(ivf_cell(F.col("__v"), n_cells, seg))).alias(
-            "__cell"
-        ),
+        ivf_cell(F.col("__v"), n_cells, seg).alias("__cell"),
         l2_norm(F.col("__v")).alias("__n"),
     )
-    # Explicit key repartition before the self-join: the join's map
-    # output is vector-count-sized while its OUTPUT fans out ~Σcell²/n
-    # per row, so AQE's size-based coalesce (which only sees map
-    # bytes) folds the probe into ONE task and serializes the whole
-    # pair space (measured 17.4 s for a 6.4M-pair build that runs in
-    # ~2 s spread over the cells — the j17 trap, CLAUDE.md r4s4).
-    # repartition() is exempt from coalescing and both self-join
-    # sides reuse the single exchange.
-    with_cell = with_cell.repartition(64, "__cell")
+    # Fence (fence_pair_key): without it, the join-inferred
+    # isnotnull(__cell) alias-substitutes the FULL quantizer
+    # expression below spread()'s round-robin exchange — re-evaluating
+    # the n_cells aggregates (with the __v transform chain re-expanded
+    # inside every slice) per row in the narrow pre-spread stage
+    # (measured: 20.5 s single-task CPU at 20k rows that the fenced
+    # plan spends as ~1 s across the spread partitions). The probe
+    # keeps spread()'s round-robin partitioning on purpose — see the
+    # helper's docstring for why a key repartition here is harmful.
+    with_cell = fence_pair_key(with_cell, "__cell")
     a = with_cell.select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("__qv"),
@@ -331,6 +343,8 @@ def ivf_multiprobe_topk(
         ivf_cells_ranked(F.col("__v"), n_cells, seg).alias("__ranked"),
         l2_norm(F.col("__v")).alias("__n"),
     )
+    # query-side key comes out of a generator already (the probe-list
+    # explode IS a fence); probe partitioning stays round-robin
     a = base.select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("__qv"),
@@ -341,11 +355,16 @@ def ivf_multiprobe_topk(
             )
         ).alias("__cell"),
     )
-    b = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__v").alias("__nv"),
-        F.col("__n").alias("__nn"),
-        F.col("__ranked")[0]["i"].alias("__cell"),
+    # neighbor-side key derives from the ranked array — fence it or
+    # the join re-runs ivf_cells_ranked below the spread exchange
+    b = fence_pair_key(
+        base.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("__nv"),
+            F.col("__n").alias("__nn"),
+            F.col("__ranked")[0]["i"].alias("__cell"),
+        ),
+        "__cell",
     )
     pairs = a.join(b, "__cell").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -502,7 +521,11 @@ def codebook_ivf_topk(
 
     if probe <= 1:
         # both join sides project from `cells`; persist so the 64-dim
-        # scoring columns + norms compute once, not per side
+        # scoring columns + norms compute once, not per side. The
+        # cache is also a substitution barrier (no fence needed), and
+        # the broadcast probe keeps the cache's round-robin partitions
+        # (a key repartition here concentrated each cell's pair
+        # fan-out in one task: 88 s vs 22 s at 10× data, round 10).
         cells = persist_tracked(
             base.selectExpr(
                 id_col, "__v", "__n", f"{cell_ladder_sql(n_cells)} AS __cell"
@@ -526,6 +549,8 @@ def codebook_ivf_topk(
             )
             + "), false) AS __ranked",
         ))
+        # the ranked cache is the substitution barrier; probe
+        # partitioning stays round-robin (see probe<=1 note)
         cells = ranked.selectExpr(
             id_col, "__v", "__n", "element_at(__ranked, 1).i AS __cell"
         )

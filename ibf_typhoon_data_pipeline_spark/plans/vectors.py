@@ -2036,10 +2036,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ibf_typhoon_data_pipeline_spark.operators.similarity import (
         _as_double,
-        cosine,
+        dot,
+        fence_pair_key,
+        l2_norm,
     )
+    from ibf_typhoon_data_pipeline_spark.operators.skew import spread
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double(F.col("embedding")).alias("ve")
     )
     bucket = F.concat_ws(
@@ -2049,22 +2052,38 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(6)
         ],
     )
-    b = emb.select("vec_id", "ve", bucket.alias("bucket"))
+    # norms are per-VECTOR quantities — precompute them once per row
+    # instead of inside the pair loop (the cosine() helper's own
+    # advice; identical doubles, same fold). fence_pair_key: the
+    # bucket is a derived join key (see the helper's docstring) —
+    # round-10 data tier measured 77x scaleup on 10x data from the
+    # missing spread + per-pair norm recompute + key re-derivation.
+    b = fence_pair_key(
+        emb.select(
+            "vec_id",
+            "ve",
+            bucket.alias("bucket"),
+            l2_norm(F.col("ve")).alias("nrm"),
+        ),
+        "bucket",
+    )
     other = b.select(
         F.col("vec_id").alias("dst"),
         F.col("ve").alias("ve_b"),
-        F.col("bucket").alias("bucket_b"),
+        F.col("bucket").alias("bucket"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = (
-        b.join(
-            other,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_id") != F.col("dst")),
-        )
+        b.join(other, "bucket")
+        .filter(F.col("vec_id") != F.col("dst"))
         .select(
             F.col("vec_id").alias("src"),
             "dst",
-            F.round(cosine(F.col("ve"), F.col("ve_b")), 6).alias("cos_r"),
+            F.round(
+                dot(F.col("ve"), F.col("ve_b"))
+                / (F.col("nrm") * F.col("nrm_b")),
+                6,
+            ).alias("cos_r"),
         )
     )
     w = Window.partitionBy("src").orderBy(
@@ -2262,7 +2281,13 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    packed = load_table(spark, sf_dir, "embeddings").select(
+    from ibf_typhoon_data_pipeline_spark.operators.skew import spread
+
+    # spread: the single-file scan otherwise packs all signatures AND
+    # probes the whole panel-join pair space on ONE core (round-10
+    # data tier measured 30.5x scaleup on 10x data for a plan that is
+    # linear in rows by construction — pure missing parallelism)
+    packed = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr(
             "aggregate(sequence(0, 61), CAST(0 AS BIGINT), (acc, i) -> "

@@ -115,8 +115,8 @@ def test_similarity_pair_scoring_spreads_narrow_scan(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_ivf_cell_key_is_fenced_and_repartitioned(spark):
-    """Round-10 regression pins for the two ivf_topk defects the
+def test_ivf_cell_key_is_fenced_and_probe_stays_round_robin(spark):
+    """Round-10 regression pins for the ivf_topk defects the
     data-axis scaling tier caught (docs/SCALING.md round-10):
 
     1. The quantizer join key must sit behind a generator fence —
@@ -124,13 +124,17 @@ def test_ivf_cell_key_is_fenced_and_repartitioned(spark):
        FULL n_cells-aggregate expression into an isnotnull filter
        below the round-robin exchange and re-runs it per row in the
        narrow single-task stage (20.5 s of a 24 s wall, measured).
-    2. The pair join must sit on an explicit key repartition —
-       AQE's map-size coalesce otherwise serializes the Σ cell²
-       fan-out into one task (the j17 trap).
+    2. The broadcast probe must KEEP spread()'s round-robin
+       partitioning — hashing by the few (often skewed) cell keys
+       concentrates each cell's whole Σcell² pair fan-out in one
+       task (measured 88 s vs 22 s at 10× data), and two same-key
+       repartitions flip the join to a co-partitioned SMJ with hot
+       single-key partitions (42 → 195 s).
     """
     plan = _plan(spark, "sim_ivf_topk")
-    # (2) explicit key exchange, exempt from AQE coalescing
-    assert "REPARTITION_BY_NUM" in plan and "hashpartitioning(__cell" in plan
+    # (2) round-robin spread present; NO cell-key exchange
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning(__cell" not in plan
     # (1) the fence generator survives into the physical plan...
     assert plan.count("Generate explode") >= 1
     # ...and no quantizer aggregate leaked below the round-robin
