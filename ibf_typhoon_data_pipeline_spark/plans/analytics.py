@@ -2658,6 +2658,80 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- VARIANT write round-trip
+@register(
+    "events_variant_write_roundtrip",
+    """
+    WITH kk AS (
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(('0x' || substr(md5(concat(
+                 CAST(event_id AS VARCHAR), ':', CAST(k AS VARCHAR))),
+                 1, 8)) AS BIGINT)) AS BIGINT) AS content_sig
+    FROM kk GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT *write* path (the round-9 verdict's one "
+        "unexercised VARIANT surface): parse_json(props) -> a variant "
+        "COLUMN physically written to Parquet (binary variant "
+        "encoding) and read back, then typed variant_get extraction "
+        "on the round-tripped column. The per-(event_id, k) md5 "
+        "checksum over ALL rows proves the write/read is lossless — "
+        "a narrowing or null-on-rewrite bug would change the sums. "
+        "DuckDB twin extracts the same values from the original JSON "
+        "text, so the oracle also pins variant-vs-json equivalence.",
+)
+def events_variant_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile as _tf
+
+    work = _tf.mkdtemp(prefix="ibf_variant_")
+    _ev(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).write.mode("overwrite").parquet(work)
+    back = spark.read.parquet(work).select(
+        "event_id",
+        "event_type",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+    )
+    result = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("event_id").cast("string"),
+                                F.lit(":"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("content_sig"),
+        )
+        .orderBy("event_type")
+    )
+    rows = result.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # ------------------------------------------------------ OHLC candles
 @register(
     "events_ohlc_candles",
