@@ -45,9 +45,18 @@ def test_no_backdated_registrations():
     COMPLETED round is frozen in tests/data/catalog_age_snapshot.json;
     a name not in the snapshot must carry the CURRENT round (max
     recorded CORRECTNESS round + 1), and snapshot names must keep
-    their recorded round. When a round completes (a new
-    CORRECTNESS_r*.json lands), refresh the snapshot with that
-    round's additions — the error message says so."""
+    their recorded round.
+
+    VERDICT r10 item 1: the original form had a built-in
+    chicken-and-egg — the driver lands CORRECTNESS_r{N}.json AFTER
+    the round-N builder's final commit, flipping `current` to N+1 and
+    failing the (correctly registered) round-N entries until the next
+    round's snapshot chore. Fix: an un-snapshotted entry may also
+    carry `current - 1` WHEN it has a green row in
+    CORRECTNESS_r{current-1}.json — the driver itself witnessed the
+    registration that round, so the age cannot be a backdate. The
+    snapshot refresh remains the completion chore, but this test can
+    no longer be a round's only red purely because the round ended."""
     import glob
     import json
     import os
@@ -62,6 +71,14 @@ def test_no_backdated_registrations():
         for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
     ]
     current = max(rounds) + 1
+    last_path = os.path.join(root, f"CORRECTNESS_r{current - 1}.json")
+    with open(last_path) as f:
+        last_rows = json.load(f)
+    driver_witnessed = {
+        n
+        for n, row in last_rows.items()
+        if isinstance(row, dict) and row.get("rows_match")
+    }
 
     rewritten = {
         n: (snapshot[n], FIRST_ROUND[n])
@@ -74,7 +91,9 @@ def test_no_backdated_registrations():
     backdated = {
         n: FIRST_ROUND[n]
         for n in FIRST_ROUND
-        if n not in snapshot and FIRST_ROUND[n] != current
+        if n not in snapshot
+        and FIRST_ROUND[n] != current
+        and not (FIRST_ROUND[n] == current - 1 and n in driver_witnessed)
     }
     assert not backdated, (
         f"new entries must register with the current round {current} "
