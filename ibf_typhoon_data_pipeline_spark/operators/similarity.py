@@ -207,6 +207,28 @@ def ivf_cell(vec: Column, n_cells: int = 8, seg: int = 8) -> Column:
     return (F.array_position(sums, F.array_max(sums)) - 1).cast("int")
 
 
+def ivf_capacity(n: int, dim: int = 64, target_cell: int = 250) -> tuple[int, int]:
+    """IVF coarse-quantizer capacity rule (VERDICT r10 item 2): derive
+    ``(n_cells, seg)`` from the corpus cardinality instead of pinning a
+    constant. A FIXED cell count makes the Σ cell² candidate space
+    QUADRATIC in the corpus (the round-10 data tier measured the pinned
+    8-cell entry at 13.8× for 10× data); scaling capacity with the data
+    keeps expected pairs-per-query flat (per-cell population ≈
+    ``target_cell``), and the measured 64-cell leg read 2.19× at 10×.
+
+    n_cells = clamp(8, dim, next_pow2(n / target_cell)); seg = dim //
+    n_cells so the axis-segment anchors tile the vector exactly. The
+    rule is a pure integer function of an exact cross-engine count, so
+    the Spark plan and the DuckDB oracle generator derive the SAME
+    capacity from the same parquet and the quantizer stays
+    oracle-reproducible at every SF. Power-of-two cells keep ``seg``
+    integral for every dim that is itself a power of two."""
+    cells = 8
+    while cells < dim and cells * target_cell < n:
+        cells *= 2
+    return cells, dim // cells
+
+
 def fence_pair_key(df: DataFrame, key: str) -> DataFrame:
     """Generator fence for a DERIVED self-join key column
     (`explode(array(key))`, row-preserving). The join infers

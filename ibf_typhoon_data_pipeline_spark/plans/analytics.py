@@ -2670,8 +2670,8 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(k) AS BIGINT) AS sum_k,
-           CAST(sum(CAST(('0x' || substr(md5(concat(
-                 CAST(event_id AS VARCHAR), ':', CAST(k AS VARCHAR))),
+           CAST(sum(CAST(('0x' || substr(md5(
+                 CAST(event_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
                  1, 8)) AS BIGINT)) AS BIGINT) AS content_sig
     FROM kk GROUP BY event_type ORDER BY event_type
     """,
@@ -2683,53 +2683,58 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum over ALL rows proves the write/read is lossless — "
         "a narrowing or null-on-rewrite bug would change the sums. "
         "DuckDB twin extracts the same values from the original JSON "
-        "text, so the oracle also pins variant-vs-json equivalence.",
+        "text, so the oracle also pins variant-vs-json equivalence. "
+        "NOTE: executes eagerly at plan construction (the write IS "
+        "the surface under test; the ~5-row aggregate is collected so "
+        "the temp dir can be removed before returning).",
 )
 def events_variant_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile as _tf
 
     work = _tf.mkdtemp(prefix="ibf_variant_")
-    _ev(spark, sf_dir).select(
-        "event_id",
-        "event_type",
-        F.parse_json("props").alias("v"),
-    ).write.mode("overwrite").parquet(work)
-    back = spark.read.parquet(work).select(
-        "event_id",
-        "event_type",
-        F.variant_get("v", "$.k", "bigint").alias("k"),
-    )
-    result = (
-        back.groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("k").cast("long").alias("sum_k"),
-            F.sum(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("event_id").cast("string"),
-                                F.lit(":"),
-                                F.col("k").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("content_sig"),
+    try:
+        _ev(spark, sf_dir).select(
+            "event_id",
+            "event_type",
+            F.parse_json("props").alias("v"),
+        ).write.mode("overwrite").parquet(work)
+        back = spark.read.parquet(work).select(
+            "event_id",
+            "event_type",
+            F.variant_get("v", "$.k", "bigint").alias("k"),
         )
-        .orderBy("event_type")
-    )
-    rows = result.collect()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+        result = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("k").cast("long").alias("sum_k"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("event_id").cast("string"),
+                                    F.lit(":"),
+                                    F.col("k").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("content_sig"),
+            )
+            .orderBy("event_type")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # ------------------------------------------------------ OHLC candles

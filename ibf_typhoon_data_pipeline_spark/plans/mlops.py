@@ -2558,9 +2558,15 @@ def media_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identity, shifted key bands, per-replica rotated text — so the
 # scaling ratios recorded in SCALING_CURVE.json measure a verified
 # transform, not trusted tooling.
+# constants shared with the transform itself (ADVICE r10: a local
+# re-declaration desyncs the oracle pin from a future transform change
+# and surfaces only as an opaque gate failure)
+from ibf_typhoon_data_pipeline_spark.sources.amplify import (  # noqa: E402
+    KEY_OFFSET as _AMP_OFF,
+    _ALPHA as _AMP_ALPHA,
+)
+
 _AMP_N = 3
-_AMP_ALPHA = "abcdefghijklmnopqrstuvwxyz"
-_AMP_OFF = 1_000_000_000
 
 
 @register(
@@ -2594,6 +2600,79 @@ def scan_amplified_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, f"{sf_dir}@x{_AMP_N}", "documents")
     return (
         docs.groupBy(
+            F.expr(f"doc_id div {_AMP_OFF}").cast("bigint").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("text"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("content_sig"),
+        )
+        .orderBy("band")
+    )
+
+
+_AMP_N2 = 28  # past the 26-rotation wrap: bands 26/27 take the case block
+
+
+@register(
+    "scan_amplified_case_block",
+    f"""
+    WITH reps AS (SELECT unnest(range(0, {_AMP_N2})) AS r),
+    amp AS (
+      SELECT d.doc_id + reps.r * {_AMP_OFF} AS doc_id,
+             CASE WHEN reps.r < 26
+                  THEN translate(d.text, '{_AMP_ALPHA}',
+                       substring('{_AMP_ALPHA}{_AMP_ALPHA}',
+                                 reps.r % 26 + 1, 26))
+                  ELSE upper(translate(d.text, '{_AMP_ALPHA}',
+                       substring('{_AMP_ALPHA}{_AMP_ALPHA}',
+                                 reps.r % 26 + 1, 26)))
+             END AS text,
+             d.n_chars
+      FROM documents d CROSS JOIN reps
+    )
+    SELECT CAST(doc_id // {_AMP_OFF} AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST(('0x' || substr(md5(
+                 CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT))
+             AS BIGINT) AS content_sig
+    FROM amp WHERE doc_id // {_AMP_OFF} >= 24 GROUP BY band ORDER BY band
+    """,
+    doc="Pin of the cipher's CASE BLOCK (round 11): amplification past "
+        "26 replicas rotates within an UPPERCASE second alphabet "
+        "(sources/amplify.py — ADVICE r10 caught the bare `% 26` wrap "
+        "mapping replica 26 to the identity and colliding pair "
+        "spaces). Spark reads documents through '@x28' and checksums "
+        "bands 24..27 — the wrap boundary plus both block-1 replicas "
+        "— against the oracle's declarative rebuild; an md5 match "
+        "proves block-1 text is the uppercased rotation, not a "
+        "collided repeat, so @x30-scale tier points measure distinct "
+        "workloads.",
+)
+def scan_amplified_case_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, f"{sf_dir}@x{_AMP_N2}", "documents")
+    return (
+        docs.filter(F.expr(f"doc_id div {_AMP_OFF}") >= 24)
+        .groupBy(
             F.expr(f"doc_id div {_AMP_OFF}").cast("bigint").alias("band")
         )
         .agg(

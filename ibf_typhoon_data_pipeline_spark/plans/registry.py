@@ -79,6 +79,15 @@ _STALE_BEFORE_ROUND: dict[str, int] = {
     "ml_kmeans_lloyd": 8,
     "sim_knn_ndcg": 8,
     "sim_knn_graph": 8,
+    # Round 11 rewrote the oracle's concat as NULL-propagating ||
+    # (ADVICE r10 medium: DuckDB concat() skips NULL args while Spark
+    # F.concat returns NULL — benign on current data, but the r10
+    # green row hashed the old text) and made sim_ivf_topk's capacity
+    # data-derived (oracle is now a lazy generator; same 8-cell text
+    # at the driver SF, but the entry's semantics at other SFs
+    # changed).
+    "events_variant_write_roundtrip": 11,
+    "sim_ivf_topk": 11,
 }
 
 

@@ -67,6 +67,12 @@ _KEY_COLS: dict[str, tuple[str, ...]] = {
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+# 26 rotations × 2 case blocks = 52 pairwise token-disjoint document
+# vocabularies; past this the cipher would wrap and replicas would
+# collide into shared LSH buckets (squared pair space = measurement
+# artifact). Raise, never wrap.
+_MAX_REPLICAS = 52
+
 
 def split_amplified(sf_dir: str) -> tuple[str, int]:
     """``'/data/sf0.1@x10'`` → ``('/data/sf0.1', 10)``; plain dirs
@@ -79,6 +85,12 @@ def split_amplified(sf_dir: str) -> tuple[str, int]:
 
 def amplify_table(df: DataFrame, name: str, n: int) -> DataFrame:
     """Fan ``df`` out into ``n`` distinct replicas (see module doc)."""
+    if n > _MAX_REPLICAS:
+        raise ValueError(
+            f"amplification @x{n} exceeds the {_MAX_REPLICAS} pairwise-"
+            "distinct document vocabularies the rotation cipher can "
+            "produce — replicas would collide and measure an artifact"
+        )
     if n <= 1 or name in ("nation", "region"):
         return df
     out = df.select(
@@ -98,12 +110,21 @@ def amplify_table(df: DataFrame, name: str, n: int) -> DataFrame:
         # lengths preserved (n_chars stays truthful), replica 0 is the
         # identity. translate's replace argument may be non-foldable;
         # Spark rebuilds its dict only when the argument value changes.
+        # Replicas 26..51 additionally uppercase (ADVICE r10: a bare
+        # `% 26` silently mapped replica 26 back to the identity
+        # rotation, colliding vocabularies and squaring the pair
+        # space — exactly the artifact this module exists to avoid).
+        # Case is a second vocabulary block: every tokenizer in the
+        # catalog splits on whitespace case-preserved, so the 52
+        # blocks stay pairwise token-disjoint; _MAX_REPLICAS pins the
+        # ceiling.
+        rot = (
+            f"translate(text, '{_ALPHA}', "
+            f"substring('{_ALPHA}{_ALPHA}', __r % 26 + 1, 26))"
+        )
         out = out.withColumn(
             "text",
-            F.expr(
-                f"translate(text, '{_ALPHA}', "
-                f"substring('{_ALPHA}{_ALPHA}', __r % 26 + 1, 26))"
-            ),
+            F.expr(f"CASE WHEN __r < 26 THEN {rot} ELSE upper({rot}) END"),
         )
     if name == "embeddings":
         # deterministic ±2%-range per-(replica, dim) offset; __r is a

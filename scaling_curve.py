@@ -82,34 +82,27 @@ AMP = 10
 SUPERLINEAR_AT = 12.0
 
 
-def _ivf_scaled_quantizer(spark, sf_dir):
-    """sim_ivf_topk's documented mitigation, measured: the catalog
-    entry pins n_cells=8 for oracle determinism, which makes its
-    Σ cell² pair space QUADRATIC in the corpus (the first tier run
-    correctly flagged it superlinear — the finding, kept in the JSON).
-    IVF's scale rule is capacity ∝ corpus (n_cells ≈ √n keeps
-    pairs-per-query flat); this leg re-times the same operator with
-    the quantizer widened to the anchor scheme's max (64 cells × 1-dim
-    segments) at the amplified size, so the recorded pair is
-    (mis-sized capacity → superlinear) vs (scaled capacity →
-    sublinear) on the same data."""
-    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
-        ivf_topk,
-    )
-    from ibf_typhoon_data_pipeline_spark.sources.tables import load_table
+# Round 11: the sim_ivf_topk mitigation leg (__scaled_quantizer) is
+# gone — the catalog entry now derives its capacity from the corpus
+# cardinality (operators/similarity.ivf_capacity, VERDICT r10 item 2),
+# so the shipped plan IS the scale-correct configuration and the
+# plain data-tier row measures it directly.
 
-    return ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), k=5, n_cells=64, seg=1
-    )
-
-
-# (name, baseline plan fn or None = catalog fn, amplified-leg plan fn)
-# — entries whose amplified leg measures a DIFFERENT, scale-correct
-# configuration of the same operator, recorded beside the fixed-config
-# scaleup as the mitigation evidence.
-DATA_TIER_MITIGATIONS = {
-    "sim_ivf_topk__scaled_quantizer": _ivf_scaled_quantizer,
-}
+# Second point on the data-axis line (VERDICT r10 item 4): the
+# cheapest already-measured families re-timed at 30× so the data axis
+# is a curvature check (1×/10×/30×), not a single ratio — mirroring
+# the event tier's 1×/10×/30× line. Same linear expectation: ≤ ~30×
+# work + fixed costs; guard scales with the amplification.
+X30_TIER = [
+    "o6_skyline_fact",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "graph_pagerank",
+    "ml_naive_bayes",
+    "corpus_sequence_pack",
+]
+AMP30 = 30
+SUPERLINEAR_AT_30 = 36.0
 
 
 def main() -> None:
@@ -156,36 +149,48 @@ def main() -> None:
             "sf0.1_s": times[1],
             "ratio_10x": round(times[1] / max(times[0], 1e-9), 2),
         }
-    data_tier: dict[str, dict] = {}
-    tier_fns = [(n, plans.QUERIES[n].fn) for n in DATA_TIER if n in plans.QUERIES]
-    tier_fns += list(DATA_TIER_MITIGATIONS.items())
-    for name, fn in tier_fns:
-        times = []
-        for sf_dir in (SFS[1], f"{SFS[1]}@x{AMP}"):
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-                release_caches()
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            times.append(round(best, 3))
-        scaleup = round(times[1] / max(times[0], 1e-9), 2)
-        data_tier[name] = {
-            "sf0.1_s": times[0],
-            f"x{AMP}_s": times[1],
-            f"scaleup_{AMP}x": scaleup,
-            "superlinear": scaleup > SUPERLINEAR_AT,
-        }
-        if scaleup > SUPERLINEAR_AT:
-            sys.stderr.write(
-                f"WARNING: {name} scaleup {scaleup}x for {AMP}x data "
-                f"exceeds {SUPERLINEAR_AT} — a pair space or sort is "
-                "growing faster than the facts\n"
-            )
+    # a typo'd/renamed tier name must fail loudly, not silently drop
+    # a family from the scaling evidence (ADVICE r10)
+    unknown = [n for n in DATA_TIER + X30_TIER if n not in plans.QUERIES]
+    if unknown:
+        raise KeyError(
+            f"scaling-tier names missing from plans.QUERIES: {unknown}"
+        )
+
+    def _time_tier(names, amp, guard):
+        tier: dict[str, dict] = {}
+        for name in names:
+            fn = plans.QUERIES[name].fn
+            times = []
+            for sf_dir in (SFS[1], f"{SFS[1]}@x{amp}"):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                    release_caches()
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                times.append(round(best, 3))
+            scaleup = round(times[1] / max(times[0], 1e-9), 2)
+            tier[name] = {
+                "sf0.1_s": times[0],
+                f"x{amp}_s": times[1],
+                f"scaleup_{amp}x": scaleup,
+                "superlinear": scaleup > guard,
+            }
+            if scaleup > guard:
+                sys.stderr.write(
+                    f"WARNING: {name} scaleup {scaleup}x for {amp}x "
+                    f"data exceeds {guard} — a pair space or sort is "
+                    "growing faster than the facts\n"
+                )
+        return tier
+
+    data_tier = _time_tier(DATA_TIER, AMP, SUPERLINEAR_AT)
+    x30_tier = _time_tier(X30_TIER, AMP30, SUPERLINEAR_AT_30)
     line = json.dumps(
         {
             "metric": "scaling_curve",
@@ -194,6 +199,11 @@ def main() -> None:
                 "amplification": AMP,
                 "superlinear_at": SUPERLINEAR_AT,
                 "queries": data_tier,
+            },
+            "data_tier_x30": {
+                "amplification": AMP30,
+                "superlinear_at": SUPERLINEAR_AT_30,
+                "queries": x30_tier,
             },
         }
     )
