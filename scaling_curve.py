@@ -73,6 +73,9 @@ DATA_TIER = [
     "events_sessionize",
     "orders_item_cf_topk",
     "sim_ivf_topk",
+    # the K-bounded LM twin: recorded beside text_lm_logprob's honest
+    # ~linear row so the tier shows the bounded alternative measured
+    "text_lm_logprob_capped",
 ]
 AMP = 10
 # linear growth = 10×; slack for shuffle-partition granularity and

@@ -85,6 +85,15 @@ ALLOWLIST = {
         "per-language rates (bounded lang domain)",
         r'groupBy\("lang"\)',
     ),
+    # capped-vocab LM: top-K induced vocabulary, limit(_LM_K) —
+    # K rows at any corpus size (the documented bounded alternative
+    # to text_lm_logprob's Heaps-growing frequency table)
+    ("curation.py", "vocab"): (
+        "top-K capped induced vocab (limit _LM_K)",
+        r"\.limit\(_LM_K\)",
+    ),
+    # (its tot/oov broadcast scalars are global non-groupBy .agg
+    # frames — covered by the scanner's bounded-scalar exemption)
     # whitening / chi-squared: per-DIMENSION frames — the embedding
     # dimensionality (64) is fixed at any corpus size
     ("vectors.py", "stats"): (

@@ -58,6 +58,9 @@ NAMES = [
     # physical strategy now varies with runtime sizes, so pin that
     # the integer micro-nat values don't care how the join shuffles
     "text_lm_logprob",
+    # round 11: its K-bounded twin (top-K vocab cut + pooled OOV mass
+    # — the LIMIT boundary must not depend on partitioning)
+    "text_lm_logprob_capped",
     "text_pmi_pairs",
     "corpus_heldout_ppl",
     "ml_naive_bayes",
