@@ -106,6 +106,42 @@ def test_amplified_embeddings_keep_shape(spark):
     assert 0.0 < diff <= 0.05
 
 
+def test_case_block_vocab_disjoint_past_26(spark):
+    """Round 11 (ADVICE r10): past 26 replicas the cipher rotates
+    within an UPPERCASE second alphabet instead of wrapping to the
+    identity. Replicas {0, 1, 26, 27} must have pairwise-disjoint
+    token spaces — the exact quartet the bare `% 26` wrap would have
+    collided (26→0, 27→1)."""
+    amp = load_table(spark, f"{SF}@x28", "documents")
+    toks = amp.select(
+        (F.col("doc_id") / KEY_OFFSET).cast("bigint").alias("band"),
+        F.explode(F.split(F.trim("text"), " +")).alias("tok"),
+    ).filter(F.length("tok") > 0).filter(
+        F.col("band").isin(0, 1, 26, 27)
+    )
+    shared = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.countDistinct("band").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert shared == 0
+    # block-1 text is length-preserving (n_chars stays truthful)
+    bad = amp.filter(
+        (F.col("doc_id") >= 26 * KEY_OFFSET)
+        & (F.length("text") != F.col("n_chars"))
+    ).count()
+    assert bad == 0
+
+
+def test_amplification_past_cipher_capacity_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="52"):
+        load_table(spark, f"{SF}@x53", "documents")
+
+
 def test_fixed_domains_never_amplify(spark):
     assert (
         load_table(spark, f"{SF}@x4", "nation").count()
