@@ -150,6 +150,12 @@ HEADLINE = [
     "tc_windfield_skewgrid",
     "tc_multi_event_dag",
     "sql_udf_scalar_library",
+    # round-11: the two new entries join the clock (same discipline):
+    # the K-bounded LM twin and the cipher case-block pin (@x28
+    # amplified documents read + per-band checksum). n_queries grows
+    # 66 -> 68; compare totals on the shared 66 or per-query.
+    "text_lm_logprob_capped",
+    "scan_amplified_case_block",
 ]
 
 N_SESSIONS = 3
