@@ -88,6 +88,7 @@ _STALE_BEFORE_ROUND: dict[str, int] = {
     # changed).
     "events_variant_write_roundtrip": 11,
     "sim_ivf_topk": 11,
+    "sim_ivf_probe2_topk": 11,
 }
 
 

@@ -181,19 +181,33 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=5, n_cells=cells, seg=seg)
 
 
-_SUM_LIST = ", ".join(f"list_sum(ve[{k * 8 + 1}:{(k + 1) * 8}])" for k in range(8))
-_IDX_LIST = ", ".join(str(k) for k in range(8))
+def _ivf_probe2_oracle() -> str:
+    """Lazy oracle for sim_ivf_probe2_topk: same capacity rule as the
+    probe-1 twin (ivf_capacity over the exact count), emitting the
+    lockstep unnest zip for however many cells the rule derives. At
+    the driver's sf0.01 (500 vectors) this resolves to the 8-cell
+    text green since round 3."""
+    import duckdb
 
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        ivf_capacity,
+    )
 
-@register(
-    "sim_ivf_probe2_topk",
-    f"""
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{_oracle_emb_path()}'"
+    ).fetchone()[0]
+    cells, seg = ivf_capacity(n)
+    sum_list = ", ".join(
+        f"list_sum(ve[{k * seg + 1}:{(k + 1) * seg}])" for k in range(cells)
+    )
+    idx_list = ", ".join(str(k) for k in range(cells))
+    return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
     ), affin AS (
       SELECT vec_id, ve,
-             unnest([{_SUM_LIST}]) AS s,
-             unnest([{_IDX_LIST}]) AS i
+             unnest([{sum_list}]) AS s,
+             unnest([{idx_list}]) AS i
       FROM v
     ), ranked AS (
       SELECT vec_id, ve, i, row_number() OVER (
@@ -215,15 +229,23 @@ _IDX_LIST = ", ".join(str(k) for k in range(8))
         PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
       ) AS rn FROM pairs
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@register(
+    "sim_ivf_probe2_topk",
+    _ivf_probe2_oracle,
     doc="IVF multi-probe (p=2) ANN top-5 — the recall knob: neighbors "
         "indexed by primary cell, queries probe their 2 best-affinity "
         "cells (explode), pair space grows linearly in p while recall "
-        "climbs toward brute force",
+        "climbs toward brute force. Capacity scales with the corpus "
+        "via the same ivf_capacity rule as the probe-1 twin (round "
+        "11 — a pinned cell count makes Σ cell² quadratic in N).",
 )
 def sim_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_multiprobe_topk(emb, k=5, probe=2, n_cells=8, seg=8)
+    cells, seg = ivf_capacity(emb.count())
+    return ivf_multiprobe_topk(emb, k=5, probe=2, n_cells=cells, seg=seg)
 
 
 # --------------------------------------------- trained codebook / seeded LSH

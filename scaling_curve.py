@@ -73,6 +73,7 @@ DATA_TIER = [
     "events_sessionize",
     "orders_item_cf_topk",
     "sim_ivf_topk",
+    "sim_ivf_probe2_topk",
     # the K-bounded LM twin: recorded beside text_lm_logprob's honest
     # ~linear row so the tier shows the bounded alternative measured
     "text_lm_logprob_capped",

@@ -80,26 +80,62 @@ def test_no_backdated_registrations():
         if isinstance(row, dict) and row.get("rows_match")
     }
 
-    rewritten = {
-        n: (snapshot[n], FIRST_ROUND[n])
-        for n in FIRST_ROUND
-        if n in snapshot and FIRST_ROUND[n] != snapshot[n]
-    }
+    rewritten, backdated = _age_violations(
+        snapshot, FIRST_ROUND, current, driver_witnessed
+    )
     assert not rewritten, (
         f"registration rounds rewritten vs snapshot: {rewritten}"
     )
-    backdated = {
-        n: FIRST_ROUND[n]
-        for n in FIRST_ROUND
-        if n not in snapshot
-        and FIRST_ROUND[n] != current
-        and not (FIRST_ROUND[n] == current - 1 and n in driver_witnessed)
-    }
     assert not backdated, (
         f"new entries must register with the current round {current} "
         f"(then be added to tests/data/catalog_age_snapshot.json when "
         f"the round completes): {backdated}"
     )
+
+
+def _age_violations(snapshot, first_round, current, driver_witnessed):
+    """Pure core of the backdating guard, unit-tested below."""
+    rewritten = {
+        n: (snapshot[n], first_round[n])
+        for n in first_round
+        if n in snapshot and first_round[n] != snapshot[n]
+    }
+    backdated = {
+        n: first_round[n]
+        for n in first_round
+        if n not in snapshot
+        and first_round[n] != current
+        and not (first_round[n] == current - 1 and n in driver_witnessed)
+    }
+    return rewritten, backdated
+
+
+def test_backdating_guard_survives_round_completion():
+    """The VERDICT r10 done-criterion, simulated: after the driver
+    lands CORRECTNESS_r{N}.json, `current` flips to N+1 — entries the
+    round-N builder registered at N (and the driver hashed green that
+    round) must STILL pass, while a genuine backdate (an old round
+    with no driver witness) and a witnessed-but-older-than-N-1 claim
+    must still fail."""
+    snapshot = {"old_entry": 3}
+    first_round = {
+        "old_entry": 3,          # snapshotted, unchanged — fine
+        "this_round": 11,        # landed in round 11, driver saw it
+        "brand_new": 12,         # round-12 work in progress — fine
+        "cheater": 4,            # claims round 4, never snapshotted
+        "stale_claim": 10,       # witnessed, but 2 rounds back
+    }
+    witnessed = {"this_round", "stale_claim", "old_entry"}
+    rewritten, backdated = _age_violations(
+        snapshot, first_round, current=12, driver_witnessed=witnessed
+    )
+    assert not rewritten
+    assert set(backdated) == {"cheater", "stale_claim"}
+    # and a rewritten snapshot round is still caught
+    rewritten, _ = _age_violations(
+        {"old_entry": 2}, first_round, 12, witnessed
+    )
+    assert rewritten == {"old_entry": (2, 3)}
 
 
 def test_tier_c_rotates_stalest_proof_first():
