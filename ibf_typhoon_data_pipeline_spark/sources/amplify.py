@@ -93,7 +93,17 @@ def amplify_table(df: DataFrame, name: str, n: int) -> DataFrame:
         )
     if n <= 1 or name in ("nation", "region"):
         return df
-    out = df.select(
+    # A real N×-bigger dataset arrives in ~N× more input splits; the
+    # capped testdata is ONE small parquet file per table, so without
+    # a spread the explode fans the whole amplified workload out of a
+    # single-task scan and every pre-shuffle stage (tokenize explodes,
+    # partial aggs, broadcast-join probes) runs on one core — a
+    # single-split artifact, not the plan under test (the round-10
+    # hamming cliff, 15.6 → 1.26 s, was exactly this). Round-robin
+    # the BASE rows up to the session parallelism before fanning out.
+    from ibf_typhoon_data_pipeline_spark.operators.skew import spread
+
+    out = spread(df).select(
         "*",
         F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("__r"),
     )
