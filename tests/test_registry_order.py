@@ -54,9 +54,13 @@ def test_no_backdated_registrations():
     round's snapshot chore. Fix: an un-snapshotted entry may also
     carry `current - 1` WHEN it has a green row in
     CORRECTNESS_r{current-1}.json — the driver itself witnessed the
-    registration that round, so the age cannot be a backdate. The
-    snapshot refresh remains the completion chore, but this test can
-    no longer be a round's only red purely because the round ended."""
+    registration that round, so the age cannot be a backdate. This
+    test can no longer be a round's only red purely because the round
+    ended. Since round 11 entries are snapshotted AT REGISTRATION
+    (freezing the round immediately is strictly stronger — it can
+    never be rewritten later), so the `current-1` arm is a safety net
+    for entries registered without the snapshot row, not a standing
+    chore."""
     import glob
     import json
     import os

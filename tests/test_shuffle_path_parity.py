@@ -55,6 +55,12 @@ NAMES = [
     # round-9: the LATERAL table-UDF rewrites to AQE-decided joins
     # (distinct-types build side vs the per-type WindowGroupLimit)
     "sql_udf_table_valued",
+    # round-11: the IVF pair joins were always AQE-decided (un-hinted
+    # cell-key self joins behind the explode fence) — with the
+    # capacity rule now data-derived, pin that the forced-SMJ path
+    # computes identical top-k values for both probe depths
+    "sim_ivf_topk",
+    "sim_ivf_probe2_topk",
 ]
 # stream_static_enrich was also de-hinted (its static dim join is
 # size-decided per micro-batch) but is excluded here: this sweep
