@@ -156,6 +156,8 @@ HEADLINE = [
     # 66 -> 68; compare totals on the shared 66 or per-query.
     "text_lm_logprob_capped",
     "scan_amplified_case_block",
+    # capacity-path SemDeDup (centroid-table HOF assignment)
+    "dedup_semdedup_scaled",
 ]
 
 N_SESSIONS = 3

@@ -296,10 +296,12 @@ _RANK_TAIL = """
 _CODEBOOK_MEMO: dict[str, object] = {}
 
 
-def _duck_codebook():
-    # memoized per path: the p1 and p2 oracles share the identical fit
+def _duck_codebook(k: int = 8):
+    # memoized per (path, k): the p1 and p2 oracles share the
+    # identical fit; capacity-scaled entries (semdedup) pass their
+    # count-derived k
     path = _oracle_emb_path()
-    key = f"duck:{path}"
+    key = f"duck:{path}:k{k}"
     if key not in _CODEBOOK_MEMO:
         import duckdb
 
@@ -307,16 +309,19 @@ def _duck_codebook():
             f"SELECT CAST(embedding AS DOUBLE[]) FROM '{path}'"
             " ORDER BY vec_id LIMIT 512"
         ).fetchall()
-        _CODEBOOK_MEMO[key] = kmeans_codebook([r[0] for r in rows])
+        _CODEBOOK_MEMO[key] = kmeans_codebook([r[0] for r in rows], k=k)
     return _CODEBOOK_MEMO[key]
 
 
-def _spark_codebook(spark, sf_dir: str):
-    # memoized per sf_dir: centroids depend only on the parquet sample
-    key = f"spark:{sf_dir}"
+def _spark_codebook(spark, sf_dir: str, k: int = 8):
+    # memoized per (sf_dir, k): centroids depend only on the parquet
+    # sample and the cluster count
+    key = f"spark:{sf_dir}:k{k}"
     if key not in _CODEBOOK_MEMO:
         emb = load_table(spark, sf_dir, "embeddings")
-        _CODEBOOK_MEMO[key] = fit_codebook_sample(emb, "vec_id", "embedding")
+        _CODEBOOK_MEMO[key] = fit_codebook_sample(
+            emb, "vec_id", "embedding", k=k
+        )
     return _CODEBOOK_MEMO[key]
 
 
@@ -1417,12 +1422,87 @@ def _semdedup_oracle() -> str:
         "marks dups, keep-first canonical by lowest id. Cluster key = "
         "shuffle key (pair space Sigma cluster^2, never cross-cluster); "
         "codebook is the same bounded-sample deterministic Lloyd fit "
-        "as the IVF entries, centroids inlined as quoted-literal SQL.",
+        "as the IVF entries, centroids inlined as quoted-literal SQL. "
+        "NOTE the literal-inlined scoring caps k at 8 — 16+ cells of "
+        "64-dim explicit sums blow whole-stage codegen's 64 KB method "
+        "limit (measured round 11), and a pinned k makes Σ cluster² "
+        "quadratic in N (10.1× at 10× data). dedup_semdedup_scaled "
+        "below is the capacity path: centroids as a broadcast TABLE, "
+        "one HOF distance expression, k derived from the corpus.",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_canonical(
         emb, _spark_codebook(spark, sf_dir), threshold=_SEMDEDUP_T
+    )
+
+
+from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    centroid_array_sql,
+    semdedup_scaled_canonical,
+)
+
+
+def _semdedup_scaled_oracle() -> str:
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{_oracle_emb_path()}'"
+    ).fetchone()[0]
+    cents = _duck_codebook(k=ivf_capacity(n)[0])
+    dim = len(cents[0])
+    carr = centroid_array_sql(cents, False)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), scored AS (
+      SELECT vec_id, ve,
+             list_transform({carr}, c ->
+               round(list_sum(list_transform(range(1, {dim + 1}),
+                 i -> (ve[i] - c[i]) * (ve[i] - c[i]))), 6)) AS d2s
+      FROM v
+    ), cells AS (
+      SELECT vec_id, ve,
+             CAST(list_position(d2s, list_min(d2s)) - 1 AS INTEGER)
+               AS cell
+      FROM scored
+    ), matched AS (
+      SELECT a.vec_id AS aid, min(b.vec_id) AS canon
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round(list_cosine_similarity(a.ve, b.ve), 6)
+            >= CAST({_SEMDEDUP_T} AS DOUBLE)
+      GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, c.cell AS cluster_id,
+           coalesce(m.canon, c.vec_id) AS canonical_id,
+           m.canon IS NOT NULL AS is_semantic_dup
+    FROM cells c LEFT JOIN matched m ON c.vec_id = m.aid
+    """
+
+
+@register(
+    "dedup_semdedup_scaled",
+    _semdedup_scaled_oracle,
+    doc="SemDeDup at data-derived capacity (round 11): cluster count "
+        "k tracks the corpus through the shared ivf_capacity rule "
+        "(both engines derive it from the same exact count), and the "
+        "assignment is ONE HOF distance expression over a nested-"
+        "array centroid literal — data, not unrolled code, so k is "
+        "free of the 64 KB whole-stage-codegen ceiling that caps the "
+        "literal-inlined dedup_semdedup at k=8. d2 per centroid is a "
+        "left-fold zip (same summation order as DuckDB's list "
+        "functions), rounded 6dp before the first-match argmin; same "
+        "within-cluster cosine >= t / keep-first-canonical semantics "
+        "as the base entry. Pair space Σ cluster² with per-cluster "
+        "population held flat (a pinned k measured 10.1x at 10x "
+        "data; this entry ~2x).",
+)
+def dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = ivf_capacity(emb.count())[0]
+    return semdedup_scaled_canonical(
+        emb, _spark_codebook(spark, sf_dir, k=k), threshold=_SEMDEDUP_T
     )
 
 

@@ -74,6 +74,9 @@ DATA_TIER = [
     "orders_item_cf_topk",
     "sim_ivf_topk",
     "sim_ivf_probe2_topk",
+    # pinned-k twin measured 10.1x at 10x (documented in its entry);
+    # this is the capacity path
+    "dedup_semdedup_scaled",
     # the K-bounded LM twin: recorded beside text_lm_logprob's honest
     # ~linear row so the tier shows the bounded alternative measured
     "text_lm_logprob_capped",

@@ -40,6 +40,8 @@ NAMES = [
     # sample (VERDICT r7 item 2) — a partition-sensitive flake in any
     # of them would burn the 345/345 close, so sweep them all once
     "sim_mmr_rerank",
+    # round 11: HOF-array centroid assignment + fenced pair join
+    "dedup_semdedup_scaled",
     "ml_kmeans_lloyd",
     "sim_knn_ndcg",
     "sim_knn_graph",

@@ -115,6 +115,21 @@ def test_similarity_pair_scoring_spreads_narrow_scan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_semdedup_scaled_assignment_is_data_not_code(spark):
+    """Round 11: the capacity-path SemDeDup must keep its three
+    load-bearing shapes — (1) the k×dim centroid matrix enters the
+    plan as ONE nested-array literal (data), never as unrolled
+    per-cell score columns (which blow whole-stage codegen's 64 KB
+    method limit past k=8); (2) the derived cell key sits behind a
+    generator fence; (3) the probe keeps round-robin spread (no cell
+    hashpartitioning)."""
+    plan = _plan(spark, "dedup_semdedup_scaled")
+    assert "zip_with" in plan or "ZipWith" in plan.lower() or "lambdafunction" in plan.lower()
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning(__cell" not in plan
+    assert plan.count("Generate explode") >= 1
+
+
 def test_ivf_cell_key_is_fenced_and_probe_stays_round_robin(spark):
     """Round-10 regression pins for the ivf_topk defects the
     data-axis scaling tier caught (docs/SCALING.md round-10):

@@ -61,6 +61,7 @@ NAMES = [
     # computes identical top-k values for both probe depths
     "sim_ivf_topk",
     "sim_ivf_probe2_topk",
+    "dedup_semdedup_scaled",
 ]
 # stream_static_enrich was also de-hinted (its static dim join is
 # size-decided per micro-batch) but is excluded here: this sweep
