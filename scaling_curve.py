@@ -101,6 +101,10 @@ SUPERLINEAR_AT = 12.0
 # the event tier's 1×/10×/30× line. Same linear expectation: ≤ ~30×
 # work + fixed costs; guard scales with the amplification.
 X30_TIER = [
+    # the round-11 capacity-path SemDeDup: its k caps at 64 past
+    # ~16k vectors (512-sample fit, ≥8 pts/cluster), so the 30× point
+    # shows the post-saturation slope (measured ~9× for 30× data)
+    "dedup_semdedup_scaled",
     "o6_skyline_fact",
     "events_sessionize",
     "dedup_minhash_lsh",
