@@ -275,25 +275,39 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
 
 
 def wait_for_idle(
-    max_load: float = 0.3, timeout_s: float = 300.0, poll_s: float = 10.0
+    max_load: float = 0.3,
+    max_load5: float = 1.0,
+    timeout_s: float = 600.0,
+    poll_s: float = 10.0,
 ) -> bool:
-    """Delay start while 1-min load exceeds ``max_load`` (the
-    load-shadow protocol, automated — round 8 cost the judge two
-    discarded runs launched in the load shadow of just-exited JVMs).
-    Returns True when the gate passed, False when the timeout expired
-    and the run proceeds anyway (recorded as load_gate_waived)."""
+    """Delay start while 1-min load exceeds ``max_load`` OR 5-min load
+    exceeds ``max_load5`` (the load-shadow protocol, automated — round
+    8 cost the judge two discarded runs launched in the load shadow of
+    just-exited JVMs). The 5-min axis was added in round 12 (VERDICT
+    r11 item 3): two r11 runs passed the 1-min gate with load1 ≈ 0.26
+    but load5 ≈ 3 — inside a just-exited JVM's shadow — and produced
+    2–11× chunk outliers; a freshly-drained machine shows load1 low
+    LONG before load5 does, so both must clear. Returns True when the
+    gate passed, False when the timeout expired and the run proceeds
+    anyway (recorded as load_gate_waived)."""
     deadline = time.monotonic() + timeout_s
-    while os.getloadavg()[0] > max_load:
+
+    def _loaded() -> tuple[float, float] | None:
+        l1, l5, _ = os.getloadavg()
+        return (l1, l5) if l1 > max_load or l5 > max_load5 else None
+
+    while (got := _loaded()) is not None:
         if time.monotonic() >= deadline:
             sys.stderr.write(
-                f"WARNING: 1-min load {os.getloadavg()[0]:.2f} still > "
-                f"{max_load} after {timeout_s:.0f}s — proceeding; treat "
-                "this run's numbers as load-contaminated\n"
+                f"WARNING: load1 {got[0]:.2f} / load5 {got[1]:.2f} still"
+                f" > ({max_load}, {max_load5}) after {timeout_s:.0f}s — "
+                "proceeding; treat this run's numbers as "
+                "load-contaminated\n"
             )
             return False
         sys.stderr.write(
-            f"bench: 1-min load {os.getloadavg()[0]:.2f} > {max_load}, "
-            f"waiting for idle...\n"
+            f"bench: load1 {got[0]:.2f} / load5 {got[1]:.2f} > "
+            f"({max_load}, {max_load5}), waiting for idle...\n"
         )
         time.sleep(poll_s)
     return True

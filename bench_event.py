@@ -88,6 +88,13 @@ def gen_tracks_batch(spark, n_events: int):
 
 
 def main() -> None:
+    # same load-shadow gate as bench.py (VERDICT r11 item 3: this
+    # script previously started under ANY load — the r11 judge run
+    # launched at load 6.4 and read ratios at the edge of their pins)
+    from bench import wait_for_idle
+
+    load_gate_ok = wait_for_idle()
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("ibf-bench-event", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -240,6 +247,9 @@ def main() -> None:
         "ratio_equirect": round(wall_eq / probe_s, 3),
         "pin_haversine_ratio": _PIN_HAVERSINE_RATIO,
         "pin_equirect_ratio": _PIN_EQUIRECT_RATIO,
+        "loadavg_start": load_start,
+        "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
+        "load_gate_waived": not load_gate_ok,
     }
     if wall_tier is not None:
         scaleup = round(wall_tier / wall, 2)

@@ -229,6 +229,44 @@ def ivf_capacity(n: int, dim: int = 64, target_cell: int = 250) -> tuple[int, in
     return cells, dim // cells
 
 
+def ivf_capacity_scaled(n: int, target_cell: int = 250) -> int:
+    """Capacity rule for TABLE-BACKED quantizers (VERDICT r11 item 1):
+    ``n_cells = next_pow2(n / target_cell)`` with a floor of 8 and NO
+    dim clamp. The axis-segment anchors of ``ivf_cell`` force
+    ``n_cells ≤ dim`` (each anchor needs ≥ 1 dim to own), so
+    ``ivf_capacity`` saturates at 64 cells and past ~16k vectors the
+    Σ cell² pair space turns quadratic again (dedup_semdedup_scaled's
+    r11 10×→30× segment exponent read 1.6 exactly at that knee). A
+    k-means centroid TABLE has no tiling constraint and — held as one
+    nested-array literal scored by one HOF expression — no 64 KB
+    codegen ceiling either, so its cell count can track the corpus
+    indefinitely and pairs-per-query stays flat (Σ cell² ≈
+    n·target_cell, linear in n).
+
+    Same parity contract as ``ivf_capacity``: a pure integer function
+    of an exact cross-engine count, so Spark entry and DuckDB oracle
+    derive the SAME k from the same parquet."""
+    cells = 8
+    while cells * target_cell < n:
+        cells *= 2
+    return cells
+
+
+def fit_sample_size(k: int) -> int:
+    """Codebook-fit sample size, scaled with the cell count:
+    ``max(512, 32·k)`` id-ordered rows (≥ 32 training points per
+    centroid — a fixed 512-row sample starves k > 64 fits, and the
+    Lloyd init needs n ≥ k distinct rows). At k = 8 this is exactly
+    the historical 512-row sample, so every existing codebook oracle
+    text is unchanged. The collect is O(k) rows = O(n / target_cell /
+    32) — bounded by the capacity rule, not the corpus; past k ≈ 4096
+    (≈ 1M vectors) the driver fit should hand off to the in-engine
+    integer-quantized Lloyd (ml_kmeans_lloyd's recipe) — the
+    broadcast-table ASSIGNMENT plan is identical either way (see
+    docs/SCALING.md)."""
+    return max(512, 32 * k)
+
+
 def fence_pair_key(df: DataFrame, key: str) -> DataFrame:
     """Generator fence for a DERIVED self-join key column
     (`explode(array(key))`, row-preserving). The join infers
@@ -433,9 +471,21 @@ def kmeans_codebook(vecs, k: int = 8, iters: int = 5):
     v = np.round(np.asarray(vecs, dtype=np.float64), 6)
     n = len(v)
     cents = v[[(i * n) // k for i in range(k)]].copy()
+    # distance matrix in row chunks: the (n, k, dim) broadcast
+    # intermediate is ~n·k·dim·8 bytes (17 GB at the k=1024 scaled
+    # fit) — chunking rows bounds it at ~chunk·k·dim·8 while every
+    # element is computed by the IDENTICAL expression in the identical
+    # reduction order, so assignments (and therefore centroids) are
+    # bitwise-equal to the unchunked form at every k (no gemm
+    # rewrite: a·b form would change the float result and silently
+    # stale every codebook oracle).
+    chunk = max(1, 16_777_216 // max(k * v.shape[1], 1))
     for _ in range(iters):
-        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = np.empty(n, dtype=np.int64)
+        for a in range(0, n, chunk):
+            b = min(a + chunk, n)
+            d2 = ((v[a:b, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign[a:b] = d2.argmin(axis=1)
         for j in range(k):
             mask = assign == j
             if mask.any():
@@ -821,42 +871,6 @@ def pq_codebooks(vecs, m: int = 4, k: int = 8, iters: int = 5):
     ]
 
 
-def semdedup_canonical(
-    df: DataFrame,
-    cents,
-    threshold: float = 0.3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
-    the embeddings, then mark as semantic duplicates any pair INSIDE a
-    cluster whose cosine exceeds ``threshold``; keep-first canonical =
-    the lowest matched id. The cluster key bounds the pair space at
-    Sigma cluster_size^2 (the paper's point: never compare across
-    clusters), and the codebook is a bounded-sample driver fit, so the
-    only corpus-sized shuffles are the cell-key pair join and one
-    per-id min — the 100 TB shape."""
-    n_cells = len(cents)
-    s_sqls = codebook_score_sqls(cents, "__v", 0)
-    base = (
-        spread(df)
-        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
-        .selectExpr(
-            id_col, "__v", *[f"{s} AS s{i}" for i, s in enumerate(s_sqls)]
-        )
-    )
-    from ibf_typhoon_data_pipeline_spark.operators.cache import (
-        persist_tracked,
-    )
-
-    cells = persist_tracked(
-        base.selectExpr(
-            id_col, "__v", f"{cell_ladder_sql(n_cells)} AS __cell"
-        )
-    )
-    return _semdedup_tail(cells, threshold, id_col)
-
-
 def _semdedup_tail(
     cells: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
@@ -914,6 +928,115 @@ def centroid_array_sql(cents, spark_side: bool) -> str:
     return "[" + ", ".join(f"[{r}]" for r in rows) + "]"
 
 
+def centroid_d2s_expr(cents, vec: str = "__v") -> str:
+    """Per-centroid squared distances as ONE HOF expression over the
+    nested-array centroid literal: d2 per centroid is a left-fold zip
+    (same summation order as DuckDB's list functions), rounded 6dp so
+    an ulp can't flip the downstream argmin/sort. Data, not unrolled
+    code — expression size is k-independent, so the cell count is free
+    of the 64 KB whole-stage-codegen ceiling that caps the
+    literal-inlined score ladder at k = 8."""
+    return (
+        f"transform({centroid_array_sql(cents, True)}, c -> "
+        f"round(aggregate(zip_with({vec}, c, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, t) -> acc + t), 6))"
+    )
+
+
+def codebook_table_topk(
+    df: DataFrame,
+    cents,
+    k: int = 5,
+    probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k over a trained codebook held as a nested-array
+    LITERAL TABLE scored by one HOF expression (``centroid_d2s_expr``)
+    — the capacity-unbounded retrieval path (VERDICT r11 item 1). The
+    literal-inlined ``codebook_ivf_topk`` unrolls k×dim score terms
+    into whole-stage codegen and blows the JVM's 64 KB method limit
+    past k = 8; here the centroid matrix is data, so k tracks the
+    corpus via ``ivf_capacity_scaled`` and pairs-per-query stays flat
+    at any N. Cell = argmin ‖v−c‖² (6dp-rounded, first-match ties →
+    lowest cell); probe > 1 ranks cells by ascending d2 (ties → lower
+    index, mirrored by the oracle's ORDER BY d, i) and explodes each
+    query over its best ``probe`` cells while neighbors stay
+    single-cell, so no pair is scored twice. Same shuffle anatomy as
+    every IVF twin: round-robin spread feeds the pair probe (a
+    cell-key repartition serializes each cell's whole Σ cell² fan-out
+    in one task — round-10 measurement), the persisted cell frame is
+    the substitution barrier, and the probe-1 derived key additionally
+    rides the explode fence."""
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    base = spread(df).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    scored = base.select(
+        F.col(id_col),
+        "__v",
+        F.expr(centroid_d2s_expr(cents)).alias("__d2s"),
+    )
+    if probe <= 1:
+        with_cell = scored.select(
+            F.col(id_col),
+            "__v",
+            (F.array_position("__d2s", F.array_min("__d2s")) - 1)
+            .cast("int")
+            .alias("__cell"),
+        ).withColumn("__n", l2_norm(F.col("__v")))
+        cells = persist_tracked(fence_pair_key(with_cell, "__cell"))
+        a = cells.select(
+            F.col(id_col).alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"),
+            "__cell",
+        )
+    else:
+        ranked = persist_tracked(
+            scored.select(
+                F.col(id_col),
+                "__v",
+                F.expr(
+                    "array_sort(transform(__d2s, "
+                    "(x, i) -> struct(x AS d, i AS i)))"
+                ).alias("__ranked"),
+            ).withColumn("__n", l2_norm(F.col("__v")))
+        )
+        cells = ranked.selectExpr(
+            id_col, "__v", "__n", "element_at(__ranked, 1).i AS __cell"
+        )
+        a = ranked.select(
+            F.col(id_col).alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"),
+            F.explode(
+                F.expr(f"transform(slice(__ranked, 1, {probe}), s -> s.i)")
+            ).alias("__cell"),
+        )
+    b = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__nv"),
+        F.col("__n").alias("__nn"),
+        "__cell",
+    )
+    pairs = a.join(b, "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored_pairs = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("__qv"), F.col("__nv")) / (F.col("__qn") * F.col("__nn")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    return _rank_topk(scored_pairs, k)
+
+
 def semdedup_scaled_canonical(
     df: DataFrame,
     cents,
@@ -921,29 +1044,26 @@ def semdedup_scaled_canonical(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """SemDeDup at data-derived capacity. The literal-inlined scoring
-    of ``semdedup_canonical`` unrolls k×dim explicit terms into
-    whole-stage codegen and blows the JVM's 64 KB method limit past
-    k=8 (measured round 11), pinning its Σ cluster² pair space
-    quadratic in N (10.1× at 10× data). Here the centroid matrix is
-    ONE nested-array literal (data, not code) and the assignment is a
-    single HOF expression — d2 per centroid via zip_with/aggregate
-    (left fold, same order as DuckDB's list functions), rounded 6dp,
-    argmin = array_position(d2s, array_min(d2s)) over the ONE
-    materialized array (first match = lowest cell, the round-10
-    argmax rule) — so code size is k-independent and k can track the
-    corpus (ivf_capacity). No extra shuffle: the assignment is a
-    per-row projection, exactly what a 100 TB job would run."""
+    """SemDeDup at data-derived capacity. A literal-inlined score
+    ladder (``codebook_score_sqls`` columns, the pre-r12 primary
+    plan) unrolls k×dim explicit terms into whole-stage codegen and
+    blows the JVM's 64 KB method limit past k=8 (measured round 11),
+    pinning its Σ cluster² pair space quadratic in N (10.1× at 10×
+    data). Here the centroid matrix is ONE nested-array literal
+    (data, not code) and the assignment is a single HOF expression —
+    d2 per centroid via zip_with/aggregate (left fold, same order as
+    DuckDB's list functions), rounded 6dp, argmin =
+    array_position(d2s, array_min(d2s)) over the ONE materialized
+    array (first match = lowest cell, the round-10 argmax rule) — so
+    code size is k-independent and k can track the corpus
+    (``ivf_capacity_scaled``, unclamped). No extra shuffle: the
+    assignment is a per-row projection, exactly what a 100 TB job
+    would run."""
     base = spread(df).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
-    d2s_expr = (
-        f"transform({centroid_array_sql(cents, True)}, c -> "
-        "round(aggregate(zip_with(__v, c, (x, y) -> (x - y) * (x - y)), "
-        "0D, (acc, t) -> acc + t), 6))"
-    )
     scored = base.select(
-        F.col(id_col), "__v", F.expr(d2s_expr).alias("__d2s")
+        F.col(id_col), "__v", F.expr(centroid_d2s_expr(cents)).alias("__d2s")
     )
     with_cell = scored.select(
         F.col(id_col),

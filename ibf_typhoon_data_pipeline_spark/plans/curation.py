@@ -436,13 +436,23 @@ _LM_LP_EC_MICRO_SQL = (
         "before the order-free per-doc sum, same as the base entry.",
 )
 def text_lm_logprob_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", dd.split_words(F.col("text")).alias("__words"))
     )
     tok = docs.select("doc_id", F.explode("__words").alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    # freq feeds 4 derivations per action (vocab; tot; both again via
+    # oov's cross join) — the round-7 ≥3-derivations persist rule
+    # (ADVICE r11: unpersisted, the full tokenize+groupBy re-ran each
+    # time; orchestration paths release via release_caches())
+    freq = persist_tracked(
+        tok.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
     vocab = freq.orderBy(F.col("c").desc(), F.col("tok")).limit(_LM_K)
     tot = freq.agg(F.sum("c").cast("long").alias("corpus_tokens"))
     oov = (

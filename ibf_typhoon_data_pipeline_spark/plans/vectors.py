@@ -168,12 +168,14 @@ def _ivf_topk_oracle() -> str:
     _ivf_topk_oracle,
     doc="IVF(probe=1) ANN top-5: coarse cell = argmax segment-sum "
         "anchor (deterministic codebook stand-in); cell key = shuffle "
-        "key, pair space n² → Σ cell². Capacity SCALES with the "
-        "corpus (ivf_capacity: n_cells ≈ n/250 clamped to [8, 64], "
-        "power-of-two) so pairs-per-query stays flat — a pinned cell "
-        "count measured 13.8× at 10× data, the scaled rule 2.2× "
-        "(SCALING_CURVE.json, VERDICT r10 item 2); probe>1 unions "
-        "neighbor cells",
+        "key, pair space n² → Σ cell². Capacity scales with the "
+        "corpus (ivf_capacity: n_cells ≈ n/250, power-of-two) so "
+        "pairs-per-query stays flat — a pinned cell count measured "
+        "13.8× at 10× data, the scaled rule 2.2× — BUT the axis-"
+        "segment anchors force n_cells ≤ dim = 64, so this stand-in "
+        "saturates past ~16k vectors; sim_ivf_scaled_topk is the "
+        "unclamped capacity path (VERDICT r11 item 1). probe>1 "
+        "unions neighbor cells",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -296,31 +298,31 @@ _RANK_TAIL = """
 _CODEBOOK_MEMO: dict[str, object] = {}
 
 
-def _duck_codebook(k: int = 8):
-    # memoized per (path, k): the p1 and p2 oracles share the
-    # identical fit; capacity-scaled entries (semdedup) pass their
-    # count-derived k
+def _duck_codebook(k: int = 8, sample: int = 512):
+    # memoized per (path, k, sample): the p1 and p2 oracles share the
+    # identical fit; capacity-scaled entries (semdedup, scaled IVF)
+    # pass their count-derived k and the matching fit_sample_size(k)
     path = _oracle_emb_path()
-    key = f"duck:{path}:k{k}"
+    key = f"duck:{path}:k{k}:s{sample}"
     if key not in _CODEBOOK_MEMO:
         import duckdb
 
         rows = duckdb.connect().execute(
             f"SELECT CAST(embedding AS DOUBLE[]) FROM '{path}'"
-            " ORDER BY vec_id LIMIT 512"
+            f" ORDER BY vec_id LIMIT {sample}"
         ).fetchall()
         _CODEBOOK_MEMO[key] = kmeans_codebook([r[0] for r in rows], k=k)
     return _CODEBOOK_MEMO[key]
 
 
-def _spark_codebook(spark, sf_dir: str, k: int = 8):
-    # memoized per (sf_dir, k): centroids depend only on the parquet
-    # sample and the cluster count
-    key = f"spark:{sf_dir}:k{k}"
+def _spark_codebook(spark, sf_dir: str, k: int = 8, sample: int = 512):
+    # memoized per (sf_dir, k, sample): centroids depend only on the
+    # parquet sample and the cluster count
+    key = f"spark:{sf_dir}:k{k}:s{sample}"
     if key not in _CODEBOOK_MEMO:
         emb = load_table(spark, sf_dir, "embeddings")
         _CODEBOOK_MEMO[key] = fit_codebook_sample(
-            emb, "vec_id", "embedding", k=k
+            emb, "vec_id", "embedding", sample=sample, k=k
         )
     return _CODEBOOK_MEMO[key]
 
@@ -405,9 +407,12 @@ def _seeded_lsh_oracle() -> str:
     _codebook_oracle_p1,
     doc="IVF(probe=1) over a TRAINED k-means codebook (deterministic "
         "Lloyd on a bounded id-ordered sample; centroids inlined as "
-        "literals, scores = v·c − ‖c‖²/2 rounded 6dp before argmax) — "
-        "the production coarse quantizer behind the same cell-key "
-        "shuffle plan as the axis-aligned stand-in",
+        "literals, scores = v·c − ‖c‖²/2 rounded 6dp before argmax). "
+        "NOTE the literal-inlined score ladder pins k=8 — 16+ cells "
+        "of 64-dim explicit sums blow whole-stage codegen's 64 KB "
+        "method limit (measured round 11) — so this entry is the "
+        "FIXED-k variant; sim_ivf_scaled_topk is the capacity path "
+        "(centroid TABLE + HOF assignment, k tracks the corpus).",
 )
 def sim_ivf_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -424,6 +429,135 @@ def sim_ivf_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_codebook_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return codebook_ivf_topk(emb, _spark_codebook(spark, sf_dir), k=5, probe=2)
+
+
+# -------------------------------------------- capacity-scaled IVF (r12)
+# VERDICT r11 item 1: the shipped ANN capacity saturated at 64 cells —
+# ivf_capacity's axis-segment anchors force n_cells <= dim, and the
+# literal-inlined codebook entries blow whole-stage codegen's 64 KB
+# method limit past k=8 — so past ~16k vectors every IVF twin reverted
+# to Sigma cell^2 quadratic growth (dedup_semdedup_scaled's 10x->30x
+# segment exponent measured 1.6 at that knee). These entries are the
+# unclamped path: the k-means centroid matrix enters the plan as ONE
+# nested-array literal TABLE scored by ONE HOF expression
+# (operators/similarity.codebook_table_topk), so k = next_pow2(n/250)
+# with no dim clamp (ivf_capacity_scaled) and the fit sample scales as
+# max(512, 32k) (fit_sample_size) — at the driver's sf0.01 both
+# resolve to the historical k=8 / 512-row fit.
+
+from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    centroid_array_sql,
+    codebook_table_topk,
+    fit_sample_size,
+    ivf_capacity_scaled,
+)
+
+
+def _scaled_codebook_duck():
+    """(centroids, k) for the scaled-IVF oracles: k from the unclamped
+    capacity rule over the oracle parquet's exact count, fit sample
+    from the shared fit_sample_size rule — the same two pure functions
+    the Spark entries call at run time."""
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{_oracle_emb_path()}'"
+    ).fetchone()[0]
+    k = ivf_capacity_scaled(n)
+    return _duck_codebook(k=k, sample=fit_sample_size(k)), k
+
+
+def _scaled_cells_cte(cents) -> str:
+    """Shared WITH-prefix: HOF d2 per centroid over the nested-array
+    literal, mirroring centroid_d2s_expr token-for-token (same fold
+    order, 6dp round before any argmin/sort)."""
+    dim = len(cents[0])
+    carr = centroid_array_sql(cents, False)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), scored AS (
+      SELECT vec_id, ve,
+             list_transform({carr}, c ->
+               round(list_sum(list_transform(range(1, {dim + 1}),
+                 i -> (ve[i] - c[i]) * (ve[i] - c[i]))), 6)) AS d2s
+      FROM v
+    )"""
+
+
+def _ivf_scaled_oracle_p1() -> str:
+    cents, _ = _scaled_codebook_duck()
+    return f"""
+    {_scaled_cells_cte(cents)}, cells AS (
+      SELECT vec_id, ve,
+             CAST(list_position(d2s, list_min(d2s)) - 1 AS INTEGER)
+               AS cell
+      FROM scored
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    {_RANK_TAIL}
+    """
+
+
+def _ivf_scaled_oracle_p2() -> str:
+    cents, k = _scaled_codebook_duck()
+    return f"""
+    {_scaled_cells_cte(cents)}, affin AS (
+      SELECT vec_id, ve, unnest(d2s) AS d, unnest(range(0, {k})) AS i
+      FROM scored
+    ), ranked AS (
+      SELECT vec_id, ve, i, row_number() OVER (
+        PARTITION BY vec_id ORDER BY d ASC, i ASC
+      ) AS rn FROM affin
+    ), qcells AS (SELECT vec_id, ve, i AS cell FROM ranked WHERE rn <= 2),
+    ncell AS (SELECT vec_id, ve, i AS cell FROM ranked WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+      FROM qcells a JOIN ncell b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    {_RANK_TAIL}
+    """
+
+
+@register(
+    "sim_ivf_scaled_topk",
+    _ivf_scaled_oracle_p1,
+    doc="IVF(probe=1) ANN top-5 at UNCLAMPED data-derived capacity "
+        "(round 12, VERDICT r11 item 1): trained k-means centroids as "
+        "one nested-array literal TABLE, assignment = one HOF d2 "
+        "expression (k-independent code size — no 64 KB codegen "
+        "ceiling, no seg|dim tiling), k = next_pow2(n/250) with no "
+        "dim clamp and fit sample 32k-scaled. Cell key = shuffle key; "
+        "pairs-per-query stays flat at any N where the clamped twins "
+        "saturate at 64 cells past ~16k vectors.",
+)
+def sim_ivf_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = ivf_capacity_scaled(emb.count())
+    cents = _spark_codebook(spark, sf_dir, k=k, sample=fit_sample_size(k))
+    return codebook_table_topk(emb, cents, k=5, probe=1)
+
+
+@register(
+    "sim_ivf_scaled_probe2",
+    _ivf_scaled_oracle_p2,
+    doc="Capacity-scaled IVF at probe=2 — the recall knob on the "
+        "unclamped quantizer: queries explode over their 2 lowest-d2 "
+        "cells (ranked array sorted (d ASC, i ASC), ties to the lower "
+        "cell — the oracle's lockstep-unnest row_number twin), "
+        "neighbors stay single-cell, pair space grows linearly in p.",
+)
+def sim_ivf_scaled_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = ivf_capacity_scaled(emb.count())
+    cents = _spark_codebook(spark, sf_dir, k=k, sample=fit_sample_size(k))
+    return codebook_table_topk(emb, cents, k=5, probe=2)
 
 
 @register(
@@ -1382,65 +1516,11 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster id doubles as the pair-join shuffle key, so the pair space
 # is Sigma cluster^2 — the paper's scaling argument, verbatim.
 from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
-    semdedup_canonical,
+    semdedup_scaled_canonical,
 )
 
 _SEMDEDUP_T = 0.3  # synthetic embeddings top out near cos 0.55 — 0.3
 # exercises real dup pairs; production SemDeDup uses 0.95+
-
-
-def _semdedup_oracle() -> str:
-    cents = _duck_codebook()
-    s_sqls = codebook_score_sqls(cents, "ve", 1)
-    scores = ", ".join(f"{s} AS s{i}" for i, s in enumerate(s_sqls))
-    ladder = cell_ladder_sql(len(cents)).replace("AS INT", "AS INTEGER")
-    return f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-    ), scores AS (SELECT vec_id, ve, {scores} FROM v),
-    cells AS (SELECT vec_id, ve, {ladder} AS cell FROM scores),
-    matched AS (
-      SELECT a.vec_id AS aid, min(b.vec_id) AS canon
-      FROM cells a JOIN cells b
-        ON a.cell = b.cell AND b.vec_id < a.vec_id
-      WHERE round(list_cosine_similarity(a.ve, b.ve), 6)
-            >= CAST({_SEMDEDUP_T} AS DOUBLE)
-      GROUP BY a.vec_id
-    )
-    SELECT c.vec_id, c.cell AS cluster_id,
-           coalesce(m.canon, c.vec_id) AS canonical_id,
-           m.canon IS NOT NULL AS is_semantic_dup
-    FROM cells c LEFT JOIN matched m ON c.vec_id = m.aid
-    """
-
-
-@register(
-    "dedup_semdedup",
-    _semdedup_oracle,
-    doc="SemDeDup semantic dedup (Abbas et al. 2023): trained k-means "
-        "cluster id as the blocking key, within-cluster cosine >= t "
-        "marks dups, keep-first canonical by lowest id. Cluster key = "
-        "shuffle key (pair space Sigma cluster^2, never cross-cluster); "
-        "codebook is the same bounded-sample deterministic Lloyd fit "
-        "as the IVF entries, centroids inlined as quoted-literal SQL. "
-        "NOTE the literal-inlined scoring caps k at 8 — 16+ cells of "
-        "64-dim explicit sums blow whole-stage codegen's 64 KB method "
-        "limit (measured round 11), and a pinned k makes Σ cluster² "
-        "quadratic in N (10.1× at 10× data). dedup_semdedup_scaled "
-        "below is the capacity path: centroids as a broadcast TABLE, "
-        "one HOF distance expression, k derived from the corpus.",
-)
-def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup_canonical(
-        emb, _spark_codebook(spark, sf_dir), threshold=_SEMDEDUP_T
-    )
-
-
-from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
-    centroid_array_sql,
-    semdedup_scaled_canonical,
-)
 
 
 def _semdedup_scaled_oracle() -> str:
@@ -1449,7 +1529,8 @@ def _semdedup_scaled_oracle() -> str:
     n = duckdb.connect().execute(
         f"SELECT count(*) FROM '{_oracle_emb_path()}'"
     ).fetchone()[0]
-    cents = _duck_codebook(k=ivf_capacity(n)[0])
+    k = ivf_capacity_scaled(n)
+    cents = _duck_codebook(k=k, sample=fit_sample_size(k))
     dim = len(cents[0])
     carr = centroid_array_sql(cents, False)
     return f"""
@@ -1481,29 +1562,62 @@ def _semdedup_scaled_oracle() -> str:
     """
 
 
+def _semdedup_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one shipped SemDeDup plan (VERDICT r11 item 2): k from the
+    UNCLAMPED capacity rule, fit sample scaled with k, centroid-table
+    HOF assignment. Both catalog names below run exactly this."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = ivf_capacity_scaled(emb.count())
+    return semdedup_scaled_canonical(
+        emb,
+        _spark_codebook(spark, sf_dir, k=k, sample=fit_sample_size(k)),
+        threshold=_SEMDEDUP_T,
+    )
+
+
+@register(
+    "dedup_semdedup",
+    _semdedup_scaled_oracle,
+    doc="SemDeDup semantic dedup (Abbas et al. 2023): trained k-means "
+        "cluster id as the blocking key, within-cluster cosine >= t "
+        "marks dups, keep-first canonical by lowest id. Cluster key = "
+        "shuffle key (pair space Sigma cluster^2, never cross-"
+        "cluster). Round 12 re-pointed this PRIMARY name at the "
+        "capacity path (VERDICT r11 item 2): until r11 it ran the "
+        "literal-inlined k=8 scoring, whose pinned k is quadratic in "
+        "the corpus (measured 10.1x at 10x data) and whose unrolled "
+        "score columns blow whole-stage codegen's 64 KB limit past "
+        "k=8. Now it runs the same plan as dedup_semdedup_scaled — "
+        "centroids as ONE nested-array literal table, one HOF d2 "
+        "assignment, k = next_pow2(n/250) unclamped, fit sample "
+        "32k-scaled — so a user reaching for the obvious name gets "
+        "the scale-safe plan. At the driver's sf0.01 the capacity "
+        "rule still resolves to k=8/512-sample.",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup_capacity_plan(spark, sf_dir)
+
+
 @register(
     "dedup_semdedup_scaled",
     _semdedup_scaled_oracle,
-    doc="SemDeDup at data-derived capacity (round 11): cluster count "
-        "k tracks the corpus through the shared ivf_capacity rule "
-        "(both engines derive it from the same exact count), and the "
-        "assignment is ONE HOF distance expression over a nested-"
-        "array centroid literal — data, not unrolled code, so k is "
-        "free of the 64 KB whole-stage-codegen ceiling that caps the "
-        "literal-inlined dedup_semdedup at k=8. d2 per centroid is a "
-        "left-fold zip (same summation order as DuckDB's list "
-        "functions), rounded 6dp before the first-match argmin; same "
-        "within-cluster cosine >= t / keep-first-canonical semantics "
-        "as the base entry. Pair space Σ cluster² with per-cluster "
-        "population held flat (a pinned k measured 10.1x at 10x "
-        "data; this entry ~2x).",
+    doc="SemDeDup at data-derived capacity (round 11; round 12 lifted "
+        "the dim clamp): cluster count k tracks the corpus through "
+        "ivf_capacity_scaled — next_pow2(n/250), floor 8, NO dim "
+        "clamp (the r11 rule clamped at 64 cells, so past ~16k "
+        "vectors Σ cluster² turned quadratic again — its own 10x→30x "
+        "segment exponent measured 1.6) — and the fit sample scales "
+        "as max(512, 32k). The assignment is ONE HOF distance "
+        "expression over a nested-array centroid literal — data, not "
+        "unrolled code, so k is free of the 64 KB whole-stage-codegen "
+        "ceiling. d2 per centroid is a left-fold zip (same summation "
+        "order as DuckDB's list functions), rounded 6dp before the "
+        "first-match argmin; within-cluster cosine >= t, keep-first "
+        "canonical. Same plan as the primary name dedup_semdedup "
+        "(kept for scaling-curve continuity).",
 )
 def dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    k = ivf_capacity(emb.count())[0]
-    return semdedup_scaled_canonical(
-        emb, _spark_codebook(spark, sf_dir, k=k), threshold=_SEMDEDUP_T
-    )
+    return _semdedup_capacity_plan(spark, sf_dir)
 
 
 # --------------------------------------------- Matryoshka truncation eval

@@ -70,7 +70,13 @@ _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 # 26 rotations × 2 case blocks = 52 pairwise token-disjoint document
 # vocabularies; past this the cipher would wrap and replicas would
 # collide into shared LSH buckets (squared pair space = measurement
-# artifact). Raise, never wrap.
+# artifact). Raise, never wrap. Disjointness holds for tokens that
+# CONTAIN a lowercase letter — a caseless token (digits, punctuation,
+# all-uppercase) is invariant under both the rotation and upper(), so
+# it would collide across all replicas (ADVICE r11); the current
+# testdata has none, and tests/test_amplify.py asserts that loudly so
+# a regenerated corpus fails the guard instead of silently re-squaring
+# pair spaces.
 _MAX_REPLICAS = 52
 
 

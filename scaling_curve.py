@@ -75,8 +75,14 @@ DATA_TIER = [
     "sim_ivf_topk",
     "sim_ivf_probe2_topk",
     # pinned-k twin measured 10.1x at 10x (documented in its entry);
-    # this is the capacity path
+    # this is the capacity path (round 12: unclamped — the r11 rule
+    # saturated at 64 cells and its 10x->30x segment exponent read 1.6)
     "dedup_semdedup_scaled",
+    # round 12: the unclamped centroid-table IVF retrieval twins —
+    # sf0.1 embeddings = 2k vectors, so @x10 (20k) is already past the
+    # ~16k knee where the clamped rule saturates
+    "sim_ivf_scaled_topk",
+    "sim_ivf_scaled_probe2",
     # the K-bounded LM twin: recorded beside text_lm_logprob's honest
     # ~linear row so the tier shows the bounded alternative measured
     "text_lm_logprob_capped",
@@ -101,9 +107,12 @@ SUPERLINEAR_AT = 12.0
 # the event tier's 1×/10×/30× line. Same linear expectation: ≤ ~30×
 # work + fixed costs; guard scales with the amplification.
 X30_TIER = [
-    # the round-11 capacity-path SemDeDup: its k caps at 64 past
-    # ~16k vectors (512-sample fit, ≥8 pts/cluster), so the 30× point
-    # shows the post-saturation slope (measured ~9× for 30× data)
+    # the capacity-path SemDeDup. Under the r11 dim-clamped rule this
+    # point recorded 19.54× for 30× data (k saturated at 64 — under
+    # the 36× guard but a 10×→30× segment exponent of ~1.6, the knee
+    # VERDICT r11 flagged); round 12 unclamps the rule, so this row
+    # plus the x50 tier below now measure the post-knee slope the
+    # segment-exponent guard checks.
     "dedup_semdedup_scaled",
     "o6_skyline_fact",
     "events_sessionize",
@@ -111,9 +120,34 @@ X30_TIER = [
     "graph_pagerank",
     "ml_naive_bayes",
     "corpus_sequence_pack",
+    # round 12: the unclamped IVF twins measured past the knee
+    "sim_ivf_scaled_topk",
+    "sim_ivf_scaled_probe2",
 ]
 AMP30 = 30
 SUPERLINEAR_AT_30 = 36.0
+
+# Third point, embeddings axis only (VERDICT r11 items 1/3): sf0.1
+# embeddings = 2k vectors, so 10×/30×/50× = 20k/60k/100k — all past
+# the ~16k knee where the r11 clamped rule saturated. Three points
+# past the knee make the 10→30 and 30→50 SEGMENT EXPONENTS a real
+# curvature check on the unclamped capacity rule.
+X50_TIER = [
+    "dedup_semdedup_scaled",
+    "sim_ivf_scaled_topk",
+    "sim_ivf_scaled_probe2",
+]
+AMP50 = 50
+SUPERLINEAR_AT_50 = 60.0
+
+# Segment-exponent guard (VERDICT r11 item 3): the r11 30× point
+# (19.54×) passed the absolute 36× guard while being superlinear on
+# the 10×→30× segment (exponent ln(19.54/3.40)/ln 3 ≈ 1.6). For every
+# entry measured at adjacent tiers, flag exponent > 1.2 between them —
+# but only when the larger leg costs enough that the exponent is
+# measuring the plan, not scheduler noise on sub-second legs.
+SEGMENT_EXPONENT_AT = 1.2
+SEGMENT_MIN_SEC = 1.0
 
 
 def main() -> None:
@@ -162,7 +196,11 @@ def main() -> None:
         }
     # a typo'd/renamed tier name must fail loudly, not silently drop
     # a family from the scaling evidence (ADVICE r10)
-    unknown = [n for n in DATA_TIER + X30_TIER if n not in plans.QUERIES]
+    unknown = [
+        n
+        for n in DATA_TIER + X30_TIER + X50_TIER
+        if n not in plans.QUERIES
+    ]
     if unknown:
         raise KeyError(
             f"scaling-tier names missing from plans.QUERIES: {unknown}"
@@ -202,6 +240,36 @@ def main() -> None:
 
     data_tier = _time_tier(DATA_TIER, AMP, SUPERLINEAR_AT)
     x30_tier = _time_tier(X30_TIER, AMP30, SUPERLINEAR_AT_30)
+    x50_tier = _time_tier(X50_TIER, AMP50, SUPERLINEAR_AT_50)
+
+    # Segment-exponent check between adjacent tiers (VERDICT r11 item
+    # 3): per entry measured at two amplifications, exponent =
+    # ln(t_hi/t_lo) / ln(amp_hi/amp_lo); > SEGMENT_EXPONENT_AT on a
+    # leg costing >= SEGMENT_MIN_SEC is flagged — this catches a knee
+    # INSIDE the measured range that the per-tier absolute guards
+    # (which compare against sf0.1) structurally cannot.
+    import math
+
+    segments: dict[str, dict] = {}
+    tiers = [(AMP, data_tier), (AMP30, x30_tier), (AMP50, x50_tier)]
+    for (a_lo, t_lo), (a_hi, t_hi) in zip(tiers, tiers[1:]):
+        for name in t_lo:
+            if name not in t_hi:
+                continue
+            lo = max(t_lo[name][f"x{a_lo}_s"], 1e-9)
+            hi = max(t_hi[name][f"x{a_hi}_s"], 1e-9)
+            exp = math.log(hi / lo) / math.log(a_hi / a_lo)
+            rec = segments.setdefault(name, {})
+            rec[f"exp_{a_lo}x_{a_hi}x"] = round(exp, 3)
+            if exp > SEGMENT_EXPONENT_AT and hi >= SEGMENT_MIN_SEC:
+                rec[f"superlinear_{a_lo}x_{a_hi}x"] = True
+                sys.stderr.write(
+                    f"WARNING: {name} segment exponent {exp:.2f} on "
+                    f"{a_lo}x->{a_hi}x exceeds {SEGMENT_EXPONENT_AT} "
+                    "— a pair space or sort turns superlinear inside "
+                    "the measured range\n"
+                )
+
     line = json.dumps(
         {
             "metric": "scaling_curve",
@@ -215,6 +283,16 @@ def main() -> None:
                 "amplification": AMP30,
                 "superlinear_at": SUPERLINEAR_AT_30,
                 "queries": x30_tier,
+            },
+            "data_tier_x50": {
+                "amplification": AMP50,
+                "superlinear_at": SUPERLINEAR_AT_50,
+                "queries": x50_tier,
+            },
+            "segment_exponents": {
+                "threshold": SEGMENT_EXPONENT_AT,
+                "min_sec": SEGMENT_MIN_SEC,
+                "queries": segments,
             },
         }
     )

@@ -76,6 +76,30 @@ def test_replica_vocab_is_disjoint(spark):
     assert shared == 0
 
 
+def test_no_caseless_tokens_in_documents(spark):
+    """ADVICE r11: the 52-way vocabulary disjointness only holds for
+    tokens containing a LOWERCASE letter — a caseless token (digits,
+    punctuation, all-uppercase) is invariant under both the rotation
+    and upper(), so it collides across every replica and quietly
+    re-squares the pair spaces the amplifier exists to keep linear.
+    The cipher's precondition is therefore pinned on the testdata
+    itself: a regenerated corpus that introduces caseless tokens must
+    fail HERE, not skew SCALING_CURVE.json silently."""
+    docs = load_table(spark, SF, "documents")
+    caseless = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), " +")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .filter(~F.col("tok").rlike("[a-z]"))
+        .count()
+    )
+    assert caseless == 0, (
+        f"{caseless} caseless tokens in documents — the rotation "
+        "cipher cannot keep replica vocabularies disjoint for them"
+    )
+
+
 def test_amplified_joins_stay_referential(spark):
     """Key shifts are consistent across tables: the orders⋈lineitem
     join over N replicas yields exactly N× the base join rows (each

@@ -124,10 +124,30 @@ def test_semdedup_scaled_assignment_is_data_not_code(spark):
     generator fence; (3) the probe keeps round-robin spread (no cell
     hashpartitioning)."""
     plan = _plan(spark, "dedup_semdedup_scaled")
-    assert "zip_with" in plan or "ZipWith" in plan.lower() or "lambdafunction" in plan.lower()
+    # ADVICE r11: "ZipWith" needle against a lowercased haystack was
+    # inert — match lowercase
+    assert "zip_with" in plan or "zipwith" in plan.lower() or "lambdafunction" in plan.lower()
     assert "RoundRobinPartitioning" in plan
     assert "hashpartitioning(__cell" not in plan
     assert plan.count("Generate explode") >= 1
+
+
+def test_scaled_ivf_keeps_capacity_path_shapes(spark):
+    """Round 12: the unclamped centroid-table IVF entries must keep
+    the same three load-bearing shapes as the scaled SemDeDup — HOF
+    assignment (data, not unrolled score columns), round-robin probe
+    (no cell-key exchange), and a generator between the quantizer and
+    the pair join (probe 1 = the explode fence; probe 2's ranked-cell
+    explode IS the generator)."""
+    for name in ("sim_ivf_scaled_topk", "sim_ivf_scaled_probe2"):
+        plan = _plan(spark, name)
+        assert (
+            "zip_with" in plan or "zipwith" in plan.lower()
+            or "lambdafunction" in plan.lower()
+        ), name
+        assert "RoundRobinPartitioning" in plan, name
+        assert "hashpartitioning(__cell" not in plan, name
+        assert plan.count("Generate explode") >= 1, name
 
 
 def test_ivf_cell_key_is_fenced_and_probe_stays_round_robin(spark):

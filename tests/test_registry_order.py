@@ -78,10 +78,17 @@ def test_no_backdated_registrations():
     last_path = os.path.join(root, f"CORRECTNESS_r{current - 1}.json")
     with open(last_path) as f:
         last_rows = json.load(f)
+    # a witness is a GREEN row (ADVICE r11: rows_match alone would
+    # admit a hash-mismatched row as proof of registration age — it
+    # does prove the entry existed, but holding the witness to the
+    # documented green criterion keeps the two notions aligned)
     driver_witnessed = {
         n
         for n, row in last_rows.items()
-        if isinstance(row, dict) and row.get("rows_match")
+        if isinstance(row, dict)
+        and row.get("rows_match")
+        and row.get("hash_match")
+        and row.get("schema_match", True)
     }
 
     rewritten, backdated = _age_violations(

@@ -62,6 +62,11 @@ NAMES = [
     "sim_ivf_topk",
     "sim_ivf_probe2_topk",
     "dedup_semdedup_scaled",
+    # round-12: the unclamped centroid-table IVF twins — same
+    # AQE-decided cell-key joins, probe-2 additionally exercises the
+    # ranked-array explode under forced SMJ
+    "sim_ivf_scaled_topk",
+    "sim_ivf_scaled_probe2",
 ]
 # stream_static_enrich was also de-hinted (its static dim join is
 # size-decided per micro-batch) but is excluded here: this sweep
