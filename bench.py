@@ -158,6 +158,13 @@ HEADLINE = [
     "scan_amplified_case_block",
     # capacity-path SemDeDup (centroid-table HOF assignment)
     "dedup_semdedup_scaled",
+    # round-12: the unclamped centroid-table IVF twins join the clock
+    # (at sf0.1's 2k vectors the capacity rule resolves to k=8 — the
+    # headline row times the plan shape; the past-the-knee evidence
+    # lives in SCALING_CURVE.json's x30/x50 tiers). n_queries grows
+    # 69 -> 71; compare totals on the shared 69 or per-query.
+    "sim_ivf_scaled_topk",
+    "sim_ivf_scaled_probe2",
 ]
 
 N_SESSIONS = 3

@@ -258,13 +258,50 @@ def fit_sample_size(k: int) -> int:
     centroid — a fixed 512-row sample starves k > 64 fits, and the
     Lloyd init needs n ≥ k distinct rows). At k = 8 this is exactly
     the historical 512-row sample, so every existing codebook oracle
-    text is unchanged. The collect is O(k) rows = O(n / target_cell /
-    32) — bounded by the capacity rule, not the corpus; past k ≈ 4096
-    (≈ 1M vectors) the driver fit should hand off to the in-engine
-    integer-quantized Lloyd (ml_kmeans_lloyd's recipe) — the
-    broadcast-table ASSIGNMENT plan is identical either way (see
-    docs/SCALING.md)."""
+    text is unchanged. Under the two-level rule (``ivf_two_level``)
+    the fitted level is capped at k₁ = 64, so the collect is ≤ 2048
+    rows — bounded at ANY corpus size."""
     return max(512, 32 * k)
+
+
+def ivf_two_level(n: int, target_cell: int = 250) -> tuple[int, int]:
+    """Two-level quantizer geometry for the unclamped capacity path:
+    ``(k1, m)`` where k₁ = min(64, next_pow2(n/250)) k-means cells and
+    m residual-SIGN bits sub-divide each cell into 2^m buckets, for
+    k₁·2^m = ``ivf_capacity_scaled(n)`` total cells.
+
+    Round-12 measurement forced the split: a FLAT k-means quantizer
+    with k ∝ n prices every row's assignment at O(k·dim) HOF work, so
+    total assignment cost is O(n²·dim/target) — the 30×→50× data-tier
+    segment measured exponent 1.57–1.74 with k = 256→512 even though
+    the Σ cell² pair space itself stayed linear. The two-level scheme
+    keeps assignment O(k₁·dim + m) = O(1) per row (k₁ capped) while
+    capacity still tracks the corpus: the m sign bits of the RESIDUAL
+    v − c₁ split each cell near-evenly (the centroid is the cell's
+    mean, so each residual dimension straddles zero), which is what
+    keeps Σ cell² ≈ n·target_cell linear at any N. The fit collects
+    ≤ fit_sample_size(64) = 2048 rows — bounded at any corpus — and
+    the sign comparisons are raw double compares on values both
+    engines compute identically (float32 → exact double, quoted-
+    literal centroids), so no rounding is needed for parity. At the
+    driver's sf0.01 (500 vectors) this resolves to (8, 0) — plain
+    k-means, byte-identical oracle text to the flat rule."""
+    k_total = ivf_capacity_scaled(n, target_cell)
+    k1 = min(64, k_total)
+    return k1, (k_total // k1).bit_length() - 1
+
+
+def residual_bucket_terms(m: int, vec: str, cc: str, idx0: int) -> str:
+    """The m residual-sign bits as one explicit integer sum:
+    Σᵢ (vec[i] ≥ cc[i] ? 2^(m-1-i) : 0) over dims 0..m-1 — token-
+    identical in both engines modulo the array base ``idx0`` (Spark 0,
+    DuckDB 1). ``cc`` is the row's own level-1 centroid, materialized
+    as a column before this expression (never re-derived per term)."""
+    return " + ".join(
+        f"(CASE WHEN {vec}[{i + idx0}] >= {cc}[{i + idx0}] "
+        f"THEN {1 << (m - 1 - i)} ELSE 0 END)"
+        for i in range(m)
+    )
 
 
 def fence_pair_key(df: DataFrame, key: str) -> DataFrame:
@@ -943,11 +980,32 @@ def centroid_d2s_expr(cents, vec: str = "__v") -> str:
     )
 
 
+def cell_from_c1(df: DataFrame, cents, m: int, cols: list[str]) -> DataFrame:
+    """Composite two-level cell from a materialized level-1 assignment:
+    ``__cell = __c1 · 2^m + residual-sign bucket`` (``ivf_two_level``).
+    ``df`` carries ``__v`` and ``__c1``; ``cols`` are passthrough
+    columns. m = 0 degrades to the plain k-means cell. The row's own
+    centroid is materialized as ``__cc`` BEFORE the m sign terms
+    reference it (the HOF-lambda/materialize-first rule)."""
+    if m <= 0:
+        return df.withColumnRenamed("__c1", "__cell")
+    carr = centroid_array_sql(cents, True)
+    bucket = residual_bucket_terms(m, "__v", "__cc", 0)
+    return df.selectExpr(
+        *cols, "__v", "__c1", f"element_at({carr}, __c1 + 1) AS __cc"
+    ).selectExpr(
+        *cols,
+        "__v",
+        f"CAST(__c1 * {1 << m} + {bucket} AS INT) AS __cell",
+    )
+
+
 def codebook_table_topk(
     df: DataFrame,
     cents,
     k: int = 5,
     probe: int = 1,
+    m: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -958,16 +1016,22 @@ def codebook_table_topk(
     into whole-stage codegen and blows the JVM's 64 KB method limit
     past k = 8; here the centroid matrix is data, so k tracks the
     corpus via ``ivf_capacity_scaled`` and pairs-per-query stays flat
-    at any N. Cell = argmin ‖v−c‖² (6dp-rounded, first-match ties →
-    lowest cell); probe > 1 ranks cells by ascending d2 (ties → lower
-    index, mirrored by the oracle's ORDER BY d, i) and explodes each
-    query over its best ``probe`` cells while neighbors stay
-    single-cell, so no pair is scored twice. Same shuffle anatomy as
-    every IVF twin: round-robin spread feeds the pair probe (a
-    cell-key repartition serializes each cell's whole Σ cell² fan-out
-    in one task — round-10 measurement), the persisted cell frame is
-    the substitution barrier, and the probe-1 derived key additionally
-    rides the explode fence."""
+    at any N. Level-1 cell = argmin ‖v−c‖² (6dp-rounded, first-match
+    ties → lowest cell), refined by ``m`` residual-sign bits into 2^m
+    sub-buckets per cell (``ivf_two_level`` — round-12 measurement: a
+    FLAT k ∝ n quantizer prices assignment at O(n·k) HOF work, which
+    turned the 30×→50× data-tier segment superlinear at exponent
+    ≈ 1.7 even with a linear pair space; the composite keeps
+    assignment O(1) per row at any capacity). probe > 1 ranks level-1
+    cells by ascending d2 (ties → lower index, mirrored by the
+    oracle's ORDER BY d, i) and explodes each query over its best
+    ``probe`` cells — each probed cell gets its own residual bucket —
+    while neighbors stay single-cell, so no pair is scored twice.
+    Same shuffle anatomy as every IVF twin: round-robin spread feeds
+    the pair probe (a cell-key repartition serializes each cell's
+    whole Σ cell² fan-out in one task — round-10 measurement), the
+    persisted cell frame is the substitution barrier, and the probe-1
+    derived key additionally rides the explode fence."""
     from ibf_typhoon_data_pipeline_spark.operators.cache import (
         persist_tracked,
     )
@@ -981,13 +1045,14 @@ def codebook_table_topk(
         F.expr(centroid_d2s_expr(cents)).alias("__d2s"),
     )
     if probe <= 1:
-        with_cell = scored.select(
+        with_c1 = scored.select(
             F.col(id_col),
             "__v",
             (F.array_position("__d2s", F.array_min("__d2s")) - 1)
             .cast("int")
-            .alias("__cell"),
+            .alias("__c1"),
         ).withColumn("__n", l2_norm(F.col("__v")))
+        with_cell = cell_from_c1(with_c1, cents, m, [id_col, "__n"])
         cells = persist_tracked(fence_pair_key(with_cell, "__cell"))
         a = cells.select(
             F.col(id_col).alias("query_id"),
@@ -1006,16 +1071,33 @@ def codebook_table_topk(
                 ).alias("__ranked"),
             ).withColumn("__n", l2_norm(F.col("__v")))
         )
-        cells = ranked.selectExpr(
-            id_col, "__v", "__n", "element_at(__ranked, 1).i AS __cell"
+        cells = cell_from_c1(
+            ranked.selectExpr(
+                id_col, "__v", "__n", "element_at(__ranked, 1).i AS __c1"
+            ),
+            cents,
+            m,
+            [id_col, "__n"],
         )
-        a = ranked.select(
+        a = cell_from_c1(
+            ranked.select(
+                F.col(id_col),
+                "__v",
+                "__n",
+                F.explode(
+                    F.expr(
+                        f"transform(slice(__ranked, 1, {probe}), s -> s.i)"
+                    )
+                ).alias("__c1"),
+            ),
+            cents,
+            m,
+            [id_col, "__n"],
+        ).select(
             F.col(id_col).alias("query_id"),
             F.col("__v").alias("__qv"),
             F.col("__n").alias("__qn"),
-            F.explode(
-                F.expr(f"transform(slice(__ranked, 1, {probe}), s -> s.i)")
-            ).alias("__cell"),
+            "__cell",
         )
     b = cells.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1041,6 +1123,7 @@ def semdedup_scaled_canonical(
     df: DataFrame,
     cents,
     threshold: float = 0.3,
+    m: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1054,9 +1137,10 @@ def semdedup_scaled_canonical(
     d2 per centroid via zip_with/aggregate (left fold, same order as
     DuckDB's list functions), rounded 6dp, argmin =
     array_position(d2s, array_min(d2s)) over the ONE materialized
-    array (first match = lowest cell, the round-10 argmax rule) — so
-    code size is k-independent and k can track the corpus
-    (``ivf_capacity_scaled``, unclamped). No extra shuffle: the
+    array (first match = lowest cell, the round-10 argmax rule),
+    refined by ``m`` residual-sign bits (``ivf_two_level`` — keeps
+    assignment O(1) per row at any capacity, the round-12 fix for the
+    flat rule's O(n·k) assignment wall). No extra shuffle: the
     assignment is a per-row projection, exactly what a 100 TB job
     would run."""
     base = spread(df).select(
@@ -1065,13 +1149,14 @@ def semdedup_scaled_canonical(
     scored = base.select(
         F.col(id_col), "__v", F.expr(centroid_d2s_expr(cents)).alias("__d2s")
     )
-    with_cell = scored.select(
+    with_c1 = scored.select(
         F.col(id_col),
         "__v",
         (F.array_position("__d2s", F.array_min("__d2s")) - 1)
         .cast("int")
-        .alias("__cell"),
+        .alias("__c1"),
     )
+    with_cell = cell_from_c1(with_c1, cents, m, [id_col])
     # derived self-join key: fence it or the join-inferred
     # isnotnull(__cell) re-runs the whole k×dim assignment below
     # spread()'s exchange (the ivf_topk defect, round 10)

@@ -440,31 +440,68 @@ def sim_ivf_codebook_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # segment exponent measured 1.6 at that knee). These entries are the
 # unclamped path: the k-means centroid matrix enters the plan as ONE
 # nested-array literal TABLE scored by ONE HOF expression
-# (operators/similarity.codebook_table_topk), so k = next_pow2(n/250)
-# with no dim clamp (ivf_capacity_scaled) and the fit sample scales as
-# max(512, 32k) (fit_sample_size) — at the driver's sf0.01 both
-# resolve to the historical k=8 / 512-row fit.
+# (operators/similarity.codebook_table_topk). The capacity geometry is
+# TWO-LEVEL (ivf_two_level): a flat k = next_pow2(n/250) rule was
+# built first and its own 1x/10x/30x/50x probe measured the per-row
+# O(k·dim) assignment turning the 30x→50x segment superlinear
+# (exponent 1.57-1.74) even with a linear pair space — so k1 <= 64
+# trained cells are refined by m residual-sign bits into k1·2^m =
+# next_pow2(n/250) composite cells: O(1) per-row assignment and a
+# bounded fit sample at any capacity. At the driver's sf0.01 the rule
+# resolves to the historical k=8 / 512-row fit with m=0.
 
 from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
     centroid_array_sql,
     codebook_table_topk,
     fit_sample_size,
     ivf_capacity_scaled,
+    ivf_two_level,
+    residual_bucket_terms,
 )
 
 
 def _scaled_codebook_duck():
-    """(centroids, k) for the scaled-IVF oracles: k from the unclamped
-    capacity rule over the oracle parquet's exact count, fit sample
-    from the shared fit_sample_size rule — the same two pure functions
-    the Spark entries call at run time."""
+    """(centroids, k1, m) for the scaled-IVF oracles: the two-level
+    geometry from the unclamped capacity rule over the oracle
+    parquet's exact count, fit sample from the shared fit_sample_size
+    rule — the same pure functions the Spark entries call at run
+    time. At sf0.01 this is (k=8 fit, m=0)."""
     import duckdb
 
     n = duckdb.connect().execute(
         f"SELECT count(*) FROM '{_oracle_emb_path()}'"
     ).fetchone()[0]
-    k = ivf_capacity_scaled(n)
-    return _duck_codebook(k=k, sample=fit_sample_size(k)), k
+    k1, m = ivf_two_level(n)
+    return _duck_codebook(k=k1, sample=fit_sample_size(k1)), k1, m
+
+
+def _scaled_cells_sql(cents, m: int) -> str:
+    """The `cells` CTE(s) appended after `scored`: (vec_id, ve, cell)
+    with the composite two-level cell. m = 0 emits the plain-argmin
+    text (byte-identical to the r11/r12 flat form — what the driver
+    hashes at sf0.01); m > 0 materializes the row's centroid `cc`
+    first, then the m residual-sign terms (mirroring
+    operators/similarity.cell_from_c1 token-for-token)."""
+    if m <= 0:
+        return """, cells AS (
+      SELECT vec_id, ve,
+             CAST(list_position(d2s, list_min(d2s)) - 1 AS INTEGER)
+               AS cell
+      FROM scored
+    )"""
+    carr = centroid_array_sql(cents, False)
+    terms = residual_bucket_terms(m, "ve", "cc", 1)
+    return f""", cells0 AS (
+      SELECT vec_id, ve,
+             CAST(list_position(d2s, list_min(d2s)) - 1 AS INTEGER) AS c1
+      FROM scored
+    ), cellsc AS (
+      SELECT vec_id, ve, c1, ({carr})[c1 + 1] AS cc FROM cells0
+    ), cells AS (
+      SELECT vec_id, ve,
+             CAST(c1 * {1 << m} + {terms} AS INTEGER) AS cell
+      FROM cellsc
+    )"""
 
 
 def _scaled_cells_cte(cents) -> str:
@@ -485,15 +522,12 @@ def _scaled_cells_cte(cents) -> str:
     )"""
 
 
-def _ivf_scaled_oracle_p1() -> str:
-    cents, _ = _scaled_codebook_duck()
+def ivf_scaled_oracle_text_p1(cents, m: int) -> str:
+    """Parameterized so tests can pin the m>0 SQL cross-engine (the
+    driver's sf0.01 resolves to m=0, so the sub-bucket arm would
+    otherwise only ever run Spark-side on amplified tiers)."""
     return f"""
-    {_scaled_cells_cte(cents)}, cells AS (
-      SELECT vec_id, ve,
-             CAST(list_position(d2s, list_min(d2s)) - 1 AS INTEGER)
-               AS cell
-      FROM scored
-    ), pairs AS (
+    {_scaled_cells_cte(cents)}{_scaled_cells_sql(cents, m)}, pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
       FROM cells a JOIN cells b
@@ -503,18 +537,44 @@ def _ivf_scaled_oracle_p1() -> str:
     """
 
 
-def _ivf_scaled_oracle_p2() -> str:
-    cents, k = _scaled_codebook_duck()
+def _ivf_scaled_oracle_p1() -> str:
+    cents, _, m = _scaled_codebook_duck()
+    return ivf_scaled_oracle_text_p1(cents, m)
+
+
+def ivf_scaled_oracle_text_p2(cents, k1: int, m: int) -> str:
+    if m <= 0:
+        q_cell, n_cell = "i AS cell", "i AS cell"
+        q_extra = n_extra = ""
+    else:
+        # per probed level-1 cell, its own residual bucket: cc is the
+        # PROBED cell's centroid, so the composite key matches the
+        # Spark side's cell_from_c1 on the exploded query rows
+        carr = centroid_array_sql(cents, False)
+        terms = residual_bucket_terms(m, "ve", "cc", 1)
+        comp = f"CAST(c1 * {1 << m} + {terms} AS INTEGER) AS cell"
+        q_cell = n_cell = comp
+        q_extra = (
+            f", qc0 AS (SELECT vec_id, ve, i AS c1, ({carr})[i + 1] AS cc"
+            " FROM ranked WHERE rn <= 2)"
+        )
+        n_extra = (
+            f", nc0 AS (SELECT vec_id, ve, i AS c1, ({carr})[i + 1] AS cc"
+            " FROM ranked WHERE rn = 1)"
+        )
+    q_src = "qc0" if m > 0 else "ranked WHERE rn <= 2"
+    n_src = "nc0" if m > 0 else "ranked WHERE rn = 1"
     return f"""
     {_scaled_cells_cte(cents)}, affin AS (
-      SELECT vec_id, ve, unnest(d2s) AS d, unnest(range(0, {k})) AS i
+      SELECT vec_id, ve, unnest(d2s) AS d, unnest(range(0, {k1})) AS i
       FROM scored
     ), ranked AS (
       SELECT vec_id, ve, i, row_number() OVER (
         PARTITION BY vec_id ORDER BY d ASC, i ASC
       ) AS rn FROM affin
-    ), qcells AS (SELECT vec_id, ve, i AS cell FROM ranked WHERE rn <= 2),
-    ncell AS (SELECT vec_id, ve, i AS cell FROM ranked WHERE rn = 1),
+    ){q_extra}{n_extra},
+    qcells AS (SELECT vec_id, ve, {q_cell} FROM {q_src}),
+    ncell AS (SELECT vec_id, ve, {n_cell} FROM {n_src}),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
@@ -525,6 +585,23 @@ def _ivf_scaled_oracle_p2() -> str:
     """
 
 
+def _ivf_scaled_oracle_p2() -> str:
+    cents, k1, m = _scaled_codebook_duck()
+    return ivf_scaled_oracle_text_p2(cents, k1, m)
+
+
+def _scaled_quantizer(spark, sf_dir: str):
+    """(emb, cents, m) for the Spark-side capacity path: the same
+    ivf_two_level / fit_sample_size rules the lazy oracles use."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k1, m = ivf_two_level(emb.count())
+    return (
+        emb,
+        _spark_codebook(spark, sf_dir, k=k1, sample=fit_sample_size(k1)),
+        m,
+    )
+
+
 @register(
     "sim_ivf_scaled_topk",
     _ivf_scaled_oracle_p1,
@@ -532,32 +609,34 @@ def _ivf_scaled_oracle_p2() -> str:
         "(round 12, VERDICT r11 item 1): trained k-means centroids as "
         "one nested-array literal TABLE, assignment = one HOF d2 "
         "expression (k-independent code size — no 64 KB codegen "
-        "ceiling, no seg|dim tiling), k = next_pow2(n/250) with no "
-        "dim clamp and fit sample 32k-scaled. Cell key = shuffle key; "
+        "ceiling, no seg|dim tiling) + m residual-sign bits "
+        "(ivf_two_level) so total capacity k1*2^m = next_pow2(n/250) "
+        "tracks the corpus while per-row assignment cost and the fit "
+        "sample stay CONSTANT — the round-12 tier measurement showed "
+        "a flat k∝n quantizer turns assignment itself O(n·k) "
+        "(30x→50x exponent 1.74). Cell key = shuffle key; "
         "pairs-per-query stays flat at any N where the clamped twins "
         "saturate at 64 cells past ~16k vectors.",
 )
 def sim_ivf_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    k = ivf_capacity_scaled(emb.count())
-    cents = _spark_codebook(spark, sf_dir, k=k, sample=fit_sample_size(k))
-    return codebook_table_topk(emb, cents, k=5, probe=1)
+    emb, cents, m = _scaled_quantizer(spark, sf_dir)
+    return codebook_table_topk(emb, cents, k=5, probe=1, m=m)
 
 
 @register(
     "sim_ivf_scaled_probe2",
     _ivf_scaled_oracle_p2,
     doc="Capacity-scaled IVF at probe=2 — the recall knob on the "
-        "unclamped quantizer: queries explode over their 2 lowest-d2 "
-        "cells (ranked array sorted (d ASC, i ASC), ties to the lower "
-        "cell — the oracle's lockstep-unnest row_number twin), "
-        "neighbors stay single-cell, pair space grows linearly in p.",
+        "unclamped two-level quantizer: queries explode over their 2 "
+        "lowest-d2 level-1 cells (ranked array sorted (d ASC, i ASC), "
+        "ties to the lower cell — the oracle's lockstep-unnest "
+        "row_number twin), each probed cell refined by its own "
+        "residual-sign bucket; neighbors stay single-cell, pair space "
+        "grows linearly in p.",
 )
 def sim_ivf_scaled_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    k = ivf_capacity_scaled(emb.count())
-    cents = _spark_codebook(spark, sf_dir, k=k, sample=fit_sample_size(k))
-    return codebook_table_topk(emb, cents, k=5, probe=2)
+    emb, cents, m = _scaled_quantizer(spark, sf_dir)
+    return codebook_table_topk(emb, cents, k=5, probe=2, m=m)
 
 
 @register(
@@ -1529,8 +1608,14 @@ def _semdedup_scaled_oracle() -> str:
     n = duckdb.connect().execute(
         f"SELECT count(*) FROM '{_oracle_emb_path()}'"
     ).fetchone()[0]
-    k = ivf_capacity_scaled(n)
-    cents = _duck_codebook(k=k, sample=fit_sample_size(k))
+    k1, m = ivf_two_level(n)
+    cents = _duck_codebook(k=k1, sample=fit_sample_size(k1))
+    return semdedup_scaled_oracle_text(cents, m)
+
+
+def semdedup_scaled_oracle_text(cents, m: int) -> str:
+    """Parameterized for the forced-m cross-engine test (see
+    ivf_scaled_oracle_text_p1)."""
     dim = len(cents[0])
     carr = centroid_array_sql(cents, False)
     return f"""
@@ -1542,12 +1627,7 @@ def _semdedup_scaled_oracle() -> str:
                round(list_sum(list_transform(range(1, {dim + 1}),
                  i -> (ve[i] - c[i]) * (ve[i] - c[i]))), 6)) AS d2s
       FROM v
-    ), cells AS (
-      SELECT vec_id, ve,
-             CAST(list_position(d2s, list_min(d2s)) - 1 AS INTEGER)
-               AS cell
-      FROM scored
-    ), matched AS (
+    ){_scaled_cells_sql(cents, m)}, matched AS (
       SELECT a.vec_id AS aid, min(b.vec_id) AS canon
       FROM cells a JOIN cells b
         ON a.cell = b.cell AND b.vec_id < a.vec_id
@@ -1563,15 +1643,14 @@ def _semdedup_scaled_oracle() -> str:
 
 
 def _semdedup_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The one shipped SemDeDup plan (VERDICT r11 item 2): k from the
-    UNCLAMPED capacity rule, fit sample scaled with k, centroid-table
-    HOF assignment. Both catalog names below run exactly this."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    k = ivf_capacity_scaled(emb.count())
+    """The one shipped SemDeDup plan (VERDICT r11 item 2): two-level
+    capacity geometry (k1 <= 64 k-means cells x 2^m residual-sign
+    buckets = next_pow2(n/250) total clusters), bounded fit sample,
+    centroid-table HOF assignment. Both catalog names below run
+    exactly this."""
+    emb, cents, m = _scaled_quantizer(spark, sf_dir)
     return semdedup_scaled_canonical(
-        emb,
-        _spark_codebook(spark, sf_dir, k=k, sample=fit_sample_size(k)),
-        threshold=_SEMDEDUP_T,
+        emb, cents, threshold=_SEMDEDUP_T, m=m
     )
 
 
@@ -1589,10 +1668,12 @@ def _semdedup_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score columns blow whole-stage codegen's 64 KB limit past "
         "k=8. Now it runs the same plan as dedup_semdedup_scaled — "
         "centroids as ONE nested-array literal table, one HOF d2 "
-        "assignment, k = next_pow2(n/250) unclamped, fit sample "
-        "32k-scaled — so a user reaching for the obvious name gets "
-        "the scale-safe plan. At the driver's sf0.01 the capacity "
-        "rule still resolves to k=8/512-sample.",
+        "assignment, two-level capacity k1*2^m = next_pow2(n/250) "
+        "(ivf_two_level: k1 <= 64 trained cells x m residual-sign "
+        "bits, O(1) per-row assignment, bounded fit sample) — so a "
+        "user reaching for the obvious name gets the scale-safe "
+        "plan. At the driver's sf0.01 the rule resolves to plain "
+        "k=8/512-sample (m=0).",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_capacity_plan(spark, sf_dir)
@@ -1602,22 +1683,153 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semdedup_scaled",
     _semdedup_scaled_oracle,
     doc="SemDeDup at data-derived capacity (round 11; round 12 lifted "
-        "the dim clamp): cluster count k tracks the corpus through "
-        "ivf_capacity_scaled — next_pow2(n/250), floor 8, NO dim "
-        "clamp (the r11 rule clamped at 64 cells, so past ~16k "
-        "vectors Σ cluster² turned quadratic again — its own 10x→30x "
-        "segment exponent measured 1.6) — and the fit sample scales "
-        "as max(512, 32k). The assignment is ONE HOF distance "
-        "expression over a nested-array centroid literal — data, not "
-        "unrolled code, so k is free of the 64 KB whole-stage-codegen "
-        "ceiling. d2 per centroid is a left-fold zip (same summation "
-        "order as DuckDB's list functions), rounded 6dp before the "
-        "first-match argmin; within-cluster cosine >= t, keep-first "
+        "the dim clamp): total cluster count tracks the corpus "
+        "through the TWO-LEVEL rule ivf_two_level — k1 <= 64 trained "
+        "k-means cells x 2^m residual-sign buckets = next_pow2(n/250) "
+        "(the r11 rule clamped at 64 cells, so past ~16k vectors "
+        "Σ cluster² turned quadratic — its 10x→30x segment exponent "
+        "measured 1.6; the round-12 flat unclamped rule then measured "
+        "assignment itself O(n·k), 30x→50x exponent 1.57 — the "
+        "two-level composite keeps BOTH the pair space and the "
+        "assignment linear, with a bounded fit sample). The "
+        "assignment is ONE HOF distance expression over a nested-"
+        "array centroid literal — data, not unrolled code, free of "
+        "the 64 KB whole-stage-codegen ceiling. d2 per centroid is a "
+        "left-fold zip (same summation order as DuckDB's list "
+        "functions), rounded 6dp before the first-match argmin; "
+        "residual-sign bits compare raw doubles both engines compute "
+        "identically; within-cluster cosine >= t, keep-first "
         "canonical. Same plan as the primary name dedup_semdedup "
         "(kept for scaling-curve continuity).",
 )
 def dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_capacity_plan(spark, sf_dir)
+
+
+# --------------------------------------- cluster-balanced resampling
+# VERDICT r11 item 7's suggested tie-in of the ANN capacity work to
+# curation: rebalance the corpus across SEMANTIC clusters the way
+# corpus_mixture_sample rebalances across languages. Dominant clusters
+# (boilerplate, templates, one topic flooding the crawl) are
+# down-sampled to the mean cell population; rare clusters keep 100% —
+# the diversity-balancing step cluster-based pruning papers (SemDeDup
+# §5, SSL-prototype balancing) apply after dedup. The cell comes from
+# the SAME unclamped capacity-path quantizer as dedup_semdedup, so the
+# per-cell target tracks the corpus (t = n div k ≈ target_cell) and
+# the only corpus-sized work is one HOF assignment + one k-bounded
+# window — no pair join at all.
+_CBAL_U_SQL = (
+    "CAST(('0x' || substr(md5(concat('cbal:', CAST(vec_id AS VARCHAR))), "
+    "1, 5)) AS BIGINT) / CAST(1048576 AS DOUBLE)"
+)
+
+
+def _cluster_balance_oracle() -> str:
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{_oracle_emb_path()}'"
+    ).fetchone()[0]
+    k1, m = ivf_two_level(n)
+    cents = _duck_codebook(k=k1, sample=fit_sample_size(k1))
+    t = n // (k1 * (1 << m))
+    return f"""
+    {_scaled_cells_cte(cents)}{_scaled_cells_sql(cents, m)}, counted AS (
+      SELECT vec_id, cell,
+             CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_c
+      FROM cells
+    ), rated AS (
+      SELECT vec_id, cell, n_c,
+             least(CAST({t} AS DOUBLE) / CAST(n_c AS DOUBLE),
+                   CAST(1 AS DOUBLE)) AS r
+      FROM counted
+    )
+    SELECT vec_id, cell, n_c,
+           CAST(floor(r * 1000000.0 + 0.5) AS BIGINT) AS rate_micro,
+           ({_CBAL_U_SQL}) < r AS kept
+    FROM rated
+    """
+
+
+@register(
+    "corpus_cluster_balance",
+    _cluster_balance_oracle,
+    doc="Cluster-balanced corpus resampling (round 12): assign every "
+        "embedding to its capacity-path cluster (the same two-level "
+        "quantizer as dedup_semdedup — k1 k-means cells x 2^m "
+        "residual-sign buckets = next_pow2(n/250) total, centroid "
+        "table + one HOF d2 argmin), then down-sample each cluster "
+        "to the mean population t = n div k with a deterministic "
+        "md5-threshold keep (binding/rare clusters keep 100%) — the "
+        "semantic twin of corpus_mixture_sample's language "
+        "rebalancing, and the diversity-balancing step cluster-"
+        "pruning recipes apply after semantic dedup. One O(1)-per-row "
+        "assignment + one cluster-keyed window; no pair join, so "
+        "cost is linear in the corpus at any capacity.",
+)
+def corpus_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ibf_typhoon_data_pipeline_spark.operators.similarity import (
+        cell_from_c1,
+        centroid_d2s_expr,
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.skew import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k1, m = ivf_two_level(n)
+    cents = _spark_codebook(spark, sf_dir, k=k1, sample=fit_sample_size(k1))
+    t = n // (k1 * (1 << m))
+    base = spread(emb).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("__v"),
+    )
+    with_c1 = base.select(
+        "vec_id", "__v", F.expr(centroid_d2s_expr(cents)).alias("__d2s")
+    ).select(
+        "vec_id",
+        "__v",
+        (F.array_position("__d2s", F.array_min("__d2s")) - 1)
+        .cast("int")
+        .alias("__c1"),
+    )
+    cells = cell_from_c1(with_c1, cents, m, ["vec_id"]).select(
+        "vec_id", F.col("__cell").alias("cell")
+    )
+    counted = cells.withColumn(
+        "n_c", F.count("*").over(Window.partitionBy("cell")).cast("long")
+    )
+    rated = counted.withColumn(
+        "r",
+        F.least(
+            F.lit(t).cast("double") / F.col("n_c").cast("double"),
+            F.lit(1).cast("double"),
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("cbal:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1048576).cast("double")
+    )
+    return rated.select(
+        "vec_id",
+        "cell",
+        "n_c",
+        F.floor(F.col("r") * 1000000.0 + 0.5).cast("long").alias(
+            "rate_micro"
+        ),
+        (u < F.col("r")).alias("kept"),
+    )
 
 
 # --------------------------------------------- Matryoshka truncation eval

