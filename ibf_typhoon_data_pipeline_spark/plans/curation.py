@@ -1198,6 +1198,181 @@ def corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- URL canonicalization dedup
+# The documents table carries no URL column, so the generator below is
+# part of the shared plan text — a pure function of doc_id evaluated
+# token-identically in both engines. The operator under test is the
+# CANONICALIZATION (the CommonCrawl-style primitive crawl dedup runs
+# before any content hash): lowercase scheme+host, strip default
+# ports, collapse duplicate slashes, strip trailing slash, drop
+# fragments, drop utm_* tracking params (param-level filter — real
+# params survive), and sort the surviving query params. Three
+# consecutive doc_ids share one logical page (pk = doc_id - doc_id%3)
+# and differ only in decorations a crawler sees, so canonical groups
+# are real multi-doc dup clusters.
+#
+# Per the unrolled-steps rule (CLAUDE.md: one materialized column per
+# step, never nested expressions), each step references only the
+# PREVIOUS materialized column: Spark chains withColumn, the oracle
+# chains CTEs — same step texts. Only the split/sort/join function
+# NAMES differ between the engines (semantics probed identical,
+# including the empty-query edge: coalesce('') covers DuckDB's
+# NULL join-of-empty-list where Spark returns '').
+_URL_ENGINE_FNS = {
+    "spark": {"split_amp": "split(qraw, '[&]')", "sort": "array_sort",
+              "join": "array_join"},
+    "duck": {"split_amp": "string_split(qraw, '&')", "sort": "list_sort",
+             "join": "array_to_string"},
+}
+
+_URL_HOST = "concat('www.mirror', CAST(pk % 7 AS STRING), '.example.com')"
+
+_URL_STEP_TEXTS: tuple[tuple[str, str], ...] = (
+    # -- synthetic messy URL (the fixture half, still shared text)
+    ("pk", "doc_id - (doc_id % 3)"),
+    ("scheme_base", "CASE WHEN pk % 2 = 0 THEN 'http' ELSE 'https' END"),
+    (
+        "u",
+        "concat("
+        "CASE WHEN doc_id % 3 = 0 THEN upper(scheme_base) "
+        "ELSE scheme_base END, '://', "
+        f"CASE WHEN doc_id % 2 = 0 THEN upper({_URL_HOST}) "
+        f"ELSE {_URL_HOST} END, "
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        "(CASE WHEN scheme_base = 'http' THEN ':80' ELSE ':443' END) "
+        "ELSE '' END, "
+        "CASE WHEN doc_id % 7 = 0 THEN '//d/' ELSE '/d/' END, "
+        "substring(md5(concat('p:', CAST(pk AS STRING))), 1, 10), "
+        "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+        "CASE doc_id % 4 WHEN 0 THEN '?utm_source=rss&page=2&lang=en' "
+        "WHEN 1 THEN '?page=2&utm_medium=email&lang=en' "
+        "WHEN 2 THEN '?lang=en&page=2' ELSE '' END, "
+        "CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END)",
+    ),
+    # -- canonicalization (the operator)
+    ("nofrag", "split_part(u, '#', 1)"),
+    ("qraw", "split_part(nofrag, '?', 2)"),
+    ("pre", "split_part(nofrag, '?', 1)"),
+    ("scheme", "lower(split_part(pre, '://', 1))"),
+    ("rest", "substring(pre, length(split_part(pre, '://', 1)) + 4)"),
+    ("hostport", "lower(split_part(rest, '/', 1))"),
+    (
+        "host",
+        "CASE WHEN scheme = 'http' AND hostport LIKE '%:80' "
+        "THEN left(hostport, length(hostport) - 3) "
+        "WHEN scheme = 'https' AND hostport LIKE '%:443' "
+        "THEN left(hostport, length(hostport) - 4) ELSE hostport END",
+    ),
+    ("rawpath", "substring(rest, length(split_part(rest, '/', 1)) + 1)"),
+    (
+        "path1",
+        "CASE WHEN rawpath = '' THEN '/' "
+        "ELSE replace(rawpath, '//', '/') END",
+    ),
+    (
+        "path",
+        "CASE WHEN path1 LIKE '%/' AND length(path1) > 1 "
+        "THEN left(path1, length(path1) - 1) ELSE path1 END",
+    ),
+    (
+        "qcanon",
+        "coalesce({join}({sort}(filter({split_amp}, "
+        "x -> x <> '' AND NOT x LIKE 'utm!_%' ESCAPE '!')), '&'), '')",
+    ),
+    (
+        "canon_url",
+        "concat(scheme, '://', host, path, "
+        "CASE WHEN qcanon <> '' THEN concat('?', qcanon) ELSE '' END)",
+    ),
+)
+
+
+def _url_steps(engine: str) -> list[tuple[str, str]]:
+    fns = _URL_ENGINE_FNS[engine]
+    return [(n, t.format(**fns)) for n, t in _URL_STEP_TEXTS]
+
+
+def _url_canon_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents").select("doc_id")
+    for name, expr in _url_steps("spark"):
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def _url_canon_oracle_with() -> tuple[str, str]:
+    """WITH-chain prefix + final CTE name for the canon pipeline."""
+    ctes = ["s0 AS (SELECT doc_id FROM documents)"]
+    prev = "s0"
+    for i, (name, expr) in enumerate(_url_steps("duck"), 1):
+        ctes.append(f"s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    return "WITH " + ",\n".join(ctes), prev
+
+
+def _url_dedup_oracle() -> str:
+    with_text, last = _url_canon_oracle_with()
+    return (
+        f"{with_text}\n"
+        f"SELECT canon_url, min(doc_id) AS keep_id, "
+        f"CAST(count(*) AS BIGINT) AS dup_count FROM {last} "
+        f"GROUP BY canon_url"
+    )
+
+
+def _host_dups_oracle() -> str:
+    with_text, last = _url_canon_oracle_with()
+    return (
+        f"{with_text}\n"
+        f"SELECT host, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages, "
+        f"CAST(count(*) - count(DISTINCT canon_url) AS BIGINT) "
+        f"AS n_dup_docs FROM {last} GROUP BY host"
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    _url_dedup_oracle,
+    doc="URL-level dedup via canonicalization (VERDICT r11 item 7's "
+        "host/URL twin of corpus_cross_source_dups): deterministic "
+        "messy-URL fixture → 13-step shared-text canonicalization "
+        "(case-fold scheme/host, default-port strip, slash collapse, "
+        "trailing-slash strip, fragment drop, utm_* param filter, "
+        "param sort) → hash-groupBy on the canonical URL with min-id "
+        "representative. Pure per-row projections + one map-side "
+        "partial agg — linear at any corpus size, no window, no "
+        "broadcast.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = _url_canon_spark(spark, sf_dir)
+    return canon.groupBy("canon_url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+    )
+
+
+@register(
+    "corpus_host_dups",
+    _host_dups_oracle,
+    doc="Host-level duplication rollup on the same canonical-URL "
+        "pipeline: per host, how many docs resolve there, how many "
+        "distinct canonical pages they cover, and the dup surplus — "
+        "the crawl-budget diagnostic that decides which hosts to "
+        "re-crawl vs dedup. count(DISTINCT canon_url) expands to the "
+        "standard two-phase agg; host cardinality is bounded so the "
+        "final agg is tiny at any scale.",
+)
+def corpus_host_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = _url_canon_spark(spark, sf_dir)
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("canon_url").cast("long").alias("n_pages"),
+        (F.count(F.lit(1)) - F.countDistinct("canon_url"))
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+
+
 # -------------------------------------------- training-data flagship
 @register(
     "pipeline_training_manifest",
