@@ -165,6 +165,9 @@ HEADLINE = [
     # 69 -> 71; compare totals on the shared 69 or per-query.
     "sim_ivf_scaled_topk",
     "sim_ivf_scaled_probe2",
+    # round-12 late addition: URL canonicalization dedup (13-step
+    # shared-text pipeline + hash agg). n_queries grows 71 -> 72.
+    "dedup_url_canonical",
 ]
 
 N_SESSIONS = 3

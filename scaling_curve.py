@@ -86,6 +86,10 @@ DATA_TIER = [
     # the K-bounded LM twin: recorded beside text_lm_logprob's honest
     # ~linear row so the tier shows the bounded alternative measured
     "text_lm_logprob_capped",
+    # round 12: URL canonicalization dedup — per-row projections +
+    # hash agg; amplified doc_ids (+replica*1e9) land in disjoint pk
+    # spaces, so the canonical key space grows linearly with the data
+    "dedup_url_canonical",
 ]
 AMP = 10
 # linear growth = 10×; slack for shuffle-partition granularity and

@@ -55,3 +55,47 @@ def test_prefix_filter_is_lossless_at_threshold(spark):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in pref.collect()}
     assert a == b and len(a) > 0
+
+
+def test_url_canonicalization_is_idempotent(spark):
+    """The defining property of a canonical form: canon(canon(u)) ==
+    canon(u). Re-running the canonicalization steps (everything after
+    the messy-URL generator) with the canonical URL as input must be
+    the identity — otherwise two crawls of the same canonical URL
+    could still land in different dedup groups."""
+    from ibf_typhoon_data_pipeline_spark.plans.curation import (
+        _url_canon_spark,
+        _url_steps,
+    )
+
+    canon = _url_canon_spark(spark, "/root/testdata/sf0.01")
+    # feed canon_url back as the messy input `u`
+    df = canon.select("doc_id", F.col("canon_url").alias("expected"),
+                      F.col("canon_url").alias("u"))
+    gen_names = {"pk", "scheme_base", "u"}
+    for name, expr in _url_steps("spark"):
+        if name in gen_names:
+            continue
+        df = df.withColumn(name, F.expr(expr))
+    bad = df.filter(F.col("canon_url") != F.col("expected"))
+    assert bad.count() == 0, bad.select("expected", "canon_url").first()
+
+
+def test_url_dedup_groups_are_real_multidoc_clusters(spark):
+    """The fixture plants 3-consecutive-id logical pages; after
+    canonicalization a substantial share of groups must be multi-doc
+    (the %4=3 member legitimately splits off when its canonical query
+    string differs), and group sizes never exceed the planted 3."""
+    from ibf_typhoon_data_pipeline_spark.plans import QUERIES
+
+    df = QUERIES["dedup_url_canonical"].fn(spark, "/root/testdata/sf0.01")
+    stats = df.agg(
+        F.count("*").alias("groups"),
+        F.max("dup_count").alias("max_sz"),
+        F.sum(F.when(F.col("dup_count") >= 2, 1).otherwise(0)).alias("multi"),
+    ).first()
+    assert stats.max_sz <= 3
+    assert stats.multi / stats.groups > 0.3, (
+        f"only {stats.multi}/{stats.groups} groups are multi-doc — "
+        f"the canonicalization stopped folding crawl decorations"
+    )
