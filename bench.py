@@ -173,11 +173,38 @@ HEADLINE = [
 N_SESSIONS = 3
 
 
+def _steal_sample() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux.
+
+    Third weather axis (round 12): hypervisor STEAL time is invisible
+    to loadavg and to both in-session probes — the round-12 session
+    observed isolated reruns of byte-identical plans swinging 2x in
+    BOTH directions at load1 < 0.3 with normal probe readings, the
+    signature of bursty co-tenant contention (this host's cumulative
+    steal is ~1.6%). Recording the per-chunk steal percentage lets a
+    reader attribute such an outlier to the hypervisor instead of
+    burning a rerun on it."""
+    try:
+        with open("/proc/stat") as f:
+            fields = [int(x) for x in f.readline().split()[1:]]
+        return fields[7] if len(fields) > 7 else 0, sum(fields)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else None
+
+
 def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
     """One fresh-JVM measurement session over a subset of HEADLINE."""
     from ibf_typhoon_data_pipeline_spark import plans
     from ibf_typhoon_data_pipeline_spark.session import get_spark
 
+    steal_before = _steal_sample()
     spark = get_spark("ibf-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -280,6 +307,9 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict[str, float]:
     # throughput probe under-captures; see bench_probe docstring)
     timings["__probe_latency_sec"] = round(latency_probe_seconds(spark), 3)
     timings["__attempts"] = attempts_map  # type: ignore[assignment]
+    sp = _steal_pct(steal_before, _steal_sample())
+    if sp is not None:
+        timings["__steal_pct"] = sp
     spark.stop()
     return timings
 
@@ -350,6 +380,7 @@ def main() -> None:
     attempts_all: dict[str, list[float]] = {}
     probes: list[float] = []
     latencies: list[float] = []
+    steals: list[float] = []
     for i in range(0, len(HEADLINE), step):
         chunk = HEADLINE[i : i + step]
         proc = subprocess.run(
@@ -366,6 +397,9 @@ def main() -> None:
             raise RuntimeError(f"bench chunk starting at {chunk[0]} produced no result")
         probe = got.pop("__probe_sec", None)
         lat = got.pop("__probe_latency_sec", None)
+        sp = got.pop("__steal_pct", None)
+        if sp is not None:
+            steals.append(sp)
         attempts_all.update(got.pop("__attempts", {}))
         if lat is not None:
             latencies.append(lat)
@@ -415,6 +449,15 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "load_gate_waived": not load_gate_ok,
+        # third weather axis (round 12): per-chunk hypervisor steal% —
+        # invisible to loadavg AND to both probes (byte-identical
+        # plans measured swinging 2x at load1 < 0.3 with normal
+        # probes); max >> median means a burst landed on one chunk —
+        # rerun that chunk's outliers before reading them as plans.
+        "steal_pct_max": max(steals) if steals else None,
+        "steal_pct_median": sorted(steals)[len(steals) // 2]
+        if steals
+        else None,
     }
     print(json.dumps({**summary, "queries": timings,
                       "queries_normalized": normalized,

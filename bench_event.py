@@ -95,6 +95,9 @@ def main() -> None:
 
     load_gate_ok = wait_for_idle()
     load_start = tuple(round(x, 2) for x in os.getloadavg())
+    from bench import _steal_pct, _steal_sample
+
+    steal_before = _steal_sample()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("ibf-bench-event", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -250,6 +253,10 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
         "load_gate_waived": not load_gate_ok,
+        # hypervisor steal% over the whole run (round 12, see
+        # bench._steal_sample): bursty co-tenant contention is
+        # invisible to loadavg and to the in-session probe
+        "steal_pct": _steal_pct(steal_before, _steal_sample()),
     }
     if wall_tier is not None:
         scaleup = round(wall_tier / wall, 2)

@@ -135,3 +135,22 @@ def test_latency_probe_measures_sequential_jobs(spark):
     longer = latency_probe_seconds(spark, jobs=10)
     assert short > 0
     assert longer >= short * 0.8  # sequential: more jobs, not faster
+
+
+def test_steal_sampler_contract():
+    """The round-12 third weather axis: /proc/stat steal sampling must
+    return a sane percentage on Linux, tolerate None operands (the
+    off-Linux path), and never divide by zero on identical samples."""
+    from bench import _steal_pct, _steal_sample
+
+    a = _steal_sample()
+    assert a is not None and a[1] > 0 and 0 <= a[0] <= a[1]
+    import time
+
+    time.sleep(0.2)
+    b = _steal_sample()
+    pct = _steal_pct(a, b)
+    assert pct is not None and 0.0 <= pct <= 100.0
+    assert _steal_pct(None, b) is None
+    assert _steal_pct(a, None) is None
+    assert _steal_pct(a, a) is None  # zero elapsed ticks -> no claim
