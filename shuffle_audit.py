@@ -50,6 +50,13 @@ AUDIT = [
     "graph_pagerank",            # iterative Pregel supersteps
     "tc_windfield_skewgrid",     # r9: AQE-decided skewed pair join
     "tc_multi_event_dag",        # r9: 3-storm event-keyed DAG
+    # r12: the capacity-path rewrites whose shuffle claims (round-
+    # robin spread probe, NO cell-key exchange, broadcast pair join)
+    # the two-level work rests on — executed-plan proof beside the
+    # plan-shape pins
+    "sim_ivf_scaled_topk",
+    "dedup_semdedup_scaled",
+    "dedup_url_canonical",       # r12: canon-key groupBy = groups only
 ]
 
 
