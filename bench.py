@@ -187,7 +187,10 @@ def _steal_sample() -> tuple[int, int] | None:
     try:
         with open("/proc/stat") as f:
             fields = [int(x) for x in f.readline().split()[1:]]
-        return fields[7] if len(fields) > 7 else 0, sum(fields)
+        # denominator = user..steal (fields 0-7) only: Linux accounts
+        # guest/guest_nice INSIDE user/nice, so summing them too would
+        # double-count guest ticks and bias steal% low on VM hosts
+        return fields[7] if len(fields) > 7 else 0, sum(fields[:8])
     except (OSError, ValueError, IndexError):
         return None
 

@@ -1603,31 +1603,21 @@ _SEMDEDUP_T = 0.3  # synthetic embeddings top out near cos 0.55 — 0.3
 
 
 def _semdedup_scaled_oracle() -> str:
-    import duckdb
-
-    n = duckdb.connect().execute(
-        f"SELECT count(*) FROM '{_oracle_emb_path()}'"
-    ).fetchone()[0]
-    k1, m = ivf_two_level(n)
-    cents = _duck_codebook(k=k1, sample=fit_sample_size(k1))
+    # same count -> two-level geometry -> bounded fit as every other
+    # capacity-path oracle (ADVICE via round-12 self-review: this was
+    # a third inlined copy of the snippet)
+    cents, _, m = _scaled_codebook_duck()
     return semdedup_scaled_oracle_text(cents, m)
 
 
 def semdedup_scaled_oracle_text(cents, m: int) -> str:
     """Parameterized for the forced-m cross-engine test (see
-    ivf_scaled_oracle_text_p1)."""
-    dim = len(cents[0])
-    carr = centroid_array_sql(cents, False)
-    return f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-    ), scored AS (
-      SELECT vec_id, ve,
-             list_transform({carr}, c ->
-               round(list_sum(list_transform(range(1, {dim + 1}),
-                 i -> (ve[i] - c[i]) * (ve[i] - c[i]))), 6)) AS d2s
-      FROM v
-    ){_scaled_cells_sql(cents, m)}, matched AS (
+    ivf_scaled_oracle_text_p1). The WITH v/scored prefix comes from
+    the SAME _scaled_cells_cte builder as the IVF/cluster-balance
+    oracles (byte-identical to the previously inlined text — no stale
+    mark needed), so the token-identical-assignment invariant between
+    the capacity-path entries is maintained in one place."""
+    return f"""{_scaled_cells_cte(cents)}{_scaled_cells_sql(cents, m)}, matched AS (
       SELECT a.vec_id AS aid, min(b.vec_id) AS canon
       FROM cells a JOIN cells b
         ON a.cell = b.cell AND b.vec_id < a.vec_id

@@ -290,7 +290,13 @@ def main() -> None:
                     "or assignment turns superlinear inside the "
                     "measured range\n"
                 )
-    # full-span slope: first -> last tier each entry appears in
+    # full-span slope: first -> last tier each entry appears in.
+    # Entries measured in only TWO tiers have a full span that IS a
+    # single adjacent segment — hold those to the ADJACENT bar (1.5),
+    # not the tighter full-span bar, or a legitimate next_pow2
+    # capacity bounce on a two-tier entry would flag while the same
+    # reading on a three-tier entry passes (round-12 rule: never
+    # tighten the adjacent bar below the bounce).
     for name in {n for _, t in tiers for n in t}:
         present = [(a, t) for a, t in tiers if name in t]
         if len(present) < 2:
@@ -299,11 +305,16 @@ def main() -> None:
         exp, hi = _exp(name, a_lo, t_lo, a_hi, t_hi)
         rec = segments.setdefault(name, {})
         rec["exp_full_span"] = round(exp, 3)
-        if exp > SEGMENT_EXPONENT_AT and hi >= SEGMENT_MIN_SEC:
+        span_bar = (
+            SEGMENT_EXPONENT_AT
+            if len(present) >= 3
+            else SEGMENT_EXPONENT_AT_ADJ
+        )
+        if exp > span_bar and hi >= SEGMENT_MIN_SEC:
             rec["superlinear_full_span"] = True
             sys.stderr.write(
                 f"WARNING: {name} full-span exponent {exp:.2f} "
-                f"({a_lo}x->{a_hi}x) exceeds {SEGMENT_EXPONENT_AT} — "
+                f"({a_lo}x->{a_hi}x) exceeds {span_bar} — "
                 "growth is superlinear over the whole measured line\n"
             )
 

@@ -141,10 +141,14 @@ def test_steal_sampler_contract():
     """The round-12 third weather axis: /proc/stat steal sampling must
     return a sane percentage on Linux, tolerate None operands (the
     off-Linux path), and never divide by zero on identical samples."""
+    import pytest
+
     from bench import _steal_pct, _steal_sample
 
     a = _steal_sample()
-    assert a is not None and a[1] > 0 and 0 <= a[0] <= a[1]
+    if a is None:  # documented off-Linux path (no /proc/stat)
+        pytest.skip("no /proc/stat on this platform")
+    assert a[1] > 0 and 0 <= a[0] <= a[1]
     import time
 
     time.sleep(0.2)
