@@ -461,7 +461,7 @@ from ibf_typhoon_data_pipeline_spark.operators.similarity import (  # noqa: E402
 
 
 def _scaled_codebook_duck():
-    """(centroids, k1, m) for the scaled-IVF oracles: the two-level
+    """(centroids, k1, m, n) for the scaled-IVF oracles: the two-level
     geometry from the unclamped capacity rule over the oracle
     parquet's exact count, fit sample from the shared fit_sample_size
     rule — the same pure functions the Spark entries call at run
@@ -472,7 +472,7 @@ def _scaled_codebook_duck():
         f"SELECT count(*) FROM '{_oracle_emb_path()}'"
     ).fetchone()[0]
     k1, m = ivf_two_level(n)
-    return _duck_codebook(k=k1, sample=fit_sample_size(k1)), k1, m
+    return _duck_codebook(k=k1, sample=fit_sample_size(k1)), k1, m, n
 
 
 def _scaled_cells_sql(cents, m: int) -> str:
@@ -538,7 +538,7 @@ def ivf_scaled_oracle_text_p1(cents, m: int) -> str:
 
 
 def _ivf_scaled_oracle_p1() -> str:
-    cents, _, m = _scaled_codebook_duck()
+    cents, _, m, _ = _scaled_codebook_duck()
     return ivf_scaled_oracle_text_p1(cents, m)
 
 
@@ -586,7 +586,7 @@ def ivf_scaled_oracle_text_p2(cents, k1: int, m: int) -> str:
 
 
 def _ivf_scaled_oracle_p2() -> str:
-    cents, k1, m = _scaled_codebook_duck()
+    cents, k1, m, _ = _scaled_codebook_duck()
     return ivf_scaled_oracle_text_p2(cents, k1, m)
 
 
@@ -1606,7 +1606,7 @@ def _semdedup_scaled_oracle() -> str:
     # same count -> two-level geometry -> bounded fit as every other
     # capacity-path oracle (ADVICE via round-12 self-review: this was
     # a third inlined copy of the snippet)
-    cents, _, m = _scaled_codebook_duck()
+    cents, _, m, _ = _scaled_codebook_duck()
     return semdedup_scaled_oracle_text(cents, m)
 
 
@@ -1715,14 +1715,13 @@ _CBAL_U_SQL = (
 
 
 def _cluster_balance_oracle() -> str:
-    import duckdb
+    cents, k1, m, n = _scaled_codebook_duck()
+    return cluster_balance_oracle_text(cents, m, n // (k1 * (1 << m)))
 
-    n = duckdb.connect().execute(
-        f"SELECT count(*) FROM '{_oracle_emb_path()}'"
-    ).fetchone()[0]
-    k1, m = ivf_two_level(n)
-    cents = _duck_codebook(k=k1, sample=fit_sample_size(k1))
-    t = n // (k1 * (1 << m))
+
+def cluster_balance_oracle_text(cents, m: int, t: int) -> str:
+    """Parameterized for the forced-m cross-engine test (see
+    ivf_scaled_oracle_text_p1)."""
     return f"""
     {_scaled_cells_cte(cents)}{_scaled_cells_sql(cents, m)}, counted AS (
       SELECT vec_id, cell,
@@ -1758,6 +1757,18 @@ def _cluster_balance_oracle() -> str:
         "cost is linear in the corpus at any capacity.",
 )
 def corpus_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k1, m = ivf_two_level(n)
+    cents = _spark_codebook(spark, sf_dir, k=k1, sample=fit_sample_size(k1))
+    return cluster_balance_canonical(emb, cents, m, n // (k1 * (1 << m)))
+
+
+def cluster_balance_canonical(
+    emb: DataFrame, cents, m: int, t: int
+) -> DataFrame:
+    """The cluster-balance plan with (cents, m, t) injected — the
+    forced-m test twin of semdedup_scaled_canonical."""
     from pyspark.sql import Window
 
     from ibf_typhoon_data_pipeline_spark.operators.similarity import (
@@ -1766,11 +1777,6 @@ def corpus_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ibf_typhoon_data_pipeline_spark.operators.skew import spread
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    k1, m = ivf_two_level(n)
-    cents = _spark_codebook(spark, sf_dir, k=k1, sample=fit_sample_size(k1))
-    t = n // (k1 * (1 << m))
     base = spread(emb).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("__v"),

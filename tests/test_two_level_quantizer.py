@@ -121,3 +121,27 @@ def test_residual_sign_buckets_are_near_even(spark):
     for r in sizes:
         even = r.tot / (1 << M)
         assert r.mx <= 3 * even + 2, (r.c1, r.mx, r.tot)
+
+
+def test_two_level_cluster_balance_matches_duckdb(spark):
+    """Completes the forced-m symmetry: corpus_cluster_balance's
+    composite-cell arithmetic rides the same generators, but its
+    oracle was only parameterized for the entry's own (m=0 at sf0.01)
+    geometry — this pins the m=2 arm plus the m-independent
+    window/rate tail cross-engine."""
+    from ibf_typhoon_data_pipeline_spark.plans.vectors import (
+        cluster_balance_canonical,
+        cluster_balance_oracle_text,
+    )
+
+    cents = _cents(spark)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    t = emb.count() // (len(cents) * (1 << M))
+    compare_query(
+        spark,
+        "two_level_cbal_forced_m",
+        lambda sp, sf: cluster_balance_canonical(
+            load_table(sp, sf, "embeddings"), cents, m=M, t=t
+        ),
+        cluster_balance_oracle_text(cents, M, t),
+    )
