@@ -837,8 +837,10 @@ def test_min_recursion_edge_builds_have_no_redundant_shuffle(spark):
         )
         for ef in edge_frames:
             txt = ef._jdf.queryExecution().executedPlan().toString()
-            # matcher sanity: this really is the symmetrizing union
-            assert "Union" in txt, (name, txt[:800])
+            # matcher sanity: this really is the symmetrizing build —
+            # r12 replaced the 2-arm union (which re-evaluated the
+            # pair join once per arm) with one explode generator
+            assert "Generate explode" in txt, (name, txt[:800])
             assert "Exchange hashpartitioning" not in txt, (
                 name,
                 txt[:800],
