@@ -2757,26 +2757,46 @@ def tc_landfall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.createDataFrame(
         LAND_EDGES, "x1 double, y1 double, x2 double, y2 double"
     )
-    onland = (
-        scen.crossJoin(F.broadcast(edges))
-        .groupBy("ens_id", "step")
-        .agg(((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("on_land"))
-    )
     munis = gen_munis(spark).select("m_lat", "m_lon")
-    dists = (
-        scen.crossJoin(F.broadcast(munis))
-        .groupBy("ens_id", "step")
+    # r12 (guide §2 "shuffle fewer bytes / don't compute twice"): the
+    # on-land parity sum and the nearest-municipality min ran as TWO
+    # cross-join legs over scen, each with its own agg exchange, then
+    # two joins back onto a third scen evaluation. One null-padded
+    # union of the broadcast sides computes BOTH aggregates in a
+    # single pass: the PNPOLY CASE is NULL→ELSE 0 on municipality rows
+    # (adds nothing to the parity sum) and the haversine is NULL on
+    # edge rows (min skips it), so each aggregate sees exactly the
+    # rows it saw before — values identical, one exchange instead of
+    # two and no join-back (lat/lon ride as group keys, functionally
+    # dependent on (ens_id, step)). Persisted: summary and closest
+    # both read pts, and the recompute is the full 1.1M-pair leg.
+    land_side = edges.select(
+        "x1", "y1", "x2", "y2",
+        F.lit(None).cast("double").alias("m_lat"),
+        F.lit(None).cast("double").alias("m_lon"),
+    ).unionByName(
+        munis.select(
+            *[F.lit(None).cast("double").alias(c)
+              for c in ("x1", "y1", "x2", "y2")],
+            "m_lat", "m_lon",
+        )
+    )
+    from ibf_typhoon_data_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    pts = persist_tracked(
+        scen.crossJoin(F.broadcast(land_side))
+        .groupBy("ens_id", "step", "lon")
         .agg(
+            ((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("on_land"),
             F.min(
                 haversine_km(
                     F.col("lat"), F.col("lon"), F.col("m_lat"), F.col("m_lon")
                 )
-            ).alias("dist_land_km")
+            ).alias("dist_land_km"),
         )
     )
-    pts = scen.select("ens_id", "step", "lon").join(
-        onland, ["ens_id", "step"]
-    ).join(dists, ["ens_id", "step"])
     summary = pts.groupBy("ens_id").agg(
         F.min(F.when(F.col("on_land"), F.col("step"))).alias("first_land_step"),
         F.min("dist_land_km").alias("min_dist_km"),
@@ -3025,34 +3045,45 @@ def tc_track_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.createDataFrame(
         LAND_EDGES, "x1 double, y1 double, x2 double, y2 double"
     )
-    onland = (
-        hourly.crossJoin(F.broadcast(edges))
-        .groupBy("ens_id", "h")
-        .agg(((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("on_land"))
-    )
     from ibf_typhoon_data_pipeline_spark.functions.geo import haversine_km
 
     munis = gen_munis(spark).select("m_lat", "m_lon")
-    dists = (
-        hourly.crossJoin(F.broadcast(munis))
-        .groupBy("ens_id", "h")
-        .agg(
-            F.min(
-                haversine_km(
-                    F.col("lat"), F.col("lon"), F.col("m_lat"), F.col("m_lon")
-                )
-            ).alias("dist_km")
+    # r12 fusion (same construction as tc_landfall_ladder, see the
+    # long note there): one null-padded union of the two broadcast
+    # sides computes the on-land parity AND the nearest-municipality
+    # min in a single cross-join pass — the PNPOLY CASE contributes 0
+    # on municipality rows, the haversine is NULL on edge rows, so
+    # both aggregates see exactly their old inputs. hourly now
+    # evaluates once (was once per leg), one agg exchange (was two),
+    # no join-back (lat/lon/vmax ride as group keys, functionally
+    # dependent on (ens_id, h)). pts stays persisted: it feeds marks,
+    # closest, AND staged, and the recompute is the 6.5M-pair leg.
+    land_side = edges.select(
+        "x1", "y1", "x2", "y2",
+        F.lit(None).cast("double").alias("m_lat"),
+        F.lit(None).cast("double").alias("m_lon"),
+    ).unionByName(
+        munis.select(
+            *[F.lit(None).cast("double").alias(c)
+              for c in ("x1", "y1", "x2", "y2")],
+            "m_lat", "m_lon",
         )
     )
-    # pts (12.5k rows) feeds marks, closest, AND staged — persist so
-    # the onland/dists broadcast-cross-join legs (12.5M pair rows
-    # each) run once, not once per consumer
     from ibf_typhoon_data_pipeline_spark.operators.cache import (
         persist_tracked,
     )
 
     pts = persist_tracked(
-        hourly.join(onland, ["ens_id", "h"]).join(dists, ["ens_id", "h"])
+        hourly.crossJoin(F.broadcast(land_side))
+        .groupBy("ens_id", "h", "lat", "lon", "vmax")
+        .agg(
+            ((F.sum(F.expr(RAY_CROSS_SQL)) % 2) == 1).alias("on_land"),
+            F.min(
+                haversine_km(
+                    F.col("lat"), F.col("lon"), F.col("m_lat"), F.col("m_lon")
+                )
+            ).alias("dist_km"),
+        )
     )
     marks = pts.groupBy("ens_id").agg(
         F.min(F.when(F.col("on_land"), F.col("h"))).alias("first_land_h"),
