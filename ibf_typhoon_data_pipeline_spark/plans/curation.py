@@ -660,13 +660,17 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit_ratio = F.length(
         F.regexp_replace("text", "[^0-9]", "")
     ) / F.greatest(F.length("text"), F.lit(1))
-    q = docs.select(
-        "doc_id",
-        (
-            (F.when(n_words >= 10, 1).otherwise(0)
-             + F.when(digit_ratio < 0.2, 1).otherwise(0)) >= 2
-        ).alias("quality_keep"),
-    )
+    # quality_keep is row-local (a pure function of text), so it rides
+    # base's own projection (r12) instead of the oracle's separate q
+    # CTE joined back on doc_id — that join re-scanned the corpus and,
+    # at scale, shuffled it twice (corpus ⋈ corpus on doc_id) to
+    # attach a bit each row can compute in place. doc_id is unique, so
+    # inner-join-on-doc_id ≡ inline: values identical, oracle text
+    # unchanged (the DESCRIBE'd oracle keeps its q CTE).
+    quality_keep = (
+        (F.when(n_words >= 10, 1).otherwise(0)
+         + F.when(digit_ratio < 0.2, 1).otherwise(0)) >= 2
+    ).alias("quality_keep")
 
     reps = (
         docs.groupBy(F.md5("text"))
@@ -689,9 +693,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        base.join(q, "doc_id")
-        .join(reps, base.doc_id == reps.keep_id, "left")
-        .join(contaminated, base.doc_id == contaminated.c_id, "left")
+        base.select("doc_id", "split", quality_keep)
+        .join(reps, F.col("doc_id") == reps.keep_id, "left")
+        .join(contaminated, F.col("doc_id") == contaminated.c_id, "left")
         .select(
             "doc_id",
             "split",
@@ -1563,8 +1567,6 @@ _NB_PRIOR_MICRO_SQL = (
         "model state; the 'model' is a DataFrame.",
 )
 def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length(F.trim("text")) > 0)
@@ -1634,22 +1636,40 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ll_micro") + F.col("prior_micro")).alias("score_micro"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_micro").desc(), F.col("pred_lang").asc()
-    )
-    return (
-        doc_scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    # argmax by (score desc, lang asc) as min(struct(-score, lang)) —
+    # a map-side-combinable partial agg instead of a window sort +
+    # row_number filter (prefer-max-struct-over-window invariant,
+    # r12). score_micro is BIGINT so negation is exact; (doc_id,
+    # pred_lang) rows are unique after the per-candidate sum, so the
+    # struct order is total and the selected row is identical to the
+    # oracle's row_number(ORDER BY score_micro DESC, cand_lang) = 1.
+    # actual_lang is functionally dependent on doc_id and rides as a
+    # group key.
+    best = (
+        doc_scores.groupBy("doc_id", "actual_lang")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_micro")).alias("ns"), "pred_lang"
+                )
+            ).alias("m")
+        )
         .select(
             "doc_id",
             "actual_lang",
-            "pred_lang",
-            "score_micro",
-            F.when(F.col("pred_lang") == F.col("actual_lang"), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("is_correct"),
+            F.col("m.pred_lang").alias("pred_lang"),
+            (-F.col("m.ns")).alias("score_micro"),
         )
+    )
+    return best.select(
+        "doc_id",
+        "actual_lang",
+        "pred_lang",
+        "score_micro",
+        F.when(F.col("pred_lang") == F.col("actual_lang"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_correct"),
     )
 
 

@@ -1938,18 +1938,33 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    _n_parts = _loop_parts(pairs)
     edges = persist_tracked(
-        _sym_edges(pairs).repartition(_loop_parts(pairs), "src")
+        _sym_edges(pairs).repartition(_n_parts, "src")
     )
     labels = edges.select(F.col("dst").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     for _ in range(_LPA_ROUNDS):
-        counts = (
+        # ONE exchange per round (r12): the raw (node, label)
+        # contribution stream repartitions on the destination node
+        # alone; hash(node) satisfies BOTH downstream groupings
+        # (groupBy(node, label) count and the argmax groupBy(node) —
+        # partitioning on a subset of the group keys co-locates every
+        # group), so neither agg adds an exchange, and the round's
+        # output keeps the hash(node)/N layout the next round's edge
+        # join consumes exchange-free. The previous two-agg form paid
+        # a second exchange + stage per round, and its first
+        # exchange's map-side partial agg bought nothing in early
+        # rounds (labels start all-distinct, so (dst, label) pairs
+        # have multiplicity ~1 within a map partition).
+        contrib = (
             edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"), "label")
-            .agg(F.count("*").alias("c"))
-            .withColumnRenamed("node2", "node")
+            .select(F.col("dst").alias("node"), "label")
+            .repartition(_n_parts, "node")
+        )
+        counts = contrib.groupBy("node", "label").agg(
+            F.count("*").alias("c")
         )
         # argmax by (count desc, label asc) as max(struct(c, -label))
         # — a map-side-combinable partial agg instead of a window

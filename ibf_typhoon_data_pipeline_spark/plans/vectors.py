@@ -2625,13 +2625,13 @@ def _kmeans_oracle() -> str:
         "bit-identical iterates in both engines. Per round: one "
         "broadcast join of the 256-row centroid frame onto the "
         "exploded (vec,dim) frame, one (vec,cluster) partial agg, one "
-        "per-vec argmin window, one centroid agg. Assignment frames "
+        "per-vec min(struct) argmin agg (map-side combinable — no "
+        "window sort), one centroid agg. Assignment frames "
         "are persisted per round (each feeds the next centroid agg "
         "AND the final output — the iterative-persist rule). Output: "
         "per-cluster size and exact integer inertia.",
 )
 def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ibf_typhoon_data_pipeline_spark.operators.cache import (
@@ -2669,13 +2669,21 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dist2")
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist2").asc(), F.col("cluster").asc()
-        )
+        # argmin by (dist2 asc, cluster asc) as min(struct) — a
+        # map-side-combinable partial agg instead of a window sort +
+        # row_number filter (the prefer-max-struct-over-window
+        # invariant, same rewrite LPA measured 5.8 -> 5.1 s on).
+        # (vec_id, cluster) rows are unique after the distance agg, so
+        # the struct order is total and the selected row is identical
+        # to the oracle's row_number(ORDER BY dist2, cluster) = 1.
         assign = persist_tracked(
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster", "dist2")
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cluster")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.dist2").alias("dist2"),
+            )
         )
     return (
         assign.groupBy("cluster")
