@@ -675,17 +675,18 @@ def graph_personalized_pagerank(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    # persist pairs: read 2x by the symmetrizing union, then again by
-    # the degree/node derivations (same rewrite as graph_pagerank)
+    # integer node ids internally (cust -> 2k, supp -> 2k+1): every
+    # superstep shuffle hashes BIGINTs instead of 'c123' strings; the
+    # oracle's labels are re-attached in ONE final projection (same
+    # rewrite as graph_pagerank/graph_bfs_hops — string keys measured
+    # ~40% of the superstep shuffle cost in r7).
+    # persist pairs: read by the edge explode, the degree agg, and the
+    # node distinct (>= 3 derivations — the r7 persist rule).
     pairs = persist_tracked(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "c"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "s"
-            ),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -693,57 +694,102 @@ def graph_personalized_pagerank(
     srcs = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") == 0)
-        .select(
-            F.concat(
-                F.lit("c"), F.col("c_custkey").cast("string")
-            ).alias("node")
-        )
+        .select((F.col("c_custkey") * 2).alias("node"))
     )
-    nodes = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"))
-        # srcs is customer-derived (SF-scaling): one-shot annotation
-        # join, AQE-decided — no forced hint (r7 #1)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    _n_parts = _loop_parts(edges)
+    # The teleport mask rides the persisted EDGE frame: the update
+    # needs is_src(dst), which is functionally dependent on dst, so
+    # carrying it per edge row lets every superstep re-derive it
+    # inside the SAME destination partial agg (max over a per-dst
+    # constant 0/1) instead of re-joining the node table each round.
+    # srcs is customer-derived (SF-scaling): one-shot build-time
+    # join, AQE-decided, no forced hint (r7 #1).
+    e = persist_tracked(
+        edges.join(deg, "src")
         .join(
-            srcs.withColumn("is_src", F.lit(1)),
-            "node",
+            srcs.select(F.col("node").alias("dst")).withColumn(
+                "dst_is_src", F.lit(1)
+            ),
+            "dst",
             "left",
         )
         .select(
-            "node", F.coalesce("is_src", F.lit(0)).alias("is_src")
+            "src",
+            "dst",
+            "deg",
+            F.coalesce("dst_is_src", F.lit(0)).alias("dst_is_src"),
         )
+        .repartition(_n_parts, "src")
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = persist_tracked(edges.join(deg, "src"))
-    nodes = persist_tracked(nodes)
-    rank = nodes.select(
+    nodes = persist_tracked(
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"))
+        .repartition(_n_parts, "node")
+    )
+    # Identity-join-back elision (pagerank_micro full_coverage=True,
+    # 7.6 -> 3.2 s warm there): on the symmetrized graph every node
+    # has in-degree >= 1, so from round 1 on the destination agg
+    # itself emits the FULL node set and the old per-superstep left
+    # join-back onto `nodes` was an identity — skipped. One cheap
+    # anti-join validates the invariant once, outside the loop.
+    n_sinks = nodes.join(
+        e.select(F.col("dst").alias("node")), "node", "left_anti"
+    ).count()
+    if n_sinks:
+        raise ValueError(
+            f"graph_personalized_pagerank: {n_sinks} node(s) have "
+            "in-degree 0; the join-back elision needs a symmetrized "
+            "graph"
+        )
+    # r0 over ALL nodes (rank 0 off-seed) — one-time annotation join
+    # so round 1's edge join sees every node exactly like the oracle's
+    # r0 CTE; srcs not in the graph drop out on both sides.
+    rank = nodes.join(
+        srcs.withColumn("is_src", F.lit(1)), "node", "left"
+    ).select(
         "node",
-        "is_src",
         F.expr(
             f"CAST(CASE WHEN is_src = 1 THEN {_PR_INIT_MICRO}"
             " ELSE 0 END AS BIGINT)"
         ).alias("rank_micro"),
     )
     for _ in range(_PPR_ITERS):
-        sums = (
-            e.join(rank, e.src == rank.node)
-            .select("dst", F.expr("rank_micro div deg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("s"))
-        )
+        # one co-partitioned edge join (e cached hash(src)/N, rank out
+        # of the previous agg hash(node)/N) + one destination-agg
+        # exchange per superstep — the pagerank shape; `s` is never
+        # NULL here (every node receives >= 1 contribution row), so
+        # the update drops the old coalesce without changing a value.
         rank = (
-            nodes.join(sums, nodes.node == sums.dst, "left")
+            e.join(rank, e.src == rank.node)
             .select(
-                "node",
-                "is_src",
-                F.expr(
-                    _ppr_update_sql("coalesce(s, 0)", "is_src")
-                ).alias("rank_micro"),
+                "dst",
+                "dst_is_src",
+                F.expr("rank_micro div deg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum("contrib").alias("s"),
+                F.max("dst_is_src").alias("is_src"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(_ppr_update_sql("s", "is_src")).alias(
+                    "rank_micro"
+                ),
             )
         )
     return rank.filter(F.col("rank_micro") > 0).select(
-        "node", "rank_micro"
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+        )
+        .alias("node"),
+        "rank_micro",
     )
 
 

@@ -25,6 +25,11 @@ NAMES = [
     "a20_abc_classification",
     "a9_dedup_keep_last",
     "graph_pagerank",
+    # round 12: the PPR loop went join-back-free (teleport mask rides
+    # the persisted edge frame, is_src re-derived inside the
+    # destination agg) and the loop persists repartition to the
+    # session shuffle width — values must not care what that width is
+    "graph_personalized_pagerank",
     "tc_damage_gbt",
     "dedup_jaccard_prefix",
     "dedup_semdedup",
