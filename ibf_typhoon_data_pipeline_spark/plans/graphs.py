@@ -1487,15 +1487,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # integer node ids internally (cust -> 2k, supp -> 2k+1): every
+    # peel round runs two semi joins + one degree agg, all shuffling
+    # node keys — BIGINTs instead of 'c123' strings per the r7 rule
+    # (same rewrite as pagerank/BFS/SSSP/PPR). The oracle's labels are
+    # re-attached BEFORE the final sort: the top-50 tiebreaker orders
+    # by the STRING label, so the sort must see the same strings.
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "c"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "s"
-            ),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -1523,7 +1525,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "dst", "left_semi")
         .groupBy("src")
         .agg(F.count("*").cast("long").alias("core_degree"))
-        .select(F.col("src").alias("node"), "core_degree")
+        .select(
+            F.when(
+                F.col("src") % 2 == 0,
+                F.concat(F.lit("c"), (F.col("src") / 2).cast("long")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("s"), ((F.col("src") - 1) / 2).cast("long")
+                )
+            )
+            .alias("node"),
+            "core_degree",
+        )
         .orderBy(F.col("core_degree").desc(), F.col("node").asc())
         .limit(50)
     )

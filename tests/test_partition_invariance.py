@@ -30,6 +30,10 @@ NAMES = [
     # destination agg) and the loop persists repartition to the
     # session shuffle width — values must not care what that width is
     "graph_personalized_pagerank",
+    # round 12: integer peel-loop keys with the label re-attached
+    # BEFORE the tiebreak sort — the top-50 cut must not move with
+    # the loop width either
+    "graph_kcore",
     "tc_damage_gbt",
     "dedup_jaccard_prefix",
     "dedup_semdedup",
