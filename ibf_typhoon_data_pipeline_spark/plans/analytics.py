@@ -3050,17 +3050,29 @@ def orders_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= _CF_MIN_SUPPORT)
     )
+    # union-free mirroring (r13, same rewrite as the graph family's
+    # _sym_edges): the 2-arm unionByName re-evaluated the whole basket
+    # self-join + pair aggregation once PER ARM (pair is unpersisted;
+    # only the li scan below it is cached). One row-doubling explode
+    # generator evaluates the pair plan ONCE — same rows, and the
+    # generator also fences the pair agg from constraint-propagation
+    # rewrites exactly like the windfield carriers.
     mirrored = pair.select(
-        F.col("id_a").alias("item_id"),
-        F.col("id_b").alias("neighbor_id"),
-        "support",
-    ).unionByName(
-        pair.select(
-            F.col("id_b").alias("item_id"),
-            F.col("id_a").alias("neighbor_id"),
-            "support",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("item_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("support"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("item_id"),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("support"),
+                ),
+            )
+        ).alias("__m")
+    ).select("__m.item_id", "__m.neighbor_id", "__m.support")
     ia = item.select(
         F.col("l_partkey").alias("item_id"), F.col("n_item").alias("n_a")
     )

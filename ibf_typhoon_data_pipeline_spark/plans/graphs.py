@@ -58,6 +58,42 @@ def _sym_edges(pairs: DataFrame, c: str = "c", s: str = "s") -> DataFrame:
     ).select("__e.src", "__e.dst")
 
 
+def _relabel_node(col: str = "node"):
+    """Decode the internal BIGINT node id (cust → 2k, supp → 2k+1)
+    back to the oracle's string label ('c123' / 's45') — the single
+    home of the 2k/2k+1 encoding's inverse (ADVICE r12: it was
+    copy-pasted five times and used float division; `div` is integer
+    division — no double round-trip, exact at any id width)."""
+    return (
+        F.when(
+            F.col(col) % 2 == 0,
+            F.concat(F.lit("c"), F.expr(f"{col} div 2")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr(f"({col} - 1) div 2"))
+        )
+        .alias(col)
+    )
+
+
+def _assert_full_coverage(nodes: DataFrame, e: DataFrame, who: str) -> None:
+    """Validate the identity-join-back elision's invariant ONCE,
+    outside the superstep loop: every node must have in-degree >= 1
+    (always true for a symmetrized graph whose node set is the
+    endpoint set). A caller passing a non-symmetrized graph would
+    otherwise get silently wrong ranks (dropped nodes) with no error.
+    One cheap anti-join on the persisted frames (ADVICE r12: factored
+    out of pagerank_micro + graph_personalized_pagerank)."""
+    n_sinks = nodes.join(
+        e.select(F.col("dst").alias("node")), "node", "left_anti"
+    ).count()
+    if n_sinks:
+        raise ValueError(
+            f"{who}: {n_sinks} node(s) have in-degree 0; symmetrize "
+            "the graph or keep the per-superstep join-back"
+        )
+
+
 def _loop_parts(df: DataFrame) -> int:
     """Session shuffle-partition count for iterative-loop persists.
 
@@ -107,22 +143,9 @@ def pagerank_micro(
     e = persist_tracked(edges.join(deg, "src").repartition(_n_parts, "src"))
     nodes = persist_tracked(nodes.repartition(_n_parts, "node"))
     if full_coverage:
-        # one-time validation OUTSIDE the loop: the identity-join-back
-        # elision is only sound when every node has in-degree >= 1.
-        # A caller passing a non-symmetrized graph would otherwise get
-        # silently wrong ranks (dropped nodes) with no error. One
-        # cheap anti-join on the persisted frames, run once.
-        n_sinks = nodes.join(
-            e.select(F.col("dst").alias("node")),
-            "node",
-            "left_anti",
-        ).count()
-        if n_sinks:
-            raise ValueError(
-                f"pagerank_micro(full_coverage=True): {n_sinks} node(s) "
-                "have in-degree 0; symmetrize the graph or call with "
-                "full_coverage=False"
-            )
+        _assert_full_coverage(
+            nodes, e, "pagerank_micro(full_coverage=True)"
+        )
     rank = nodes.select(
         "node", F.lit(_PR_INIT_MICRO).cast("long").alias("rank_micro")
     )
@@ -228,17 +251,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _sym_edges(pairs)
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     rank = pagerank_micro(nodes, edges, full_coverage=True)
-    return rank.select(
-        F.when(
-            F.col("node") % 2 == 0,
-            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
-        )
-        .otherwise(
-            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
-        )
-        .alias("node"),
-        "rank_micro",
-    )
+    return rank.select(_relabel_node("node"), "rank_micro")
 
 
 # ------------------------------------------------------- sketches
@@ -734,15 +747,7 @@ def graph_personalized_pagerank(
     # itself emits the FULL node set and the old per-superstep left
     # join-back onto `nodes` was an identity — skipped. One cheap
     # anti-join validates the invariant once, outside the loop.
-    n_sinks = nodes.join(
-        e.select(F.col("dst").alias("node")), "node", "left_anti"
-    ).count()
-    if n_sinks:
-        raise ValueError(
-            f"graph_personalized_pagerank: {n_sinks} node(s) have "
-            "in-degree 0; the join-back elision needs a symmetrized "
-            "graph"
-        )
+    _assert_full_coverage(nodes, e, "graph_personalized_pagerank")
     # r0 over ALL nodes (rank 0 off-seed) — one-time annotation join
     # so round 1's edge join sees every node exactly like the oracle's
     # r0 CTE; srcs not in the graph drop out on both sides.
@@ -781,15 +786,7 @@ def graph_personalized_pagerank(
             )
         )
     return rank.filter(F.col("rank_micro") > 0).select(
-        F.when(
-            F.col("node") % 2 == 0,
-            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
-        )
-        .otherwise(
-            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
-        )
-        .alias("node"),
-        "rank_micro",
+        _relabel_node("node"), "rank_micro"
     )
 
 
@@ -1134,12 +1131,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("c"),
         (F.col("l_suppkey") * 2 + 1).alias("s"),
     )
-    # NO distinct and NO repartition on the edge list: BFS is a MIN
-    # recursion, so duplicate edges cannot change any hop (the oracle
-    # keeps its DISTINCT — values identical), and every superstep
-    # probes the edges with a BROADCAST frontier join, which needs no
-    # particular edge partitioning. Dropping both shuffles took the
-    # warm entry 4.1 -> 2.6 s at sf0.1. Trade-off: the persisted list
+    # NO distinct on the edge list: BFS is a MIN recursion, so
+    # duplicate edges cannot change any hop (the oracle keeps its
+    # DISTINCT — values identical); dropping it took the warm entry
+    # 4.1 -> 2.6 s at sf0.1. Trade-off: the persisted list
     # carries duplicate (cust, supp) pairs (~2% here; a corpus with
     # heavy reordering would reinstate the distinct to shrink the
     # cache at the cost of one shuffle). LPA/PageRank keep their
@@ -1157,7 +1152,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
                 )
             ).alias("__e")
-        ).select("__e.src", "__e.dst")
+        )
+        .select("__e.src", "__e.dst")
+        # hash-partitioned on the DESTINATION key (r13, VERDICT r12
+        # item 1): the broadcast frontier probe preserves the cached
+        # edge partitioning, so every superstep's reached-candidate
+        # groupBy(dst) — the only fact-sized shuffle in the loop —
+        # needs NO exchange. One edge-sized exchange at cache build
+        # replaces one candidate exchange per superstep (paired A/B
+        # 0.933 vs the r12 no-repartition shape; the r12 note about
+        # dropping the repartition removed a USELESS hash(src) — the
+        # frontier is broadcast so src-partitioning bought nothing —
+        # while dst-partitioning feeds the agg).
+        .repartition(_loop_parts(pairs), "dst")
     )
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     seeds = (
@@ -1198,8 +1205,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the frontier is node-sized (orders of magnitude below the
         # edge list) — broadcast it so the edge side is probed in
-        # place with NO exchange on either side; the only shuffle per
-        # superstep is the reached-candidate groupBy. At a scale
+        # place. With the edge cache hash-partitioned on dst, the
+        # reached-candidate stream arrives at the min-agg ALREADY
+        # partitioned by its group key — zero exchanges on the
+        # fact-sized path per superstep; only the node-sized
+        # join-back side still shuffles (trivial bytes). At a scale
         # where a hop's frontier outgrows broadcast, drop the hint
         # and the persisted hash layout takes over.
         upd = (
@@ -1209,22 +1219,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = persist_tracked(
             dist.join(upd, dist.node == upd.dst, "left")
+            .select("node", F.col("hop").alias("d"), "nd")
             .select(
-                "node",
-                F.col("hop").alias("d"),
-                "nd",
+                "node", F.expr(_BFS_MIN_SQL).cast("long").alias("hop")
             )
-            .select("node", F.expr(_BFS_MIN_SQL).cast("long").alias("hop"))
         )
     return dist.select(
-        F.when(
-            F.col("node") % 2 == 0,
-            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
-        )
-        .otherwise(
-            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
-        )
-        .alias("node"),
+        _relabel_node("node"),
         F.coalesce("hop", F.lit(-1)).cast("long").alias("hop"),
     )
 
@@ -1525,19 +1526,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "dst", "left_semi")
         .groupBy("src")
         .agg(F.count("*").cast("long").alias("core_degree"))
-        .select(
-            F.when(
-                F.col("src") % 2 == 0,
-                F.concat(F.lit("c"), (F.col("src") / 2).cast("long")),
-            )
-            .otherwise(
-                F.concat(
-                    F.lit("s"), ((F.col("src") - 1) / 2).cast("long")
-                )
-            )
-            .alias("node"),
-            "core_degree",
-        )
+        .select(_relabel_node("src").alias("node"), "core_degree")
         .orderBy(F.col("core_degree").desc(), F.col("node").asc())
         .limit(50)
     )
@@ -1626,10 +1615,11 @@ def _sssp_oracle() -> str:
         "frontier⋈edge equi-join + partial-agg min(dist+w) by "
         "destination + NULL-aware merge — the Pregel min-plus shape "
         "with the weighted relaxation, edges persisted once (no "
-        "distinct, no repartition: weights are pure label functions "
-        "so duplicate edges can't change a min, and the broadcast "
-        "frontier join needs no edge partitioning), dist persisted "
-        "per superstep (read twice: merge + next frontier). "
+        "distinct: weights are pure label functions so duplicate "
+        "edges can't change a min; hash-partitioned on dst so the "
+        "broadcast frontier probe feeds the min-agg exchange-free), "
+        "dist persisted per superstep (read twice: merge + next "
+        "frontier). "
         "Unreached nodes report -1; oracle unrolls the supersteps "
         "as CTEs.",
 )
@@ -1693,8 +1683,16 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("srci").alias("src"), F.col("dsti").alias("dst"), "w"
         )
-        # no repartition: every superstep probes the edges with a
-        # broadcast frontier join, which needs no edge partitioning
+        # hash-partitioned on the DESTINATION key (r13, VERDICT r12
+        # item 1): the broadcast frontier probe preserves the cached
+        # edge partitioning, so every superstep's candidate
+        # groupBy(dst) — the only fact-sized shuffle in the loop —
+        # needs NO exchange at all. One edge-sized exchange paid once
+        # at cache build replaces one candidate-stream exchange per
+        # superstep. (The union-into-one-agg alternative was also
+        # A/B'd: Union discards partitioning, re-adding the exchange —
+        # 3.86 vs 3.10 s min; this shape won 0.876 paired vs r12.)
+        .repartition(_loop_parts(pairs), "dst")
     )
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     seeds = (
@@ -1730,8 +1728,12 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("src"), F.col("dist")
         )
         # frontier is node-sized vs the edge list: broadcast probes
-        # the persisted edges in place (no exchange either side); the
-        # only shuffle per superstep is the candidate groupBy.
+        # the persisted edges in place. With the edge cache
+        # hash-partitioned on dst, the candidate stream arrives at
+        # the min-agg ALREADY partitioned by its group key — zero
+        # exchanges on the fact-sized path per superstep; the only
+        # remaining per-round shuffle is the node-sized join-back
+        # side (trivial bytes).
         upd = (
             edges.join(F.broadcast(frontier), "src")
             .groupBy("dst")
@@ -1750,14 +1752,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return dist.select(
-        F.when(
-            F.col("node") % 2 == 0,
-            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
-        )
-        .otherwise(
-            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
-        )
-        .alias("node"),
+        _relabel_node("node"),
         F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"),
     )
 
