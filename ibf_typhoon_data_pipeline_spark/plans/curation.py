@@ -436,23 +436,21 @@ _LM_LP_EC_MICRO_SQL = (
         "before the order-free per-doc sum, same as the base entry.",
 )
 def text_lm_logprob_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ibf_typhoon_data_pipeline_spark.operators.cache import (
-        persist_tracked,
-    )
-
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", dd.split_words(F.col("text")).alias("__words"))
     )
     tok = docs.select("doc_id", F.explode("__words").alias("tok"))
-    # freq feeds 4 derivations per action (vocab; tot; both again via
-    # oov's cross join) — the round-7 ≥3-derivations persist rule
-    # (ADVICE r11: unpersisted, the full tokenize+groupBy re-ran each
-    # time; orchestration paths release via release_caches())
-    freq = persist_tracked(
-        tok.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
-    )
+    # NOT persisted (r13, VERDICT r12 item 3): freq feeds 4 derivations
+    # (vocab/tot/oov) so the r7 ≥3-derivations rule suggested a persist
+    # (shipped r12), but the paired A/B reads the persist 1.246x SLOWER
+    # (mins 0.834 vs 1.075 s) — the derivations are tiny broadcast-side
+    # aggregates whose recompute pipelines through the scan, while the
+    # cache round-trip blocks the whole token stream. The r7 corollary
+    # fires again: a persist only pays when the re-read work dominates
+    # the cache write+read, not merely when the count of readers is ≥3.
+    freq = tok.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
     vocab = freq.orderBy(F.col("c").desc(), F.col("tok")).limit(_LM_K)
     tot = freq.agg(F.sum("c").cast("long").alias("corpus_tokens"))
     oov = (

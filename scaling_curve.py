@@ -90,6 +90,15 @@ DATA_TIER = [
     # hash agg; amplified doc_ids (+replica*1e9) land in disjoint pk
     # spaces, so the canonical key space grows linearly with the data
     "dedup_url_canonical",
+    # round 13 (VERDICT r12 item 4): two of the "latency-bound at
+    # sf0.1" quintet measured instead of argued — both read amplified
+    # tables. The recursion depth of rec_cte_hierarchy is fixed; the
+    # per-level work is the customer frame, so 10x rows ⇒ ≤ ~10x. The
+    # streaming entry replays 10x the events through the same two
+    # landing batches + sentinel; state and commit counts are fixed,
+    # rows scale.
+    "rec_cte_hierarchy",
+    "stream_session_windows",
 ]
 AMP = 10
 # linear growth = 10×; slack for shuffle-partition granularity and
@@ -165,6 +174,25 @@ SEGMENT_EXPONENT_AT = 1.2
 SEGMENT_EXPONENT_AT_ADJ = 1.5
 SEGMENT_MIN_SEC = 1.0
 
+# Member-axis tier (round 13, VERDICT r12 item 4): the remaining
+# "latency-bound" entries — tc_crps_ensemble / tc_trigger_ladder /
+# tc_multi_event_dag — take NO table input; their size is the
+# generated ensemble (plans.typhoon.N_MEMBERS = 52 members), so the
+# '@xN' table amplifier cannot scale them. This tier re-times each at
+# 10x the MEMBERS (patching the generator constant around the timed
+# call — measurement tooling only, the catalog entries are untouched
+# and the driver never sees a patched constant). Expected ~linear:
+# windfield pair spaces are members x pruned-cells, CRPS's sorted-rank
+# form is one rank window over members per muni, the ladder is a
+# per-member total + 1-row agg.
+GEN_TIER = [
+    "tc_crps_ensemble",
+    "tc_trigger_ladder",
+    "tc_multi_event_dag",
+]
+GEN_AMP = 10
+GEN_SUPERLINEAR_AT = 12.0
+
 
 def main() -> None:
     # same load-shadow protocol as bench.py (a run launched while
@@ -214,7 +242,7 @@ def main() -> None:
     # a family from the scaling evidence (ADVICE r10)
     unknown = [
         n
-        for n in DATA_TIER + X30_TIER + X50_TIER
+        for n in DATA_TIER + X30_TIER + X50_TIER + GEN_TIER
         if n not in plans.QUERIES
     ]
     if unknown:
@@ -257,6 +285,47 @@ def main() -> None:
     data_tier = _time_tier(DATA_TIER, AMP, SUPERLINEAR_AT)
     x30_tier = _time_tier(X30_TIER, AMP30, SUPERLINEAR_AT_30)
     x50_tier = _time_tier(X50_TIER, AMP50, SUPERLINEAR_AT_50)
+
+    # member-axis tier: same best-of-two / release / gc protocol, but
+    # the second leg scales the generated ensemble instead of the
+    # tables (see GEN_TIER comment). The constant is restored in a
+    # finally so a failed leg can't leak a 10x generator into
+    # anything that runs after.
+    from ibf_typhoon_data_pipeline_spark.plans import typhoon as _ty
+
+    gen_tier: dict[str, dict] = {}
+    for name in GEN_TIER:
+        fn = plans.QUERIES[name].fn
+        times = []
+        base_members = _ty.N_MEMBERS
+        for members in (base_members, base_members * GEN_AMP):
+            best = float("inf")
+            try:
+                _ty.N_MEMBERS = members
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, SFS[1]).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                    release_caches()
+            finally:
+                _ty.N_MEMBERS = base_members
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            times.append(round(best, 3))
+        scaleup = round(times[1] / max(times[0], 1e-9), 2)
+        gen_tier[name] = {
+            "members_s": times[0],
+            f"members_x{GEN_AMP}_s": times[1],
+            f"scaleup_{GEN_AMP}x": scaleup,
+            "superlinear": scaleup > GEN_SUPERLINEAR_AT,
+        }
+        if scaleup > GEN_SUPERLINEAR_AT:
+            sys.stderr.write(
+                f"WARNING: {name} member-axis scaleup {scaleup}x for "
+                f"{GEN_AMP}x members exceeds {GEN_SUPERLINEAR_AT}\n"
+            )
 
     # Segment-exponent check between adjacent tiers (VERDICT r11 item
     # 3): per entry measured at two amplifications, exponent =
@@ -336,6 +405,11 @@ def main() -> None:
                 "amplification": AMP50,
                 "superlinear_at": SUPERLINEAR_AT_50,
                 "queries": x50_tier,
+            },
+            "member_tier": {
+                "amplification": GEN_AMP,
+                "superlinear_at": GEN_SUPERLINEAR_AT,
+                "queries": gen_tier,
             },
             "segment_exponents": {
                 "threshold_full_span": SEGMENT_EXPONENT_AT,
