@@ -2431,23 +2431,27 @@ def tc_damage_xgb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ibf_typhoon_data_pipeline_spark.operators.cache import persist_tracked
 
-    # consumed by the fit (min/max + sketch) AND the returned scoring
-    # plan — tracked persist; orchestration releases after its action.
-    # Unlike the stump entry, the persist+count stays on WARM runs
-    # too: the 20-feature frame is expensive enough that recomputing
-    # it inside the Arrow-scorer action at full shuffle width loses to
-    # the small-width materialization + cache read (A/B r8: 5.3-5.9 s
-    # unpersisted vs 3.9-4.6 s persisted, warm)
+    # cold path: the frame feeds FOUR actions (count, fit min/max,
+    # fit sketch, scoring) — tracked persist pays for itself. Warm
+    # path (fit memoized): scoring is the ONLY consumer, so the
+    # persist round-trip + separate count() action just double the
+    # frame compute — the same r7 below-3-re-reads rule the stump
+    # entry already applies (r13 paired A/B: 0.895, mins 3.43 vs
+    # 2.86 s warm; the r8 number that kept the unconditional persist
+    # predates the fit memo, whose hit is what makes the warm frame
+    # single-reader).
     with _small_shuffle(spark):
-        frame = persist_tracked(_xgb_frame(spark))
-        frame.count()  # materialize while the small shuffle width applies
-        frame.createOrReplaceTempView("xgb_frame")
         if "xgb" not in _FIT_MEMO:
+            frame = persist_tracked(_xgb_frame(spark))
+            frame.count()  # materialize at the small shuffle width
+            frame.createOrReplaceTempView("xgb_frame")
             _FIT_MEMO["xgb"] = fit_hist_gbt_sketch(
                 lambda s: [tuple(r) for r in spark.sql(s).collect()],
                 XGB_FEATURES,
                 "dam_perc",
             )
+        else:
+            frame = _xgb_frame(spark)
     # at reference depth the CASE chain is ~785 KB — fine for DuckDB's
     # parser (the oracle side), hostile to Spark codegen; the Arrow UDF
     # is the hist_gbt_case_sql bitwise twin (test_gbt sql-twin test)
