@@ -3628,17 +3628,26 @@ def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= 2)
     )
+    # union-free mirroring (r13, same rewrite as orders_item_cf_topk):
+    # the 2-arm unionByName re-evaluated the unpersisted basket
+    # self-join + pair agg once per arm; one row-doubling explode
+    # generator evaluates it once — same rows.
     rules = pair.select(
-        F.col("id_a").alias("antecedent"),
-        F.col("id_b").alias("consequent"),
-        "support",
-    ).unionByName(
-        pair.select(
-            F.col("id_b").alias("antecedent"),
-            F.col("id_a").alias("consequent"),
-            "support",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("antecedent"),
+                    F.col("id_b").alias("consequent"),
+                    F.col("support"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("antecedent"),
+                    F.col("id_a").alias("consequent"),
+                    F.col("support"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.antecedent", "__r.consequent", "__r.support")
     ia = item.select(
         F.col("l_partkey").alias("antecedent"),
         F.col("n_item").alias("n_a"),

@@ -1388,29 +1388,34 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
+    # union-free per-side degree (r13): the 2-arm unionAll evaluated
+    # the unpersisted orders⋈lineitem+distinct pair plan once PER ARM.
+    # One row-doubling explode generator tags each pair with its two
+    # (side, key) endpoints, and a single groupBy(side, key) computes
+    # both sides' degrees in one pass — every pair contributes exactly
+    # one row per endpoint, identical to the per-side aggs (key spaces
+    # are disambiguated by `side`, so the oracle's 'c'/'s' string
+    # prefix never needs materializing engine-side).
     deg = (
-        pairs.groupBy("o_custkey")
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("side"),
+                        F.col("o_custkey").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit("s").alias("side"),
+                        F.col("l_suppkey").alias("key"),
+                    ),
+                )
+            ).alias("__n")
+        )
+        .groupBy("__n.side", "__n.key")
         .agg(F.count("*").cast("long").alias("degree"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "node"
-            ),
-            "degree",
-        )
-        .unionAll(
-            pairs.groupBy("l_suppkey")
-            .agg(F.count("*").cast("long").alias("degree"))
-            .select(
-                F.concat(
-                    F.lit("s"), F.col("l_suppkey").cast("string")
-                ).alias("node"),
-                "degree",
-            )
-        )
     )
     return (
-        deg.select(F.substring("node", 1, 1).alias("side"), "degree")
-        .groupBy("side", "degree")
+        deg.groupBy("side", "degree")
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("side", "degree")
     )

@@ -5306,23 +5306,28 @@ def tc_rain_idf_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s4").cast("long").alias("d4"),
         )
     )
-    up = (
-        rolled.select(
-            "cell_id",
-            F.lit(1).alias("duration_steps"),
-            F.col("d1").alias("accum_micro"),
-        )
-        .unionAll(
-            rolled.select(
-                "cell_id", F.lit(2), F.col("d2").alias("accum_micro")
+    # union-free duration fan-out (r13): the 3-arm unionAll evaluated
+    # the unpersisted median+window+max `rolled` plan once PER ARM.
+    # One row-tripling explode generator evaluates it once — same rows.
+    up = rolled.select(
+        "cell_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("duration_steps"),
+                    F.col("d1").alias("accum_micro"),
+                ),
+                F.struct(
+                    F.lit(2).alias("duration_steps"),
+                    F.col("d2").alias("accum_micro"),
+                ),
+                F.struct(
+                    F.lit(4).alias("duration_steps"),
+                    F.col("d4").alias("accum_micro"),
+                ),
             )
-        )
-        .unionAll(
-            rolled.select(
-                "cell_id", F.lit(4), F.col("d4").alias("accum_micro")
-            )
-        )
-    )
+        ).alias("__u"),
+    ).select("cell_id", "__u.duration_steps", "__u.accum_micro")
     wr = Window.partitionBy("duration_steps").orderBy(
         F.col("accum_micro").desc(), F.col("cell_id").asc()
     )
