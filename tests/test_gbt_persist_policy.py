@@ -1,18 +1,12 @@
 """Cache-hygiene pin for the GBT family's persist policy (VERDICT r8
-item 7). The policy is asymmetric by measurement, and a refactor that
-flips either side silently costs 1.5-2x on that entry:
-
-- tc_damage_gbt / tc_damage_calibration persist their 2-feature frame
-  ONLY while fitting (cold path: four consumers); once the fit is
-  memoized, scoring is the sole consumer and the persist round-trip +
-  count() action would just double the frame compute (round-7 rule:
-  persist loses below 3 re-reads; measured 4.2 -> ~3.5 s warm at
-  sf0.1 by dropping it).
-- tc_damage_xgb persists its 20-feature frame UNCONDITIONALLY: the
-  frame is expensive enough that recomputing it inside the Arrow-
-  scorer action at full shuffle width loses to the small-width
-  materialization + cache read (A/B r8: 5.3-5.9 s unpersisted vs
-  3.9-4.6 s persisted, warm).
+item 7; xgb side re-measured r13). The whole family persists its fit
+frame ONLY while fitting (cold path: four consumers — count, fit
+min/max, fit sketch, scoring); once the fit is memoized, scoring is
+the sole consumer and the persist round-trip + count() action just
+doubles the frame compute (round-7 rule: persist loses below 3
+re-reads; stump measured 4.2 -> ~3.5 s warm at sf0.1, xgb measured
+0.895 paired / mins 3.43 -> 2.86 s warm at sf0.1 in r13 — the r8
+number that kept xgb's unconditional persist predated the fit memo).
 
 The observable is the tracked-persist count (operators.cache._CACHED
 delta across the plan builder) with the fit memo forced cold/warm.
@@ -32,7 +26,7 @@ SF = "/root/testdata/sf0.01"
 POLICY = {
     "tc_damage_gbt": ("stump", 1, 0),
     "tc_damage_calibration": ("stump", 1, 0),
-    "tc_damage_xgb": ("xgb", 1, 1),
+    "tc_damage_xgb": ("xgb", 1, 0),
 }
 
 
