@@ -2018,8 +2018,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchange's map-side partial agg bought nothing in early
         # rounds (labels start all-distinct, so (dst, label) pairs
         # have multiplicity ~1 within a map partition).
+        # shuffle_hash hint on the node-sized label side (r13, guide
+        # §3.1): the co-partitioned join planned as a SortMergeJoin,
+        # which re-SORTED the cached 1.2M-row edge side every round;
+        # a ShuffledHashJoin builds a per-partition hash of the labels
+        # instead (build side = nodes/N rows at any scale — bounded
+        # when N scales with the cluster) and touches the edge side
+        # unsorted. Paired A/B 0.772 (mins 3.71 → 2.84 s). NOT a
+        # broadcast: both sides keep their partitioning, no driver
+        # collect. The same hint measured 1.081 on graph_pagerank
+        # (rank side unpersisted there) — applied only where it wins.
         contrib = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(
+                labels.hint("shuffle_hash"), edges.src == labels.node
+            )
             .select(F.col("dst").alias("node"), "label")
             .repartition(_n_parts, "node")
         )

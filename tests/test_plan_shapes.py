@@ -820,13 +820,19 @@ def test_clustering_depth_overlap_join_is_manifest_sized(spark):
 
 
 def test_min_recursion_edge_builds_have_no_redundant_shuffle(spark):
-    """BFS/SSSP edge lists carry NO distinct and NO repartition
-    (round 7): min-recursions are edge-multiplicity-immune (SSSP
-    weights are pure pair functions), and broadcast-frontier joins
-    need no edge partitioning — the distinct shrank the cache ~2%
-    for a full shuffle. Guard: the persisted edge frame's OWN plan
-    (scan → broadcast join → union, nothing else) contains zero hash
-    exchanges, so a reintroduced distinct/repartition fails here.
+    """BFS/SSSP edge lists carry NO distinct (round 7: min-recursions
+    are edge-multiplicity-immune — SSSP weights are pure pair
+    functions — so the distinct shrank the cache ~2% for a full
+    shuffle) and EXACTLY ONE hash exchange, on the DESTINATION key
+    (r13: the broadcast frontier probe preserves the cached edge
+    partitioning, so hash(dst) makes every superstep's candidate
+    groupBy(dst) exchange-free — one edge-sized exchange at cache
+    build replaces one candidate exchange per superstep; paired A/B
+    0.876/0.933 vs the r12 unpartitioned shape). Guard: the persisted
+    edge frame's OWN plan (scan → broadcast join → explode →
+    repartition(dst), nothing else) contains exactly one hash
+    exchange and it hashes dst — a reintroduced distinct (second
+    exchange) or a dropped/mis-keyed repartition fails here.
 
     Rewritten for ADVICE r7: the old version grepped the final plan's
     text split at 'InMemoryRelation' for 'ShuffleExchange' — a token
@@ -836,6 +842,8 @@ def test_min_recursion_edge_builds_have_no_redundant_shuffle(spark):
     caches legitimately contain the `nodes` distinct exchange), so
     the corrected token over-matched. Inspecting each tracked edge
     frame directly has neither problem."""
+    import re
+
     from ibf_typhoon_data_pipeline_spark.operators import cache
     from ibf_typhoon_data_pipeline_spark.operators.cache import (
         release_caches,
@@ -857,8 +865,10 @@ def test_min_recursion_edge_builds_have_no_redundant_shuffle(spark):
             # r12 replaced the 2-arm union (which re-evaluated the
             # pair join once per arm) with one explode generator
             assert "Generate explode" in txt, (name, txt[:800])
-            assert "Exchange hashpartitioning" not in txt, (
+            hashes = re.findall(r"Exchange hashpartitioning\((\w+)", txt)
+            assert len(hashes) == 1 and hashes[0].startswith("dst"), (
                 name,
+                hashes,
                 txt[:800],
             )
         release_caches()
